@@ -1,0 +1,83 @@
+"""Render configuration.
+
+The reference has no config system: everything is compile-time globals
+(resolution 1536x864 at main.cpp:20-21, max_iterations=50 at :26, camera
+pose globals at :30-43, scene content hardcoded in onInitialization).
+Here the same knobs are a first-class dataclass, JSON round-trippable,
+so renders are reproducible and scriptable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+# Reference defaults (main.cpp:19-43).
+REF_WIDTH = 192 * 8  # 1536
+REF_HEIGHT = 108 * 8  # 864
+REF_MAX_ITERATIONS = 50
+
+
+@dataclasses.dataclass
+class CameraConfig:
+    """Camera pose. Mirrors the reference globals main.cpp:30-43."""
+
+    fov: float = 75.0
+    yaw: float = -13.800002 - 50
+    pitch: float = 5.599997 + 10
+    # global_shift (main.cpp:39); base eye is (500, 500, -1299.037842)+shift
+    # (main.cpp:343).
+    shift: tuple[float, float, float] = (265.055481, 162.305969, 360.414001)
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    width: int = REF_WIDTH
+    height: int = REF_HEIGHT
+    # Bounce depth per sample ('iterations', main.cpp:26-27; user tunable
+    # with +/- in [1, max_iterations]).
+    iterations: int = 4
+    max_iterations: int = REF_MAX_ITERATIONS
+    # Samples per pixel to accumulate (progressive; reference runs forever).
+    spp: int = 16
+    # 'parity' = bit-faithful reference math (Lehmer LCG RNG, exact tonemap
+    # quirks); 'fast' = counter-based threefry RNG + numerically-safe tonemap.
+    mode: str = "fast"
+    # RNG seed for the host-side std::minstd_rand0-equivalent seeder
+    # (main.cpp:45,522-527). The C++ default ctor seed is 1.
+    seed: int = 1
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    # Tone mapping: 'reinhard' (active in reference, prog.cl:380) or 'filmic'
+    # (used only by the dormant filt_im kernel, prog.cl:259-263) or 'none'.
+    tonemap: str = "reinhard"
+    # Acceleration structure: 'bruteforce' | 'bvh'.
+    accel: str = "bvh"
+
+    def validate(self) -> "RenderConfig":
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("width/height must be positive")
+        if not (1 <= self.iterations <= self.max_iterations):
+            raise ValueError(
+                f"iterations must be in [1, {self.max_iterations}]"
+            )
+        if self.mode not in ("parity", "fast"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.tonemap not in ("reinhard", "filmic", "none"):
+            raise ValueError(f"unknown tonemap {self.tonemap!r}")
+        if self.accel not in ("bruteforce", "bvh"):
+            raise ValueError(f"unknown accel {self.accel!r}")
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "RenderConfig":
+        raw: dict[str, Any] = json.loads(text)
+        cam = raw.pop("camera", None)
+        cfg = cls(**raw)
+        if cam is not None:
+            cam["shift"] = tuple(cam.get("shift", CameraConfig().shift))
+            cfg.camera = CameraConfig(**cam)
+        return cfg.validate()

@@ -1,0 +1,130 @@
+"""Random number generation.
+
+Two engines:
+
+1. PARITY engine — bit-faithful replay of the reference's RNG so converged
+   images match exactly:
+     * Device stream: Lehmer LCG n' = n * 48271 mod (2^31 - 1), uniform =
+       float32(n') / 2147483647.0f, one sequential stream per pixel stored
+       in a global int buffer (prog.cl:72-77).
+     * Host seeding: std::minstd_rand0 (a = 16807, same modulus, default
+       seed 1) drawn once per pixel (main.cpp:45, 522-527).
+   TPU-native twist: the modulus is the Mersenne prime 2^31 - 1, so
+   x mod m folds as (x >> 31) + (x & 0x7fffffff); a full 62-bit modular
+   product decomposes into 16-bit limbs in pure uint32 — no int64, no
+   Schrage divisions, fully vectorizable on the VPU. This also gives us
+   O(log k) sequence jump-ahead (multiply by a^k mod m) for free, which is
+   how parity mode shards sample batches across chips without serializing.
+
+2. FAST engine — counter-based threefry via jax.random: stateless,
+   order-independent, the idiomatic TPU choice when parity is not needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+M31 = np.uint32(0x7FFFFFFF)       # 2^31 - 1 (modulus, prime)
+LEHMER_A = np.uint32(48271)       # device multiplier (prog.cl:74)
+MINSTD0_A = np.uint32(16807)      # std::minstd_rand0 multiplier
+# float literal 2147483647.0f as the reference divides by (prog.cl:76)
+INV_M31_DEN = np.float32(2147483647.0)
+
+
+def _fold(x: jnp.ndarray) -> jnp.ndarray:
+    """One folding step of mod (2^31 - 1): uses 2^31 === 1 (mod m)."""
+    return (x >> np.uint32(31)) + (x & M31)
+
+
+def modmul31(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a * b) mod (2^31 - 1) for a, b < 2^31, in pure uint32 arithmetic.
+
+    Decomposes both operands into 16-bit limbs; every partial product and
+    partial sum fits in uint32; high bits fold via 2^31 === 1.
+    """
+    a = a.astype(jnp.uint32)
+    b = jnp.asarray(b, jnp.uint32)
+    a1, a0 = a >> np.uint32(16), a & np.uint32(0xFFFF)
+    b1, b0 = b >> np.uint32(16), b & np.uint32(0xFFFF)
+
+    hi = a1 * b1                      # < 2^30, weight 2^32 === 2
+    cross = a1 * b0 + a0 * b1         # < 2^32, weight 2^16
+    lo = a0 * b0                      # < 2^32, weight 1
+
+    # cross * 2^16 = cross_hi * 2^31 + cross_lo * 2^16 === cross_hi + ...
+    cross_hi = cross >> np.uint32(15)             # < 2^17
+    cross_lo = (cross & np.uint32(0x7FFF)) << np.uint32(16)  # < 2^31
+
+    acc = _fold(lo)                    # < 2^31 + 1
+    acc = _fold(acc + cross_lo)        # operands < 2^32 pre-fold
+    acc = _fold(acc + cross_hi)
+    acc = _fold(acc + hi * np.uint32(2))
+    acc = _fold(acc)
+    # acc may equal m exactly (m === 0); canonicalize.
+    return jnp.where(acc == M31, jnp.uint32(0), acc)
+
+
+def lehmer_step(state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One rand() (prog.cl:72-77): state' = state * 48271 mod (2^31-1),
+    uniform = float32(state') / 2147483647.0f. state: uint32 array."""
+    new = modmul31(state, LEHMER_A)
+    return new, new.astype(jnp.float32) / INV_M31_DEN
+
+
+def lehmer_jump_mult(k: int, a: int = int(LEHMER_A)) -> np.uint32:
+    """a^k mod (2^31-1), host-side: the multiplier that advances a Lehmer
+    stream by k steps at once (for sharding parity streams across chips)."""
+    return np.uint32(pow(int(a), int(k), int(M31)))
+
+
+def lehmer_advance(state: jnp.ndarray, mult: np.uint32) -> jnp.ndarray:
+    """Jump a stream forward: state * (a^k mod m) mod m."""
+    return modmul31(state, jnp.uint32(mult))
+
+
+def minstd_rand0_raw(n: int, seed: int = 1) -> np.ndarray:
+    """First n outputs of std::minstd_rand0(seed): x_{i+1} = 16807 x_i mod
+    (2^31-1), returning successive states (host-side, used to seed the
+    per-pixel device streams exactly like main.cpp:522-527)."""
+    out = np.empty(n, np.uint32)
+    x = np.int64(seed)
+    for i in range(n):
+        x = (x * 16807) % 2147483647
+        out[i] = x
+    return out
+
+
+def seed_pixel_streams(num_pixels: int, seed: int = 1) -> jnp.ndarray:
+    """Per-pixel Lehmer states, seeded like the reference host
+    (main.cpp:45, 522-527: one minstd_rand0 draw per pixel, in pixel
+    order). Returns uint32 (num_pixels,)."""
+    return jnp.asarray(minstd_rand0_raw(num_pixels, seed))
+
+
+# ---------------------------------------------------------------------------
+# FAST engine: counter-based threefry (stateless, reorderable).
+
+
+def fast_uniforms(key: jax.Array, sample: jnp.ndarray, bounce,
+                  shape: tuple[int, ...], num: int) -> jnp.ndarray:
+    """`num` uniform draws per element for a given (sample, bounce) event.
+
+    Returns float32 array of shape shape + (num,) in [0, 1). Stateless:
+    the same (key, sample, bounce) always produces the same draws, so
+    sample batches can be sharded across devices in any order.
+    """
+    k = jax.random.fold_in(key, jnp.asarray(sample, jnp.uint32))
+    k = jax.random.fold_in(k, jnp.asarray(bounce, jnp.uint32))
+    return jax.random.uniform(k, shape + (num,), jnp.float32)
+
+
+# Pure-python oracle used by unit tests (closed-form Lehmer).
+def lehmer_reference_sequence(state: int, n: int) -> list[int]:
+    out = []
+    x = int(state)
+    for _ in range(n):
+        x = (x * 48271) % 2147483647
+        out.append(x)
+    return out

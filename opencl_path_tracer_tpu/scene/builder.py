@@ -1,0 +1,159 @@
+"""Scene assembly: the host-side builder API.
+
+Mirrors the reference `class Scene` surface (main.cpp:363-742):
+add_material (:532), add_triangle (:529), add_obj (:552), end_obj (:536),
+upload_* (:618-634) — collapsed here into `build()`, which produces
+device-resident SoA arrays via a single device_put instead of per-buffer
+enqueueWriteBuffer calls.
+
+OBJ import semantics preserved exactly (main.cpp:552-617):
+  * X axis flipped on load (vx = -attrib.vertices[...], :598),
+  * per-vertex rotate_x(pitch) then rotate_y(yaw), then scale, then
+    translate (:602-606),
+  * MTL -> Material with custom keys Kn (per-channel IOR), Kk
+    (extinction), Tp (type int) via unknown_parameter (:568-571),
+  * per-face material ids offset by the running material count (:562,613),
+  * end_obj() per OBJ *shape* (:615) — recorded here as object ranges so
+    acceleration structures can be built per object like the reference's
+    per-shape kd trees (:536-551).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from opencl_path_tracer_tpu.core.geometry import TrianglesSoA, REF_PI
+from opencl_path_tracer_tpu.core.materials import (
+    MaterialsSoA, make_material, stack_materials,
+)
+from opencl_path_tracer_tpu.io.obj import load_obj
+
+
+def _np_rot_x(v: np.ndarray, deg: float) -> np.ndarray:
+    a = np.float32(deg) / np.float32(180.0) * REF_PI
+    c, s = np.float32(np.cos(a)), np.float32(np.sin(a))
+    out = v.copy()
+    out[:, 1] = v[:, 1] * c - v[:, 2] * s
+    out[:, 2] = v[:, 1] * s + v[:, 2] * c
+    return out
+
+
+def _np_rot_y(v: np.ndarray, deg: float) -> np.ndarray:
+    a = np.float32(deg) / np.float32(180.0) * REF_PI
+    c, s = np.float32(np.cos(a)), np.float32(np.sin(a))
+    out = v.copy()
+    out[:, 0] = v[:, 0] * c + v[:, 2] * s
+    out[:, 2] = -v[:, 0] * s + v[:, 2] * c
+    return out
+
+
+@dataclasses.dataclass
+class Scene:
+    """Device-ready scene: all triangles and materials as SoA arrays,
+    plus host metadata about per-object ranges (the kd_tree_shift
+    equivalent, main.cpp:536-551)."""
+
+    tris: TrianglesSoA
+    mats: MaterialsSoA
+    # (num_objects, 2) [from, to) triangle ranges, one per end_obj().
+    object_ranges: np.ndarray
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.tris.count)
+
+    @property
+    def num_objects(self) -> int:
+        return len(self.object_ranges)
+
+
+class SceneBuilder:
+    def __init__(self) -> None:
+        self._r1: list[np.ndarray] = []
+        self._r2: list[np.ndarray] = []
+        self._r3: list[np.ndarray] = []
+        self._mati: list[int] = []
+        self._materials: list[dict] = []
+        self._object_ranges: list[tuple[int, int]] = []
+        self._tri_shift = 0
+
+    # --- reference API ---------------------------------------------------
+    def add_material(self, kd, ks, emission, N, K, shininess, type) -> int:
+        """Returns the new material index (main.cpp:532-535)."""
+        self._materials.append(
+            make_material(kd, ks, emission, N, K, shininess, type)
+        )
+        return len(self._materials) - 1
+
+    def add_material_row(self, row: dict) -> int:
+        self._materials.append(row)
+        return len(self._materials) - 1
+
+    def add_triangle(self, r1, r2, r3, mati: int) -> None:
+        self._r1.append(np.asarray(r1, np.float32))
+        self._r2.append(np.asarray(r2, np.float32))
+        self._r3.append(np.asarray(r3, np.float32))
+        self._mati.append(int(mati))
+
+    def end_obj(self) -> None:
+        """Close the current object (main.cpp:536-551). Records the
+        [from, to) triangle range; BVH construction happens at build()."""
+        n = len(self._r1)
+        if n > self._tri_shift:
+            self._object_ranges.append((self._tri_shift, n))
+            self._tri_shift = n
+
+    def add_obj(self, path: str, pos, scale, pitch: float = 0.0,
+                yaw: float = 0.0) -> None:
+        """Load an OBJ with the reference transforms (main.cpp:552-617)."""
+        attrib, shapes, materials = load_obj(path)
+        mat_offset = len(self._materials)
+
+        for m in materials:
+            # Custom MTL keys (main.cpp:568-571). Missing keys raise, like
+            # the reference's unchecked map::at.
+            kn = tuple(
+                float(x) for x in m.unknown_parameter["Kn"].split()[:3]
+            )
+            kk = tuple(
+                float(x) for x in m.unknown_parameter["Kk"].split()[:3]
+            )
+            tp = int(m.unknown_parameter["Tp"].split()[0])
+            self.add_material(
+                kd=m.diffuse, ks=m.specular, emission=m.emission,
+                N=kn, K=kk, shininess=m.shininess, type=tp,
+            )
+
+        pos = np.asarray(pos, np.float32)
+        scale = np.asarray(scale, np.float32)
+        for shape in shapes:
+            v = attrib.vertices[shape.vertex_indices]  # (F*3, 3)
+            v = v.copy()
+            v[:, 0] = -v[:, 0]  # X flip (main.cpp:598)
+            v = _np_rot_x(v, pitch)
+            v = _np_rot_y(v, yaw)
+            v = v * scale[None, :] + pos[None, :]
+            v = v.reshape(-1, 3, 3)
+            mids = mat_offset + shape.material_ids
+            for f in range(v.shape[0]):
+                self.add_triangle(v[f, 0], v[f, 1], v[f, 2], int(mids[f]))
+            self.end_obj()  # per shape, like main.cpp:615
+
+    # --- build ------------------------------------------------------------
+    def build(self) -> Scene:
+        """Upload everything (upload_Triangles/upload_Materials,
+        main.cpp:618-634)."""
+        self.end_obj()  # close any dangling object
+        if not self._r1:
+            raise ValueError("scene has no triangles")
+        tris = TrianglesSoA.build(
+            np.stack(self._r1), np.stack(self._r2), np.stack(self._r3),
+            np.asarray(self._mati, np.int32),
+        )
+        mats = stack_materials(self._materials)
+        return Scene(
+            tris=tris, mats=mats,
+            object_ranges=np.asarray(self._object_ranges, np.int64),
+        )

@@ -1,0 +1,220 @@
+"""Built-in scenes.
+
+The reference hardcodes its scene in onInitialization (main.cpp:745-1017):
+ten material archetypes (:753-762), a huge ground plane (:814-816), and
+seven add_Obj calls (:1002-1010) whose model files are NOT in the repo.
+Here the same content is a library: the Cornell box (the commented-out
+variant at main.cpp:793-816), the reference default scene (ground plane +
+archetypes + whatever OBJ assets are present, with procedural stand-ins
+for the missing ones), and procedural mesh generators (UV sphere — the
+reference's "spheres" are tessellated OBJ meshes, main.cpp:1002,1009).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from opencl_path_tracer_tpu.core.materials import reference_archetypes
+from opencl_path_tracer_tpu.scene.builder import Scene, SceneBuilder
+
+# Archetype indices (main.cpp:751-762).
+LAMP, SUN = 0, 1
+WHITE_DIFFUSE, RED_DIFFUSE, GREEN_DIFFUSE = 2, 3, 4
+PURPLE_SPECULAR, BLACK_SPECULAR = 5, 6
+CHROMIUM, GOLD, GLASS = 7, 8, 9
+
+
+def _add_quad(b: SceneBuilder, v0, v1, v2, v3, mat: int) -> None:
+    b.add_triangle(v0, v1, v2, mat)
+    b.add_triangle(v2, v3, v0, mat)
+
+
+def _add_archetypes(b: SceneBuilder) -> None:
+    for row in reference_archetypes():
+        b.add_material_row(row)
+
+
+def cornell_box(*, with_spheres: bool = True,
+                light_scale: float = 1.0) -> Scene:
+    """Cornell-style box in reference coordinates (the commented scene at
+    main.cpp:793-816: box spanning x in [-100, 1100], y in [0, 1000],
+    red left / green right / white elsewhere, lamp quad at y=999.9)."""
+    b = SceneBuilder()
+    _add_archetypes(b)
+
+    # Lamp (main.cpp:765-766).
+    b.add_triangle((300.0, 999.9, 700.0), (300.0, 999.9, 300.0),
+                   (700.0, 999.9, 700.0), LAMP)
+    b.add_triangle((700.0, 999.9, 700.0), (300.0, 999.9, 300.0),
+                   (700.0, 999.9, 300.0), LAMP)
+
+    # Front (behind the scene, +z) (main.cpp:794-795).
+    b.add_triangle((-100.0, 0.0, 1000.0), (-100.0, 1000.0, 1000.0),
+                   (1100.0, 1000.0, 1000.0), WHITE_DIFFUSE)
+    b.add_triangle((1100.0, 1000.0, 1000.0), (1100.0, 0.0, 1000.0),
+                   (-100.0, 0.0, 1000.0), WHITE_DIFFUSE)
+    # Left red (main.cpp:798-799).
+    b.add_triangle((-100.0, 0.0, 1000.0), (-100.0, 0.0, -1000.0),
+                   (-100.0, 1000.0, 1000.0), RED_DIFFUSE)
+    b.add_triangle((-100.0, 1000.0, 1000.0), (-100.0, 0.0, -1000.0),
+                   (-100.0, 1000.0, -1000.0), RED_DIFFUSE)
+    # Right green (main.cpp:802-803).
+    b.add_triangle((1100.0, 1000.0, 1000.0), (1100.0, 0.0, -1000.0),
+                   (1100.0, 0.0, 1000.0), GREEN_DIFFUSE)
+    b.add_triangle((1100.0, 1000.0, -1000.0), (1100.0, 0.0, -1000.0),
+                   (1100.0, 1000.0, 1000.0), GREEN_DIFFUSE)
+    # Ceiling (main.cpp:806-807).
+    b.add_triangle((-100.0, 1000.0, 1000.0), (-100.0, 1000.0, -1000.0),
+                   (1100.0, 1000.0, 1000.0), WHITE_DIFFUSE)
+    b.add_triangle((1100.0, 1000.0, 1000.0), (-100.0, 1000.0, -1000.0),
+                   (1100.0, 1000.0, -1000.0), WHITE_DIFFUSE)
+    # Floor (main.cpp:814-815, shrunk to the box).
+    b.add_triangle((-10000.0, 0.0, -10000.0), (-10000.0, 0.0, 10000.0),
+                   (10000.0, 0.0, 10000.0), WHITE_DIFFUSE)
+    b.add_triangle((10000.0, 0.0, 10000.0), (10000.0, 0.0, -10000.0),
+                   (-10000.0, 0.0, -10000.0), WHITE_DIFFUSE)
+    b.end_obj()
+
+    if with_spheres:
+        add_sphere(b, center=(250.0, 180.0, 500.0), radius=180.0,
+                   mat=CHROMIUM, lat=12, lon=18)
+        add_sphere(b, center=(720.0, 160.0, 350.0), radius=160.0,
+                   mat=GLASS, lat=12, lon=18)
+        b.end_obj()
+    return b.build()
+
+
+def cornell_camera(width: int, height: int):
+    """Camera preset for cornell_box: the reference's commented-out
+    defaults (fov 60, yaw 0, pitch 0, zero shift — main.cpp:33-35,40)."""
+    from opencl_path_tracer_tpu.core.camera import make_camera
+    return make_camera(width, height, fov=60.0, yaw=0.0, pitch=0.0,
+                       shift=(0.0, 0.0, 0.0))
+
+
+def sphere_mesh(center, radius: float, lat: int = 12, lon: int = 18):
+    """UV-sphere triangles: (T,3,3) vertex array."""
+    cx, cy, cz = center
+    tris = []
+    ring = []
+    for i in range(lat + 1):
+        phi = math.pi * i / lat
+        row = []
+        for j in range(lon):
+            theta = 2.0 * math.pi * j / lon
+            row.append((
+                cx + radius * math.sin(phi) * math.cos(theta),
+                cy + radius * math.cos(phi),
+                cz + radius * math.sin(phi) * math.sin(theta),
+            ))
+        ring.append(row)
+    for i in range(lat):
+        for j in range(lon):
+            j2 = (j + 1) % lon
+            a, bb = ring[i][j], ring[i][j2]
+            c, d = ring[i + 1][j], ring[i + 1][j2]
+            if i != 0:
+                tris.append((a, bb, c))
+            if i != lat - 1:
+                tris.append((bb, d, c))
+    return np.asarray(tris, np.float32)
+
+
+def add_sphere(b: SceneBuilder, center, radius: float, mat: int,
+               lat: int = 12, lon: int = 18) -> None:
+    for t in sphere_mesh(center, radius, lat, lon):
+        b.add_triangle(t[0], t[1], t[2], mat)
+
+
+def write_sphere_obj(path: str, *, radius: float = 1.0, lat: int = 16,
+                     lon: int = 24, mtl: dict | None = None) -> None:
+    """Generate a sphere OBJ (+MTL with the custom Kn/Kk/Tp keys) as a
+    stand-in for the reference's missing ../models assets."""
+    tris = sphere_mesh((0.0, 0.0, 0.0), radius, lat, lon)
+    verts: list = []
+    vmap: dict = {}
+    faces = []
+    for t in tris:
+        idx = []
+        for v in t:
+            key = tuple(np.round(v, 6))
+            if key not in vmap:
+                vmap[key] = len(verts) + 1
+                verts.append(key)
+            idx.append(vmap[key])
+        faces.append(idx)
+
+    mtl = mtl or dict(name="gold", Kd=(0, 0, 0), Ks=(0, 0, 0),
+                      Ke=(0, 0, 0), Ns=0.0,
+                      Kn=(0.17, 0.35, 1.50), Kk=(3.1, 2.7, 1.9), Tp=1)
+    mtl_path = os.path.splitext(path)[0] + ".mtl"
+    with open(mtl_path, "w") as fh:
+        fh.write(f"newmtl {mtl['name']}\n")
+        for k in ("Kd", "Ks", "Ke", "Kn", "Kk"):
+            fh.write(f"{k} {' '.join(str(x) for x in mtl[k])}\n")
+        fh.write(f"Ns {mtl['Ns']}\nTp {mtl['Tp']}\n")
+    with open(path, "w") as fh:
+        fh.write(f"mtllib {os.path.basename(mtl_path)}\n")
+        fh.write("o sphere\n")
+        for v in verts:
+            fh.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        fh.write(f"usemtl {mtl['name']}\n")
+        for f in faces:
+            fh.write(f"f {f[0]} {f[1]} {f[2]}\n")
+
+
+def reference_scene(models_dir: str | None = None) -> Scene:
+    """The default scene of onInitialization (main.cpp:745-1017): huge
+    ground plane + 10 archetypes + seven OBJ models (main.cpp:1002-1010).
+    The model files are not in the reference repo; missing ones are
+    replaced by procedural tessellated spheres at the same positions and
+    scales so the scene always loads (the reference would exit(1),
+    main.cpp:560)."""
+    b = SceneBuilder()
+    _add_archetypes(b)
+
+    # Ground plane (main.cpp:814-816).
+    b.add_triangle((-10000.0, 0.0, -10000.0), (-10000.0, 0.0, 10000.0),
+                   (10000.0, 0.0, 10000.0), WHITE_DIFFUSE)
+    b.add_triangle((10000.0, 0.0, 10000.0), (10000.0, 0.0, -10000.0),
+                   (-10000.0, 0.0, -10000.0), WHITE_DIFFUSE)
+    b.end_obj()
+
+    # The add_Obj calls at main.cpp:1002-1010 (pos, scale).
+    objs = [
+        ("lsphere.obj", (0, 1000, -50), (200, 200, 200), 0, 0, LAMP, 1.0),
+        ("chair.obj", (50, 0, -150), (190, 190, 190), 0, 0,
+         PURPLE_SPECULAR, 0.9),
+        ("egg.obj", (-350, 330, -400), (0.5, 0.5, 0.5), 0, 0,
+         PURPLE_SPECULAR, 160.0),
+        ("dragon.obj", (-670, 330, -410), (10, 10, 10), 0, 50,
+         GLASS, 15.0),
+        ("Wineglass.obj", (-300, 330, -270), (1, 1, 1), 0, 0,
+         GLASS, 90.0),
+        ("sphere.obj", (-490, 377, -400), (100, 100, 100), 0, 0,
+         GOLD, 1.0),
+        ("glass-table.obj", (-200, 0, -200), (500, 500, 500), 0, 0,
+         GLASS, 0.6),
+    ]
+    for name, pos, scale, pitch, yaw, fallback_mat, fb_rad in objs:
+        path = os.path.join(models_dir, name) if models_dir else None
+        if path and os.path.exists(path):
+            b.add_obj(path, pos, scale, pitch, yaw)
+        else:
+            r = fb_rad * float(np.mean(scale))
+            add_sphere(b, center=pos, radius=max(r, 40.0),
+                       mat=fallback_mat, lat=10, lon=16)
+            b.end_obj()
+    return b.build()
+
+
+def reference_camera(width: int, height: int):
+    """The reference's live camera defaults (main.cpp:30-39)."""
+    from opencl_path_tracer_tpu.core.camera import make_camera
+    return make_camera(
+        width, height, fov=75.0, yaw=-13.800002 - 50, pitch=5.599997 + 10,
+        shift=(265.055481, 162.305969, 360.414001),
+    )

@@ -1,0 +1,23 @@
+"""Test env: force CPU with an 8-device virtual mesh so sharding tests run
+anywhere (the standard JAX pattern for testing multi-chip code without a
+real cluster). Must run before jax is imported."""
+
+import os
+
+# Force CPU even if the ambient environment points JAX at a TPU platform
+# (the test suite must run hermetically and fast; sharding tests use the
+# virtual 8-device CPU mesh).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng_np():
+    return np.random.default_rng(0)
