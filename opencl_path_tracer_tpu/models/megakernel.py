@@ -84,12 +84,24 @@ def trace_sample(
     iterations: int,
     mode: str = "parity",
     key: jax.Array | None = None,
+    ids: jnp.ndarray | None = None,
+    sample_index: jnp.ndarray | None = None,
+    with_stats: bool = False,
 ) -> TraceState:
     """Render ONE progressive sample for every pixel and fold it into the
     running average (prog.cl:379). `iterations` is the bounce depth
-    (static, like the kernel arg at main.cpp:657)."""
+    (static, like the kernel arg at main.cpp:657).
+
+    ids: optional (N,) global linear pixel ids — pass when this call
+    renders a *tile* of a larger framebuffer (multi-chip sharding).
+    sample_index: optional override of the sample counter used for fast-
+    mode RNG decorrelation (multi-chip sample sharding renders sample
+    s_dev = axis_index + i * n_dev on each chip).
+    """
     n = state.colors.shape[0]
-    ids = raygen.pixel_ids_like(n)
+    if ids is None:
+        ids = raygen.pixel_ids_like(n)
+    s_idx = state.sample if sample_index is None else sample_index
 
     # --- gen_ray (prog.cl:384-389): two unconditional draws per pixel.
     if mode == "parity":
@@ -99,7 +111,8 @@ def trace_sample(
             jnp.ones((n,), bool),
         )
     else:
-        u = rng.fast_uniforms(key, state.sample, 0, (n,), 2)
+        tile_key = jax.random.fold_in(key, ids[0].astype(jnp.uint32))
+        u = rng.fast_uniforms(tile_key, s_idx, 0, (n,), 2)
         r1, r2 = u[:, 0], u[:, 1]
         rng_state = state.rng_state
     rays = raygen.camera_rays(cam, ids, r1, r2)
@@ -108,8 +121,9 @@ def trace_sample(
 
     def body(b, carry):
         (ray_p, ray_d, rng_state, f_l, f_b, f_s, f_r,
-         color, alive, inside) = carry
+         color, alive, inside, rays_traced) = carry
 
+        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         hit = intersect_fn(Rays(p=ray_p, d=ray_d))
         has_hit = hit.valid & alive
         mat = mats.take(hit.mati)
@@ -138,7 +152,7 @@ def trace_sample(
             need2 = is_diff | is_emit
             rng_state, r1, r2 = _draws_parity(rng_state, need1, need2)
         else:
-            u = rng.fast_uniforms(key, state.sample, b + 1, (n,), 2)
+            u = rng.fast_uniforms(tile_key, s_idx, b + 1, (n,), 2)
             r1, r2 = u[:, 0], u[:, 1]
 
         # Candidate bounces (diffuse result shared by emitter,
@@ -194,7 +208,7 @@ def trace_sample(
         # Miss -> break (prog.cl:367-376): lane goes dead.
         alive = has_hit
         return (ray_p, ray_d, rng_state, f_l, f_b, f_s, f_r,
-                color, alive, inside)
+                color, alive, inside, rays_traced)
 
     carry = (
         rays.p, rays.d, rng_state,
@@ -202,6 +216,7 @@ def trace_sample(
         jnp.zeros((n, 3), jnp.float32),
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
+        jnp.float32(0.0),
     )
     carry = jax.lax.fori_loop(0, iterations, body, carry, unroll=False)
     rng_state, color = carry[2], carry[7]
@@ -210,9 +225,14 @@ def trace_sample(
     # (prog.cl:312-314 zeroes first, same result).
     s = state.sample.astype(jnp.float32)
     colors = (state.colors * s + color) / (s + 1.0)
-    return TraceState(
+    new_state = TraceState(
         colors=colors, rng_state=rng_state, sample=state.sample + 1
     )
+    if with_stats:
+        # rays actually traced this sample: live lanes at each bounce
+        # (the derived rays/sec metric of BASELINE.md).
+        return new_state, {"rays_traced": carry[10]}
+    return new_state
 
 
 def make_sample_step(cam, mats, *, intersect_fn, iterations, mode="parity",

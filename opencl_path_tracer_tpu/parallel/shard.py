@@ -1,0 +1,129 @@
+"""Multi-chip progressive rendering.
+
+The reference is strictly single-device (one OpenCL work-item per pixel,
+main.cpp:674,678; no multi-GPU, no communication backend — SURVEY.md §2).
+Progressive path tracing is additive, so two shardings scale it out over
+a jax.sharding.Mesh with XLA collectives over ICI:
+
+  * TILE sharding (`make_tiled_step`): the framebuffer's pixel axis is
+    sharded across chips via shard_map; each chip raygen/traces only its
+    own rows (global pixel ids = shard offset + lane). Zero per-sample
+    communication; works in parity mode because each pixel's sequential
+    Lehmer stream lives wholly on one chip. A psum'd luminance scalar is
+    returned as a cheap cross-chip render metric.
+
+  * SAMPLE sharding (`make_sample_sharded_render`): every chip renders
+    the full frame with its own slice of sample indices (chip k renders
+    samples k, k+n, k+2n, ...) using the stateless threefry engine, and
+    one `psum` at the end averages the framebuffers — the
+    communication-optimal layout for high-spp offline renders (one
+    all-reduce per render, not per sample). Fast mode only: parity mode's
+    per-pixel stream is sequential in samples by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from opencl_path_tracer_tpu.core.camera import Camera
+from opencl_path_tracer_tpu.core.materials import MaterialsSoA
+from opencl_path_tracer_tpu.models import megakernel
+from opencl_path_tracer_tpu.models.megakernel import TraceState
+from opencl_path_tracer_tpu.parallel.mesh import RENDER_AXIS
+
+
+def shard_state(state: TraceState, mesh: Mesh) -> TraceState:
+    """Place a TraceState with its pixel axis sharded over the mesh."""
+    sh = NamedSharding(mesh, P(RENDER_AXIS))
+    return TraceState(
+        colors=jax.device_put(state.colors, sh),
+        rng_state=jax.device_put(state.rng_state, sh),
+        sample=jax.device_put(
+            state.sample, NamedSharding(mesh, P())
+        ),
+    )
+
+
+def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
+                    intersect_fn, iterations: int, mode: str = "parity",
+                    key=None):
+    """One progressive sample, framebuffer tiled across the mesh.
+
+    Returns step(state) -> (state, mean_luminance) where state's pixel
+    axis is sharded over the mesh and mean_luminance is a psum-reduced
+    scalar (exercises the ICI collective; also the live render meter).
+    """
+    n_dev = mesh.devices.size
+
+    def per_shard(state: TraceState) -> tuple[TraceState, jnp.ndarray]:
+        n_local = state.colors.shape[0]
+        shard = jax.lax.axis_index(RENDER_AXIS)
+        ids = shard.astype(jnp.int32) * n_local + jnp.arange(
+            n_local, dtype=jnp.int32
+        )
+        new = megakernel.trace_sample(
+            cam, mats, state,
+            intersect_fn=intersect_fn, iterations=iterations,
+            mode=mode, key=key, ids=ids,
+        )
+        lum = jax.lax.psum(jnp.sum(new.colors), RENDER_AXIS)
+        total_px = jnp.float32(n_local * n_dev * 3)
+        return new, lum / total_px
+
+    state_spec = TraceState(
+        colors=P(RENDER_AXIS), rng_state=P(RENDER_AXIS), sample=P()
+    )
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(state_spec,),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sample_sharded_render(cam: Camera, mats: MaterialsSoA,
+                               mesh: Mesh, *, intersect_fn,
+                               iterations: int, num_pixels: int,
+                               samples_per_device: int, key):
+    """Offline high-spp render: chip k renders samples k + i*n_dev of the
+    FULL frame (fast/threefry engine), one psum averages at the end.
+
+    Returns render() -> (num_pixels, 3) replicated mean framebuffer of
+    samples_per_device * n_dev total samples."""
+    n_dev = mesh.devices.size
+
+    def per_shard() -> jnp.ndarray:
+        shard = jax.lax.axis_index(RENDER_AXIS)
+        state = megakernel.TraceState(
+            colors=jnp.zeros((num_pixels, 3), jnp.float32),
+            rng_state=jnp.zeros((num_pixels,), jnp.uint32),
+            sample=jnp.int32(0),
+        )
+
+        def body(i, st):
+            s_global = shard.astype(jnp.int32) + i * n_dev
+            return megakernel.trace_sample(
+                cam, mats, st,
+                intersect_fn=intersect_fn, iterations=iterations,
+                mode="fast", key=key, sample_index=s_global,
+            )
+
+        state = jax.lax.fori_loop(0, samples_per_device, body, state)
+        # state.colors is the mean of this chip's samples; the global
+        # mean is the mean over chips (equal sample counts).
+        return jax.lax.pmean(state.colors, RENDER_AXIS)
+
+    fn = shard_map(per_shard, mesh=mesh, in_specs=(), out_specs=P(),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def gather_colors(state: TraceState) -> jnp.ndarray:
+    """Fetch the (possibly sharded) framebuffer to the host."""
+    return jax.device_get(state.colors)

@@ -211,6 +211,55 @@ def reference_scene(models_dir: str | None = None) -> Scene:
     return b.build()
 
 
+def stress_scene(num_tris: int = 100_000, seed: int = 0) -> Scene:
+    """BASELINE.json config 4: a ~num_tris-triangle scene (Cornell shell +
+    a grid of tessellated spheres with mixed materials) for LBVH/wavefront
+    benchmarking."""
+    b = SceneBuilder()
+    _add_archetypes(b)
+
+    # Box shell (reuse cornell geometry, no spheres).
+    base = cornell_box(with_spheres=False)
+    r1 = np.asarray(base.tris.r1)
+    r2 = np.asarray(base.tris.r2)
+    r3 = np.asarray(base.tris.r3)
+    mi = np.asarray(base.tris.mati)
+    for i in range(r1.shape[0]):
+        b.add_triangle(r1[i], r2[i], r3[i], int(mi[i]))
+    b.end_obj()
+
+    lat, lon = 16, 24
+    per_sphere = 2 * lat * lon - 2 * lon  # caps are single fans
+    remaining = num_tris - r1.shape[0]
+    count = max(1, remaining // per_sphere)
+    grid = int(np.ceil(count ** (1 / 3)))
+    rs = np.random.default_rng(seed)
+    mats_cycle = [WHITE_DIFFUSE, RED_DIFFUSE, GREEN_DIFFUSE, CHROMIUM,
+                  GOLD, GLASS, PURPLE_SPECULAR]
+    n_added = 0
+    for gx in range(grid):
+        for gy in range(grid):
+            for gz in range(grid):
+                if n_added >= count:
+                    break
+                c = (
+                    150.0 + 700.0 * gx / max(grid - 1, 1)
+                    + rs.uniform(-30, 30),
+                    120.0 + 700.0 * gy / max(grid - 1, 1)
+                    + rs.uniform(-30, 30),
+                    150.0 + 700.0 * gz / max(grid - 1, 1)
+                    + rs.uniform(-30, 30),
+                )
+                add_sphere(
+                    b, center=c, radius=rs.uniform(40.0, 70.0),
+                    mat=mats_cycle[n_added % len(mats_cycle)],
+                    lat=lat, lon=lon,
+                )
+                n_added += 1
+    b.end_obj()
+    return b.build()
+
+
 def reference_camera(width: int, height: int):
     """The reference's live camera defaults (main.cpp:30-39)."""
     from opencl_path_tracer_tpu.core.camera import make_camera
