@@ -1,0 +1,173 @@
+"""`ptx` command-line interface.
+
+The reference's only entry point is a GLUT window with hardcoded
+settings (main, main.cpp:1243-1268). The TPU-native entry points:
+
+  ptx render  — offline progressive render to PNG (+ checkpoint)
+  ptx info    — device table (the list_info dump, main.cpp:389-455)
+  ptx bench   — Mrays/sec measurement (wraps bench.py's harness)
+  ptx view    — interactive-loop smoke mode (headless frames with the
+                camera controller; useful over SSH: renders N frames,
+                writes the final image)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _build_scene(name: str, models_dir: str | None):
+    from opencl_path_tracer_tpu.scene import library
+    if name == "cornell":
+        return library.cornell_box(with_spheres=True)
+    if name == "cornell-empty":
+        return library.cornell_box(with_spheres=False)
+    if name == "reference":
+        return library.reference_scene(models_dir)
+    if name == "stress":
+        return library.stress_scene(100_000)
+    if name.endswith(".obj"):
+        from opencl_path_tracer_tpu.scene.builder import SceneBuilder
+        b = SceneBuilder()
+        b.add_obj(name, pos=(0, 0, 0), scale=(1, 1, 1))
+        return b.build()
+    raise SystemExit(f"unknown scene {name!r}")
+
+
+def _camera_preset(scene_name: str, w: int, h: int, args):
+    from opencl_path_tracer_tpu.config import CameraConfig, RenderConfig
+    if scene_name.startswith("cornell") or scene_name == "stress":
+        cam = CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
+                           shift=(0.0, 0.0, 0.0))
+    else:
+        cam = CameraConfig()
+    if args.fov is not None:
+        cam.fov = args.fov
+    if args.yaw is not None:
+        cam.yaw = args.yaw
+    if args.pitch is not None:
+        cam.pitch = args.pitch
+    return cam
+
+
+def cmd_render(args) -> int:
+    from opencl_path_tracer_tpu.config import RenderConfig
+    from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+
+    w, h = (int(x) for x in args.size.split("x"))
+    scene = _build_scene(args.scene, args.models_dir)
+    cfg = RenderConfig(
+        width=w, height=h, iterations=args.iters, spp=args.spp,
+        mode=args.mode, seed=args.seed, tonemap=args.tonemap,
+        accel=args.accel, camera=_camera_preset(args.scene, w, h, args),
+    )
+    eng = RenderEngine(scene, cfg)
+    if args.resume:
+        eng.load(args.resume)
+        print(f"resumed at sample {int(eng.state.sample)}",
+              file=sys.stderr)
+    t0 = time.time()
+    eng.render(args.spp)
+    dt = time.time() - t0
+    print(f"\n{args.spp} spp in {dt:.2f}s "
+          f"({args.spp/dt:.2f} samples/s)", file=sys.stderr)
+    eng.save_png(args.out)
+    print(f"wrote {args.out}", file=sys.stderr)
+    if args.checkpoint:
+        eng.save(args.checkpoint)
+        print(f"wrote {args.checkpoint}", file=sys.stderr)
+    return 0
+
+
+def cmd_info(args) -> int:
+    from opencl_path_tracer_tpu.parallel.mesh import describe_devices
+    import jax
+    print(f"jax backend: {jax.default_backend()}")
+    describe_devices(verbose=True)
+    return 0
+
+
+def cmd_view(args) -> int:
+    """Headless interactive-loop exercise: run N frames with scripted
+    input, print the 1 Hz meter, save the final frame."""
+    from opencl_path_tracer_tpu.config import RenderConfig
+    from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+
+    w, h = (int(x) for x in args.size.split("x"))
+    scene = _build_scene(args.scene, args.models_dir)
+    cfg = RenderConfig(
+        width=w, height=h, iterations=args.iters, mode=args.mode,
+        accel=args.accel, camera=_camera_preset(args.scene, w, h, args),
+    )
+    eng = RenderEngine(scene, cfg)
+    last = time.time()
+    for i in range(args.frames):
+        now = time.time()
+        eng.frame(dt=now - last)
+        last = now
+    print(file=sys.stderr)
+    eng.save_png(args.out)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    import os
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(__file__), "..", "bench.py")]
+    if args.size:
+        cmd += ["--size", args.size]
+    return subprocess.call(cmd)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ptx")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--scene", default="cornell")
+        p.add_argument("--models-dir", default=None)
+        p.add_argument("--size", default="512x512")
+        p.add_argument("--iters", type=int, default=5,
+                       help="bounce depth (1..50)")
+        p.add_argument("--mode", default="fast",
+                       choices=["fast", "parity"])
+        p.add_argument("--accel", default="bvh",
+                       choices=["bvh", "bruteforce", "pallas"])
+        p.add_argument("--seed", type=int, default=1)
+        p.add_argument("--fov", type=float, default=None)
+        p.add_argument("--yaw", type=float, default=None)
+        p.add_argument("--pitch", type=float, default=None)
+
+    p = sub.add_parser("render", help="offline render to PNG")
+    common(p)
+    p.add_argument("--spp", type=int, default=64)
+    p.add_argument("--tonemap", default="reinhard",
+                   choices=["reinhard", "filmic", "none"])
+    p.add_argument("--out", default="render.png")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", default=None)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("view", help="headless interactive loop")
+    common(p)
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--out", default="view.png")
+    p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser("info", help="device table")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.add_argument("--size", default=None)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

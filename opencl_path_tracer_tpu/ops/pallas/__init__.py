@@ -1,0 +1,7 @@
+from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
+    pallas_first_intersect, make_pallas_intersect, pack_rays,
+)
+
+__all__ = [
+    "pallas_first_intersect", "make_pallas_intersect", "pack_rays",
+]

@@ -1,0 +1,238 @@
+"""Two-level cluster intersector (the TPU-native acceleration structure).
+
+Pointer-chasing BVH traversal is hostile to a lockstep vector machine
+(per-lane stacks, dependent row gathers — measured ~1.6ms per step on
+v5e for a single gather round). This kernel replaces the tree with a
+TWO-LEVEL scheme designed around VMEM residency and tile coherence:
+
+  * triangles are Morton-sorted and chunked into clusters of K (64);
+  * the whole packed scene (cluster AABBs + triangle constants) lives
+    in VMEM for the duration of a ray tile — up to ~200k triangles;
+  * per ray tile: one dense (C, TR) slab pass marks which clusters any
+    lane can improve on, then a fori over clusters tests the K-triangle
+    block ONLY when the tile-level scalar `any(lane hits cluster)` is
+    true (`pl.when`), with best-t pruning sharpening as hits accumulate.
+
+Worst case (every lane hits every cluster) equals the brute-force
+kernel; coherent tiles (primary rays, shadow-ish bounces) touch a few
+clusters and run ~C/hit-clusters times faster. No gathers, no stacks,
+no divergence beyond whole-tile skips.
+
+Same math as ops/intersect.py (prog.cl:94-112 in m_k form) and the slab
+test of prog.cl:123-143.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opencl_path_tracer_tpu.accel.lbvh import morton3
+from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
+from opencl_path_tracer_tpu.core.types import Hits, Rays
+from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import pack_rays
+
+BIG = 3.0e38
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields,
+                                     meta_fields=[])
+    return cls
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class ClusterScene:
+    boxes: jnp.ndarray     # (C, 8) f32 [lo3 hi3 0 0]; pad: lo=+BIG,hi=-BIG
+    tri_pack: jnp.ndarray  # (C*K, 16) Morton-ordered, never-hit padding
+    tri_n: jnp.ndarray     # (C*K, 3)
+    tri_mati: jnp.ndarray  # (C*K,) int32
+
+
+def build_clusters(tris: TrianglesSoA, cluster_size: int = 64
+                   ) -> tuple[ClusterScene, int, int]:
+    """Morton-sort triangles into fixed-size clusters.
+    Returns (scene, num_clusters, cluster_size)."""
+    t_count = int(tris.count)
+    k = cluster_size
+    c = max(1, -(-t_count // k))
+    total = c * k
+
+    lo = jnp.minimum(jnp.minimum(tris.r1, tris.r2), tris.r3)
+    hi = jnp.maximum(jnp.maximum(tris.r1, tris.r2), tris.r3)
+    mid = (tris.r1 + tris.r2 + tris.r3) / 3.0
+    scene_lo = lo.min(0)
+    extent = jnp.maximum(hi.max(0) - scene_lo, 1e-9)
+    codes = morton3((mid - scene_lo) / extent)
+
+    pad = total - t_count
+    codes = jnp.concatenate(
+        [codes, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)]
+    )
+    idx = jnp.arange(total, dtype=jnp.int32)
+    _, order = jax.lax.sort_key_val(codes, idx)
+    pad_mask = order >= t_count
+    safe = jnp.where(pad_mask, 0, order)
+
+    pack = jnp.concatenate(
+        [
+            tris.n, tris.c0[:, None],
+            tris.m1, tris.d1[:, None],
+            tris.m2, tris.d2[:, None],
+            tris.m3, tris.d3[:, None],
+        ],
+        axis=1,
+    ).astype(jnp.float32)[safe]
+    pack = jnp.where(pad_mask[:, None], 0.0, pack)
+
+    lo_r = jnp.where(pad_mask[:, None], BIG, lo[safe])
+    hi_r = jnp.where(pad_mask[:, None], -BIG, hi[safe])
+    c_lo = lo_r.reshape(c, k, 3).min(1)
+    c_hi = hi_r.reshape(c, k, 3).max(1)
+    boxes = jnp.concatenate(
+        [c_lo, c_hi, jnp.zeros((c, 2), jnp.float32)], axis=1
+    )
+
+    tri_n = jnp.where(pad_mask[:, None], 0.0, tris.n[safe])
+    tri_mati = jnp.where(pad_mask, 0, tris.mati[safe]).astype(jnp.int32)
+    return (
+        ClusterScene(boxes=boxes, tri_pack=pack, tri_n=tri_n,
+                     tri_mati=tri_mati),
+        c, k,
+    )
+
+
+def _kernel(ray_ref, box_ref, tri_ref, t_ref, i_ref, *, k: int):
+    c = box_ref.shape[0]
+    tr = ray_ref.shape[1]
+
+    rays = ray_ref[:]
+    px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    inv_x, inv_y, inv_z = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    boxes = box_ref[:]  # (C, 8)
+
+    # Phase A: slab test of every cluster vs every lane (prog.cl:123-143).
+    def axis_minmax(lo_col, hi_col, p_row, inv_row):
+        t1 = (lo_col - p_row) * inv_row   # (C, TR)
+        t2 = (hi_col - p_row) * inv_row
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    n1, x1 = axis_minmax(boxes[:, 0:1], boxes[:, 3:4], px, inv_x)
+    n2, x2 = axis_minmax(boxes[:, 1:2], boxes[:, 4:5], py, inv_y)
+    n3, x3 = axis_minmax(boxes[:, 2:3], boxes[:, 5:6], pz, inv_z)
+    tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
+    tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
+    chit = (tmax >= tmin) & (tmax >= 0.0)   # (C, TR)
+    ctmin = jnp.where(chit, tmin, BIG)
+
+    t_ref[0, :] = jnp.full((tr,), BIG, jnp.float32)
+    i_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+
+    def body(ci, _):
+        active = ctmin[ci, :] < t_ref[0, :]   # (TR,) improvable lanes
+
+        @pl.when(jnp.any(active))
+        def _():
+            rows = tri_ref[pl.ds(ci * k, k), :]   # (K, 16)
+
+            def col(j):
+                return rows[:, j:j + 1]
+
+            def pd(base):
+                vx, vy, vz = col(base), col(base + 1), col(base + 2)
+                return (vx * px + vy * py + vz * pz,
+                        vx * dx + vy * dy + vz * dz)
+
+            pn, vn = pd(0)
+            t = (col(3) - pn) / vn
+            pm1, vm1 = pd(4)
+            pm2, vm2 = pd(8)
+            pm3, vm3 = pd(12)
+            valid = (
+                (t > 0.0)
+                & (pm1 + t * vm1 >= col(7))
+                & (pm2 + t * vm2 >= col(11))
+                & (pm3 + t * vm3 >= col(15))
+            )
+            tm = jnp.where(valid, t, BIG)
+            local = jnp.argmin(tm, axis=0)
+            tmin_k = jnp.min(tm, axis=0)
+            gidx = (ci * k + local).astype(jnp.float32)
+            better = tmin_k < t_ref[0, :]
+            t_ref[0, :] = jnp.where(better, tmin_k, t_ref[0, :])
+            i_ref[0, :] = jnp.where(better, gidx, i_ref[0, :])
+
+        return 0
+
+    jax.lax.fori_loop(0, c, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _run(rays8, boxes, tri_pack, tr: int, k: int, interpret: bool):
+    rpad = rays8.shape[1]
+    c = boxes.shape[0]
+    kern = functools.partial(_kernel, k=k)
+    t_out, i_out = pl.pallas_call(
+        kern,
+        grid=(rpad // tr,),
+        in_specs=[
+            pl.BlockSpec((8, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 8), lambda rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c * k, 16), lambda rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rpad), jnp.float32),
+            jax.ShapeDtypeStruct((1, rpad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays8, boxes, tri_pack)
+    return t_out[0], i_out[0]
+
+
+def make_cluster_intersect(tris: TrianglesSoA, *, cluster_size: int = 64,
+                           tr: int = 512, interpret: bool = False):
+    """Build clusters once; returns intersect(rays) -> Hits."""
+    scene, c, k = build_clusters(tris, cluster_size)
+
+    def intersect(rays: Rays) -> Hits:
+        r = rays.p.shape[0]
+        rpad = -(-r // tr) * tr
+        rays8 = pack_rays(rays.p, rays.d, rpad)
+        best_t, best_i = _run(
+            rays8, scene.boxes, scene.tri_pack, tr, k, interpret
+        )
+        best_t = best_t[:r]
+        best_i = jnp.clip(
+            best_i[:r].astype(jnp.int32), 0, scene.tri_n.shape[0] - 1
+        )
+        any_hit = best_t < BIG
+        n = jnp.take(scene.tri_n, best_i, axis=0)
+        mati = jnp.take(scene.tri_mati, best_i, axis=0)
+        hit_p = rays.p + rays.d * best_t[:, None]
+        return Hits(
+            t=jnp.where(any_hit, best_t, -1.0),
+            p=jnp.where(any_hit[:, None], hit_p, 0.0),
+            n=jnp.where(any_hit[:, None], n, 0.0),
+            mati=jnp.where(any_hit, mati, 0).astype(jnp.int32),
+        )
+
+    return intersect

@@ -1,0 +1,194 @@
+"""Progressive render engine.
+
+The TPU-native replacement for the reference's frame loop + dispatch
+plumbing (Scene::render main.cpp:683-687, onIdle main.cpp:1171-1241):
+owns the progressive TraceState, rebuilds the camera from the
+controller each frame (Camera() per frame, main.cpp:636), resets
+accumulation on input (current_sample=0 semantics — colors restart,
+RNG streams continue, exactly like the reference where rnds[] is never
+reseeded), and exposes realtime/offline pacing:
+
+  * realtime: block on every frame (the glFinish-per-frame path,
+    main.cpp:671-675),
+  * offline: let the device queue run ahead, synchronizing every 3rd
+    sample (main.cpp:677-681).
+
+Backends ('bruteforce' | 'bvh' | 'pallas') pick the intersector; the
+jitted step takes the camera as an argument so camera motion never
+recompiles (only bounce-depth changes do, like the reference's
+iterations kernel arg).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+
+from opencl_path_tracer_tpu.config import RenderConfig
+from opencl_path_tracer_tpu.core.camera import Camera
+from opencl_path_tracer_tpu.io.checkpoint import (
+    load_checkpoint, save_checkpoint,
+)
+from opencl_path_tracer_tpu.io.image import write_png
+from opencl_path_tracer_tpu.models import megakernel
+from opencl_path_tracer_tpu.ops import tonemap as tonemap_ops
+from opencl_path_tracer_tpu.runtime.controller import CameraController
+from opencl_path_tracer_tpu.runtime.meter import PerfMeter
+from opencl_path_tracer_tpu.scene.builder import Scene
+
+
+def make_intersect_fn(scene: Scene, accel: str):
+    if accel == "bruteforce":
+        from opencl_path_tracer_tpu.ops import intersect
+        return functools.partial(
+            intersect.first_intersect, tris=scene.tris
+        )
+    if accel == "bvh":
+        from opencl_path_tracer_tpu.accel import (
+            build_lbvh, make_bvh_intersect,
+        )
+        return make_bvh_intersect(build_lbvh(scene.tris, leaf_size=4))
+    if accel == "pallas":
+        from opencl_path_tracer_tpu.ops.pallas import make_pallas_intersect
+        interpret = jax.default_backend() == "cpu"
+        return make_pallas_intersect(scene.tris, interpret=interpret)
+    raise ValueError(f"unknown accel {accel!r}")
+
+
+class RenderEngine:
+    def __init__(self, scene: Scene, config: RenderConfig,
+                 intersect_fn=None) -> None:
+        self.scene = scene
+        self.cfg = config.validate()
+        self.controller = CameraController(config)
+        self.meter = PerfMeter()
+        self.intersect_fn = intersect_fn or make_intersect_fn(
+            scene, config.accel
+        )
+        self.num_pixels = config.width * config.height
+        self.state = megakernel.init_state(self.num_pixels, config.seed)
+        self._key = jax.random.key(config.seed)
+        self._steps: dict[int, object] = {}
+        self._rays_traced = 0.0
+        self._rays_per_sample = None
+
+    # --- jitted steps ---------------------------------------------------
+    def _step(self, iterations: int):
+        if iterations not in self._steps:
+            mode = self.cfg.mode
+            key = self._key
+
+            @jax.jit
+            def step(state, cam: Camera):
+                return megakernel.trace_sample(
+                    cam, self.scene.mats, state,
+                    intersect_fn=self.intersect_fn,
+                    iterations=iterations, mode=mode, key=key,
+                )
+            self._steps[iterations] = step
+        return self._steps[iterations]
+
+    # --- frame API (the onIdle loop) -------------------------------------
+    def frame(self, dt: float = 0.0) -> None:
+        """One interactive frame: integrate input, maybe reset
+        accumulation, trace one sample."""
+        ctl = self.controller
+        ctl.update(dt)
+        if ctl.consume_reset():
+            self.reset_accumulation()
+        cam = ctl.camera(self.cfg.width, self.cfg.height)
+        st = ctl.state
+        step = self._step(st.iterations)
+        self.state = step(self.state, cam)
+        sample = int(self.state.sample)
+        if st.real_time:
+            jax.block_until_ready(self.state.colors)
+        elif sample % 3 == 0:  # offline cadence (main.cpp:679-680)
+            jax.block_until_ready(self.state.colors)
+        self.meter.tick(
+            sample, iterations=st.iterations, real_time=st.real_time,
+            rays_traced=self.estimated_rays(sample),
+        )
+
+    def render(self, spp: int, progress: bool = True) -> None:
+        """Offline render: accumulate spp samples from the current
+        state."""
+        cam = self.controller.camera(self.cfg.width, self.cfg.height)
+        step = self._step(self.controller.state.iterations)
+        for i in range(spp):
+            self.state = step(self.state, cam)
+            if (i + 1) % 3 == 0 or i == spp - 1:
+                jax.block_until_ready(self.state.colors)
+            if progress:
+                self.meter.tick(
+                    int(self.state.sample),
+                    iterations=self.controller.state.iterations,
+                    real_time=False,
+                    rays_traced=self.estimated_rays(
+                        int(self.state.sample)
+                    ),
+                )
+        jax.block_until_ready(self.state.colors)
+
+    def reset_accumulation(self) -> None:
+        """current_sample = 0 (main.cpp:1100-1148): restart averaging,
+        keep the RNG streams running (rnds[] is never reseeded)."""
+        self.state = megakernel.TraceState(
+            colors=self.state.colors,
+            rng_state=self.state.rng_state,
+            sample=jax.numpy.int32(0),
+        )
+
+    def estimated_rays(self, samples: int) -> float:
+        """Rays traced so far, using a one-off instrumented calibration."""
+        if self._rays_per_sample is None:
+            cam = self.controller.camera(self.cfg.width, self.cfg.height)
+            instrumented = jax.jit(functools.partial(
+                megakernel.trace_sample,
+                intersect_fn=self.intersect_fn,
+                iterations=self.controller.state.iterations,
+                mode=self.cfg.mode, key=self._key, with_stats=True,
+            ))
+            _, stats = instrumented(cam, self.scene.mats, self.state)
+            self._rays_per_sample = float(stats["rays_traced"])
+        return self._rays_per_sample * samples
+
+    # --- output / persistence --------------------------------------------
+    def image(self, apply_tonemap: bool | str = True) -> np.ndarray:
+        """(H, W, 3) display image, y flipped to top-down raster order
+        (the reference framebuffer is GL bottom-up)."""
+        colors = np.asarray(self.state.colors).reshape(
+            self.cfg.height, self.cfg.width, 3
+        )
+        if apply_tonemap:
+            kind = (
+                self.cfg.tonemap if apply_tonemap is True
+                else apply_tonemap
+            )
+            colors = np.asarray(
+                tonemap_ops.apply(jax.numpy.asarray(colors), kind)
+            )
+        return colors[::-1]
+
+    def save_png(self, path: str) -> None:
+        write_png(path, self.image())
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, self.state, meta={
+            "width": self.cfg.width, "height": self.cfg.height,
+            "mode": self.cfg.mode, "seed": self.cfg.seed,
+        })
+
+    def load(self, path: str) -> None:
+        state, meta = load_checkpoint(path)
+        if meta.get("width") != self.cfg.width or (
+            meta.get("height") != self.cfg.height
+        ):
+            raise ValueError(
+                "checkpoint resolution mismatch: "
+                f"{meta.get('width')}x{meta.get('height')} vs "
+                f"{self.cfg.width}x{self.cfg.height}"
+            )
+        self.state = state

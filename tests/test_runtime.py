@@ -1,0 +1,162 @@
+"""Runtime layer: engine, controller, meter, median filter, CLI."""
+
+import io
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from opencl_path_tracer_tpu.config import RenderConfig, CameraConfig
+from opencl_path_tracer_tpu.ops.median_filter import median3x3
+from opencl_path_tracer_tpu.runtime.controller import CameraController
+from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+from opencl_path_tracer_tpu.runtime.meter import PerfMeter
+from opencl_path_tracer_tpu.scene import library
+
+
+def _cfg(**kw):
+    base = dict(
+        width=24, height=24, iterations=2, spp=2, mode="parity",
+        accel="bruteforce",
+        camera=CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
+                            shift=(0.0, 0.0, 0.0)),
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_engine_offline_render_and_png(tmp_path):
+    scene = library.cornell_box(with_spheres=False)
+    eng = RenderEngine(scene, _cfg())
+    eng.render(2, progress=False)
+    assert int(eng.state.sample) == 2
+    img = eng.image()
+    assert img.shape == (24, 24, 3)
+    out = tmp_path / "t.png"
+    eng.save_png(str(out))
+    assert out.exists()
+
+
+def test_engine_checkpoint_roundtrip(tmp_path):
+    scene = library.cornell_box(with_spheres=False)
+    eng = RenderEngine(scene, _cfg())
+    eng.render(3, progress=False)
+    p = tmp_path / "c.npz"
+    eng.save(str(p))
+
+    eng2 = RenderEngine(scene, _cfg())
+    eng2.load(str(p))
+    np.testing.assert_array_equal(
+        np.asarray(eng.state.colors), np.asarray(eng2.state.colors)
+    )
+    eng.render(2, progress=False)
+    eng2.render(2, progress=False)
+    np.testing.assert_array_equal(
+        np.asarray(eng.state.colors), np.asarray(eng2.state.colors)
+    )
+
+
+def test_engine_interactive_frame_and_reset():
+    scene = library.cornell_box(with_spheres=False)
+    eng = RenderEngine(scene, _cfg())
+    eng.frame(0.016)
+    eng.frame(0.016)
+    assert int(eng.state.sample) == 2
+    # Key release resets accumulation (main.cpp:1098-1133).
+    eng.controller.key_down("w")
+    eng.frame(0.016)  # moving: resets + traces sample 1
+    assert int(eng.state.sample) == 1
+    eng.controller.key_up("w")
+    eng.frame(0.016)
+    assert int(eng.state.sample) == 1  # reset again on release
+
+
+def test_controller_semantics():
+    ctl = CameraController(_cfg(iterations=3))
+    st = ctl.state
+    # +/- clamp to [1, max_iterations] (main.cpp:1043-1054).
+    ctl.key_down("-")
+    ctl.key_down("-")
+    assert st.iterations == 1
+    ctl.key_down("-")
+    assert st.iterations == 1
+    for _ in range(100):
+        ctl.key_down("+")
+    assert st.iterations == st.iterations  # clamped
+    assert ctl.state.iterations == 50
+    # r toggles realtime (main.cpp:1067-1069).
+    assert st.real_time
+    ctl.key_down("r")
+    assert not st.real_time
+    # W integrates forward along +z at yaw=0,pitch=0 (speed 1000/s).
+    ctl.consume_reset()
+    ctl.key_down("w")
+    ctl.update(0.1)
+    assert ctl.consume_reset()
+    np.testing.assert_allclose(st.shift, [0.0, 0.0, 100.0], atol=1e-4)
+    ctl.key_up("w")
+    # Mouse look: 0.2 deg/px (main.cpp:1151-1163).
+    ctl.mouse_button(True, 10, 10)
+    ctl.mouse_motion(20, 10)
+    assert abs(st.yaw - 2.0) < 1e-6
+    # E zooms fov down 20 deg/s (main.cpp:1211-1217).
+    f0 = st.fov
+    ctl.key_down("e")
+    ctl.update(0.5)
+    assert st.fov < f0
+
+
+def test_meter_prints_at_interval():
+    buf = io.StringIO()
+    m = PerfMeter(interval=0.0, stream=buf)
+    assert m.tick(10, iterations=2, rays_traced=1e6)
+    line = buf.getvalue()
+    assert "Samples/sec" in line and "Mrays/sec" in line
+
+
+def test_median_filter():
+    img = jnp.zeros((8, 8, 3)).at[4, 4].set(100.0)  # hot pixel
+    out = median3x3(img, tonemap=False)
+    # Median kills the outlier.
+    assert float(out[4, 4, 0]) == 0.0
+    # Uniform region unchanged.
+    img2 = jnp.ones((8, 8, 3)) * 0.25
+    out2 = median3x3(img2, tonemap=False)
+    np.testing.assert_allclose(np.asarray(out2), 0.25, rtol=1e-6)
+
+
+def test_cli_render(tmp_path):
+    from opencl_path_tracer_tpu.cli import main
+    out = tmp_path / "cli.png"
+    ck = tmp_path / "cli.npz"
+    rc = main([
+        "render", "--scene", "cornell-empty", "--size", "24x24",
+        "--spp", "2", "--iters", "2", "--accel", "bruteforce",
+        "--out", str(out), "--checkpoint", str(ck),
+    ])
+    assert rc == 0
+    assert out.exists() and ck.exists()
+    rc = main([
+        "render", "--scene", "cornell-empty", "--size", "24x24",
+        "--spp", "1", "--iters", "2", "--accel", "bruteforce",
+        "--out", str(out), "--resume", str(ck),
+    ])
+    assert rc == 0
+
+
+def test_cli_view(tmp_path):
+    from opencl_path_tracer_tpu.cli import main
+    out = tmp_path / "v.png"
+    rc = main([
+        "view", "--scene", "cornell-empty", "--size", "16x16",
+        "--frames", "3", "--iters", "2", "--accel", "bruteforce",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    assert out.exists()
+
+
+def test_cli_info(capsys):
+    from opencl_path_tracer_tpu.cli import main
+    assert main(["info"]) == 0
+    assert "backend" in capsys.readouterr().out
