@@ -1,26 +1,29 @@
 """Benchmark: Mrays/sec on the default JAX device.
 
-Workload (BASELINE.md): progressive path tracing at 1080p on the
-Cornell+spheres scene, bounce depth 5, LBVH acceleration, fast
-(threefry) RNG. Reports useful-ray throughput (live lanes per bounce,
-the derived rays/sec metric of BASELINE.md) as ONE JSON line.
+Workload (BASELINE.md): progressive path tracing at 1080p, bounce depth
+5, on the Cornell+spheres scene (804 tris) or the 100k-tri stress scene.
+Flagship path: wavefront model (path regeneration — every lane is a
+live ray every step, so rays/sec is exact, not estimated) over the
+two-level VMEM cluster intersector. Reports ONE JSON line.
 
 vs_baseline: the driver-set north star is >= 1 Grays/sec aggregate on a
 v5e-8, i.e. 125 Mrays/sec/chip; vs_baseline = value / 125.
 
-Usage: python bench.py [--size WxH] [--spp N] [--iters N] [--scene S]
-(run with the ambient env so the real TPU is used; CPU fallback works).
+Usage: python bench.py [--size WxH] [--steps N] [--iters N]
+       [--scene cornell|stress] [--model wavefront|megakernel]
+       [--accel cluster|bvh|bruteforce]
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
 
 import jax
-import numpy as np
+import jax.numpy as jnp
 
 PER_CHIP_TARGET_MRAYS = 125.0  # 1 Grays/s / 8 chips (BASELINE.md)
 
@@ -28,90 +31,128 @@ PER_CHIP_TARGET_MRAYS = 125.0  # 1 Grays/s / 8 chips (BASELINE.md)
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1920x1080")
-    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=64,
+                    help="wavefront steps (or samples for megakernel)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--scene", default="cornell",
                     choices=["cornell", "stress"])
-    ap.add_argument("--accel", default="bvh",
-                    choices=["bvh", "bruteforce"])
+    ap.add_argument("--model", default="wavefront",
+                    choices=["wavefront", "megakernel"])
+    ap.add_argument("--accel", default="cluster",
+                    choices=["cluster", "bvh", "bruteforce", "pallas"])
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
+    n = w * h
 
-    import functools
-    from opencl_path_tracer_tpu.accel import build_lbvh, make_bvh_intersect
-    from opencl_path_tracer_tpu.models import megakernel
-    from opencl_path_tracer_tpu.ops import intersect
+    from opencl_path_tracer_tpu.models import megakernel, wavefront
     from opencl_path_tracer_tpu.scene import library
 
     dev = jax.devices()[0]
-    print(f"# device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+    on_cpu = dev.platform == "cpu"
+    print(f"# device: {dev.device_kind} ({dev.platform})",
+          file=sys.stderr)
 
-    if args.scene == "cornell":
-        scene = library.cornell_box(with_spheres=True)
-    else:
-        scene = library.stress_scene(100_000)
-    cam = library.cornell_camera(w, h)
+    scene = (library.cornell_box(with_spheres=True)
+             if args.scene == "cornell"
+             else library.stress_scene(100_000))
     print(f"# scene: {scene.num_triangles} tris", file=sys.stderr)
+    cam = library.cornell_camera(w, h)
 
-    if args.accel == "bvh":
-        bvh = build_lbvh(scene.tris, leaf_size=4)
-        isect = make_bvh_intersect(bvh)
+    if args.accel == "cluster":
+        from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
+            make_cluster_intersect,
+        )
+        isect = make_cluster_intersect(
+            scene.tris, cluster_size=64, tr=512, interpret=on_cpu
+        )
+    elif args.accel == "pallas":
+        from opencl_path_tracer_tpu.ops.pallas import make_pallas_intersect
+        isect = make_pallas_intersect(
+            scene.tris, tr=1024, tt=128, interpret=on_cpu
+        )
+    elif args.accel == "bvh":
+        from opencl_path_tracer_tpu.accel import (
+            build_lbvh, make_bvh_intersect,
+        )
+        isect = make_bvh_intersect(build_lbvh(scene.tris, leaf_size=4))
     else:
+        from opencl_path_tracer_tpu.ops import intersect
         isect = functools.partial(
             intersect.first_intersect, tris=scene.tris
         )
 
     key = jax.random.key(1)
-    n = w * h
-    state = megakernel.init_state(n, seed=1)
 
-    @jax.jit
-    def step(st):
-        return megakernel.trace_sample(
-            cam, scene.mats, st, intersect_fn=isect,
-            iterations=args.iters, mode="fast", key=key,
-        )
+    if args.model == "wavefront":
+        state = wavefront.init_wavefront(cam, n, mode="fast", key=key)
 
-    @jax.jit
-    def step_stats(st):
-        return megakernel.trace_sample(
-            cam, scene.mats, st, intersect_fn=isect,
-            iterations=args.iters, mode="fast", key=key,
-            with_stats=True,
-        )
+        @jax.jit
+        def run(state, k):
+            def body(_, st):
+                return wavefront.wavefront_step(
+                    cam, scene.mats, st, intersect_fn=isect,
+                    iterations=args.iters, mode="fast", key=key,
+                )
+            st = jax.lax.fori_loop(0, k, body, state)
+            return st, jnp.sum(st.colors[:8])
 
-    # Warmup + calibration: rays actually traced per sample.
-    t0 = time.time()
-    state, stats = step_stats(state)
-    jax.block_until_ready(state.colors)
-    rays_per_sample = float(stats["rays_traced"])
-    print(
-        f"# warmup+compile {time.time()-t0:.1f}s; "
-        f"rays/sample {rays_per_sample/1e6:.2f}M "
-        f"(avg path len {rays_per_sample/n:.2f})",
-        file=sys.stderr,
-    )
+        t0 = time.time()
+        state, _ = run(state, 2)
+        float(jnp.sum(state.samples[:8]))
+        print(f"# warmup+compile {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        state, chk = run(state, args.steps)
+        float(chk)  # dependent fetch = real sync
+        dt = time.time() - t0
+        # Every lane traces exactly one live ray per step.
+        total_rays = float(n) * args.steps
+        spp_done = float(jnp.mean(state.samples))
+    else:
+        state = megakernel.init_state(n, seed=1)
 
-    # Timed run.
-    state = step(state)  # compile the plain step too
-    jax.block_until_ready(state.colors)
-    t0 = time.time()
-    for _ in range(args.spp):
+        @jax.jit
+        def step(st):
+            return megakernel.trace_sample(
+                cam, scene.mats, st, intersect_fn=isect,
+                iterations=args.iters, mode="fast", key=key,
+            )
+
+        @jax.jit
+        def step_stats(st):
+            return megakernel.trace_sample(
+                cam, scene.mats, st, intersect_fn=isect,
+                iterations=args.iters, mode="fast", key=key,
+                with_stats=True,
+            )
+
+        t0 = time.time()
+        state, stats = step_stats(state)
+        rays_per_sample = float(stats["rays_traced"])
         state = step(state)
-    jax.block_until_ready(state.colors)
-    dt = time.time() - t0
+        float(jnp.sum(state.colors[:4]))
+        print(f"# warmup+compile {time.time()-t0:.1f}s; "
+              f"avg path len {rays_per_sample/n:.2f}", file=sys.stderr)
+        t0 = time.time()
+        for _ in range(args.steps):
+            state = step(state)
+        float(jnp.sum(state.colors[:4]))
+        dt = time.time() - t0
+        total_rays = rays_per_sample * args.steps
+        spp_done = float(state.sample)
 
-    total_rays = rays_per_sample * args.spp
     mrays = total_rays / dt / 1e6
-    samples_per_sec = args.spp / dt
     print(
-        f"# {dt:.3f}s for {args.spp} samples @ {w}x{h} iters={args.iters}"
-        f" -> {samples_per_sec:.2f} samples/s, {mrays:.1f} Mrays/s",
+        f"# {dt:.3f}s for {args.steps} steps @ {w}x{h} "
+        f"iters={args.iters} (mean spp {spp_done:.1f}) "
+        f"-> {mrays:.1f} Mrays/s",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": f"Mrays/sec/chip ({args.scene} {w}x{h}, "
-                  f"iters={args.iters}, {args.accel})",
+        "metric": (
+            f"Mrays/sec/chip ({args.model}+{args.accel}, {args.scene} "
+            f"{w}x{h}, iters={args.iters})"
+        ),
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / PER_CHIP_TARGET_MRAYS, 4),

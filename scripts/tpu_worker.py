@@ -1,0 +1,53 @@
+"""Persistent TPU job worker.
+
+The axon tunnel claims a TPU grant per Python process and claims can
+block for many minutes, so iterate by keeping ONE process alive: this
+worker claims the chip once, then executes job files dropped into
+/tmp/tpu_jobs/*.py (in-process exec, stdout captured to <job>.out).
+
+Run inside tmux:  python scripts/tpu_worker.py
+Submit a job:     cp myjob.py /tmp/tpu_jobs/
+Read the result:  cat /tmp/tpu_jobs/myjob.py.out
+"""
+
+import contextlib
+import io
+import os
+import sys
+import time
+import traceback
+
+JOBS = "/tmp/tpu_jobs"
+os.makedirs(JOBS, exist_ok=True)
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+
+print("worker ready:", jax.devices(), flush=True)
+
+while True:
+    for name in sorted(os.listdir(JOBS)):
+        if not name.endswith(".py"):
+            continue
+        path = os.path.join(JOBS, name)
+        try:
+            src = open(path).read()
+        except OSError:
+            continue
+        os.rename(path, path + ".running")
+        print(f"=== running {name}", flush=True)
+        buf = io.StringIO()
+        t0 = time.time()
+        try:
+            with contextlib.redirect_stdout(buf):
+                exec(compile(src, name, "exec"), {"__name__": "__job__"})
+            status = "ok"
+        except Exception:
+            buf.write(traceback.format_exc())
+            status = "err"
+        dt = time.time() - t0
+        with open(path + ".out", "w") as fh:
+            fh.write(f"{status} {dt:.1f}s\n{buf.getvalue()}")
+        os.remove(path + ".running")
+        print(f"=== {name}: {status} in {dt:.1f}s", flush=True)
+    time.sleep(2)
