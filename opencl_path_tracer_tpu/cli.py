@@ -113,6 +113,21 @@ def cmd_view(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from opencl_path_tracer_tpu.config import RenderConfig
+    from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+    from opencl_path_tracer_tpu.runtime.viewer import ViewerServer
+
+    w, h = (int(x) for x in args.size.split("x"))
+    scene = _build_scene(args.scene, args.models_dir)
+    cfg = RenderConfig(
+        width=w, height=h, iterations=args.iters, mode=args.mode,
+        accel=args.accel, camera=_camera_preset(args.scene, w, h, args),
+    )
+    ViewerServer(RenderEngine(scene, cfg), port=args.port).serve()
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     import os
@@ -157,6 +172,11 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=30)
     p.add_argument("--out", default="view.png")
     p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser("serve", help="live browser viewer")
+    common(p)
+    p.add_argument("--port", type=int, default=8642)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("info", help="device table")
     p.set_defaults(fn=cmd_info)

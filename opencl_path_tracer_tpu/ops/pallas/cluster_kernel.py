@@ -119,27 +119,27 @@ def _kernel(ray_ref, box_ref, tri_ref, t_ref, i_ref, *, k: int):
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
     inv_x, inv_y, inv_z = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
-    boxes = box_ref[:]  # (C, 8)
-
-    # Phase A: slab test of every cluster vs every lane (prog.cl:123-143).
-    def axis_minmax(lo_col, hi_col, p_row, inv_row):
-        t1 = (lo_col - p_row) * inv_row   # (C, TR)
-        t2 = (hi_col - p_row) * inv_row
-        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
-
-    n1, x1 = axis_minmax(boxes[:, 0:1], boxes[:, 3:4], px, inv_x)
-    n2, x2 = axis_minmax(boxes[:, 1:2], boxes[:, 4:5], py, inv_y)
-    n3, x3 = axis_minmax(boxes[:, 2:3], boxes[:, 5:6], pz, inv_z)
-    tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
-    tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
-    chit = (tmax >= tmin) & (tmax >= 0.0)   # (C, TR)
-    ctmin = jnp.where(chit, tmin, BIG)
-
     t_ref[0, :] = jnp.full((tr,), BIG, jnp.float32)
     i_ref[0, :] = jnp.zeros((tr,), jnp.float32)
 
     def body(ci, _):
-        active = ctmin[ci, :] < t_ref[0, :]   # (TR,) improvable lanes
+        # Slab test of cluster ci vs every lane (prog.cl:123-143).
+        # Box bounds live in SMEM: scalar reads support dynamic indices
+        # and broadcast against the (1, TR) lane rows on the VPU.
+        def axis_minmax(j, p_row, inv_row):
+            t1 = (box_ref[ci, j] - p_row) * inv_row      # (1, TR)
+            t2 = (box_ref[ci, j + 3] - p_row) * inv_row
+            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+        n1, x1 = axis_minmax(0, px, inv_x)
+        n2, x2 = axis_minmax(1, py, inv_y)
+        n3, x3 = axis_minmax(2, pz, inv_z)
+        tmin = jnp.maximum(jnp.maximum(n1, n2), n3)   # (1, TR)
+        tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
+        active = (
+            (tmax >= tmin) & (tmax >= 0.0)
+            & (tmin < t_ref[0:1, :])
+        )
 
         @pl.when(jnp.any(active))
         def _():
@@ -189,7 +189,7 @@ def _run(rays8, boxes, tri_pack, tr: int, k: int, interpret: bool):
             pl.BlockSpec((8, tr), lambda rt: (0, rt),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 8), lambda rt: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((c * k, 16), lambda rt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -36,7 +36,17 @@ while True:
             continue
         os.rename(path, path + ".running")
         print(f"=== running {name}", flush=True)
-        buf = io.StringIO()
+        # Jobs share this interpreter: drop cached project modules so
+        # edits made between jobs take effect.
+        for mod in [m for m in list(sys.modules)
+                    if m.startswith("opencl_path_tracer_tpu")]:
+            del sys.modules[mod]
+        class Tee(io.StringIO):
+            def write(self, s2):
+                sys.stderr.write(s2)
+                sys.stderr.flush()
+                return super().write(s2)
+        buf = Tee()
         t0 = time.time()
         try:
             with contextlib.redirect_stdout(buf):
