@@ -22,6 +22,7 @@ kernels (ops/pallas/) all call into it.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
@@ -42,13 +43,18 @@ def ray_tri_t(p: jnp.ndarray, d: jnp.ndarray, tris: TrianglesSoA):
     """
     # Pack the four per-triangle vectors: (T, 3) each.
     # pn/vn: plane terms; pk/vk: edge terms.
-    pn = p @ tris.n.T           # (R, T) dot(P, N)
-    vn = d @ tris.n.T           # (R, T) dot(V, N)
+    # CRITICAL: TPU matmuls default to bf16 inputs, which breaks
+    # geometry (1e-2 t errors, false edge-test flips). Force full f32.
+    def mm(a, b):
+        return jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST)
+
+    pn = mm(p, tris.n)          # (R, T) dot(P, N)
+    vn = mm(d, tris.n)          # (R, T) dot(V, N)
     t = (tris.c0[None, :] - pn) / vn
 
-    e1 = p @ tris.m1.T + t * (d @ tris.m1.T) - tris.d1[None, :]
-    e2 = p @ tris.m2.T + t * (d @ tris.m2.T) - tris.d2[None, :]
-    e3 = p @ tris.m3.T + t * (d @ tris.m3.T) - tris.d3[None, :]
+    e1 = mm(p, tris.m1) + t * mm(d, tris.m1) - tris.d1[None, :]
+    e2 = mm(p, tris.m2) + t * mm(d, tris.m2) - tris.d2[None, :]
+    e3 = mm(p, tris.m3) + t * mm(d, tris.m3) - tris.d3[None, :]
 
     valid = (t > 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (e3 >= 0.0)
     return t, valid

@@ -1,25 +1,31 @@
 """Two-level cluster intersector (the TPU-native acceleration structure).
 
 Pointer-chasing BVH traversal is hostile to a lockstep vector machine
-(per-lane stacks, dependent row gathers — measured ~1.6ms per step on
-v5e for a single gather round). This kernel replaces the tree with a
-TWO-LEVEL scheme designed around VMEM residency and tile coherence:
+(per-lane stacks, dependent row gathers — measured ~1.6ms per gather
+round on v5e). This kernel replaces the tree with a TWO-LEVEL scheme
+designed around VMEM residency and tile coherence:
 
-  * triangles are Morton-sorted and chunked into clusters of K (64);
-  * the whole packed scene (cluster AABBs + triangle constants) lives
-    in VMEM for the duration of a ray tile — up to ~200k triangles;
-  * per ray tile: one dense (C, TR) slab pass marks which clusters any
-    lane can improve on, then a fori over clusters tests the K-triangle
-    block ONLY when the tile-level scalar `any(lane hits cluster)` is
-    true (`pl.when`), with best-t pruning sharpening as hits accumulate.
+  * triangles are Morton-sorted and chunked into clusters of K = 128
+    (one full lane tile);
+  * the packed scene lives in VMEM for the duration of a ray tile as a
+    (C, 16, K) array — per-cluster blocks on the UNTILED leading dim
+    (dynamic indexing there is a plain address offset; dynamic slicing
+    on tiled dims silently corrupts), fields on sublanes, triangles on
+    lanes — fully dense storage, ~6.4 MB per 100k triangles;
+  * cluster AABBs sit in SMEM (scalar reads with dynamic indices);
+  * per ray tile: a fori over clusters slab-tests each cluster against
+    all lanes (prog.cl:123-143 math) and runs the K-triangle test ONLY
+    when the tile-level scalar `any(lane can improve)` is true
+    (`pl.when`), with best-t pruning sharpening as hits accumulate —
+    the same prune rule as the reference traversal (prog.cl:162-163).
 
-Worst case (every lane hits every cluster) equals the brute-force
-kernel; coherent tiles (primary rays, shadow-ish bounces) touch a few
-clusters and run ~C/hit-clusters times faster. No gathers, no stacks,
-no divergence beyond whole-tile skips.
+Orientation: rays on SUBLANES (TR per tile), triangles on LANES (K),
+so every per-cluster matrix is a dense (TR, K) VPU tile and the running
+best is a (TR, 1) column — no transposes or gathers anywhere.
 
-Same math as ops/intersect.py (prog.cl:94-112 in m_k form) and the slab
-test of prog.cl:123-143.
+Worst case (every lane improves in every cluster) equals brute force;
+coherent tiles touch a handful of clusters. Same triangle math as
+ops/intersect.py (prog.cl:94-112 in m_k form).
 """
 
 from __future__ import annotations
@@ -36,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 from opencl_path_tracer_tpu.accel.lbvh import morton3
 from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
 from opencl_path_tracer_tpu.core.types import Hits, Rays
-from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import pack_rays
 
 BIG = 3.0e38
 
@@ -52,12 +57,12 @@ def _register(cls):
 @dataclasses.dataclass(frozen=True)
 class ClusterScene:
     boxes: jnp.ndarray     # (C, 8) f32 [lo3 hi3 0 0]; pad: lo=+BIG,hi=-BIG
-    tri_pack: jnp.ndarray  # (C*K, 16) Morton-ordered, never-hit padding
-    tri_n: jnp.ndarray     # (C*K, 3)
+    tri_pack: jnp.ndarray  # (C, 16, K) field-rows x tri-lanes per cluster
+    tri_n: jnp.ndarray     # (C*K, 3) Morton order (hit records)
     tri_mati: jnp.ndarray  # (C*K,) int32
 
 
-def build_clusters(tris: TrianglesSoA, cluster_size: int = 64
+def build_clusters(tris: TrianglesSoA, cluster_size: int = 128
                    ) -> tuple[ClusterScene, int, int]:
     """Morton-sort triangles into fixed-size clusters.
     Returns (scene, num_clusters, cluster_size)."""
@@ -92,6 +97,9 @@ def build_clusters(tris: TrianglesSoA, cluster_size: int = 64
         axis=1,
     ).astype(jnp.float32)[safe]
     pack = jnp.where(pad_mask[:, None], 0.0, pack)
+    # (C*K, 16) -> (C, K, 16) -> (C, 16, K): fields on sublanes,
+    # triangles on lanes.
+    pack3 = pack.reshape(c, k, 16).transpose(0, 2, 1)
 
     lo_r = jnp.where(pad_mask[:, None], BIG, lo[safe])
     hi_r = jnp.where(pad_mask[:, None], -BIG, hi[safe])
@@ -104,121 +112,132 @@ def build_clusters(tris: TrianglesSoA, cluster_size: int = 64
     tri_n = jnp.where(pad_mask[:, None], 0.0, tris.n[safe])
     tri_mati = jnp.where(pad_mask, 0, tris.mati[safe]).astype(jnp.int32)
     return (
-        ClusterScene(boxes=boxes, tri_pack=pack, tri_n=tri_n,
+        ClusterScene(boxes=boxes, tri_pack=pack3, tri_n=tri_n,
                      tri_mati=tri_mati),
         c, k,
     )
 
 
-def _kernel(ray_ref, box_ref, tri_ref, t_ref, i_ref, *, k: int):
-    c = box_ref.shape[0]
-    tr = ray_ref.shape[1]
+def _kernel(ray_ref, box_ref, tri_ref, t_ref, i_ref):
+    c = tri_ref.shape[0]
+    k = tri_ref.shape[2]
+    tr = ray_ref.shape[0]
 
-    rays = ray_ref[:]
-    px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
-    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    rays = ray_ref[:]                       # (TR, 8)
+    px, py, pz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]   # (TR, 1)
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
     inv_x, inv_y, inv_z = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
-    t_ref[0, :] = jnp.full((tr,), BIG, jnp.float32)
-    i_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+    t_ref[:] = jnp.full((tr, 1), BIG, jnp.float32)
+    i_ref[:] = jnp.zeros((tr, 1), jnp.float32)
 
     def body(ci, _):
-        # Slab test of cluster ci vs every lane (prog.cl:123-143).
-        # Box bounds live in SMEM: scalar reads support dynamic indices
-        # and broadcast against the (1, TR) lane rows on the VPU.
-        def axis_minmax(j, p_row, inv_row):
-            t1 = (box_ref[ci, j] - p_row) * inv_row      # (1, TR)
-            t2 = (box_ref[ci, j + 3] - p_row) * inv_row
+        # Slab test vs every lane (prog.cl:123-143); box bounds are SMEM
+        # scalars so dynamic ci indexing is legal and cheap.
+        def axis_minmax(j, p_col, inv_col):
+            t1 = (box_ref[ci, j] - p_col) * inv_col      # (TR, 1)
+            t2 = (box_ref[ci, j + 3] - p_col) * inv_col
             return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
 
         n1, x1 = axis_minmax(0, px, inv_x)
         n2, x2 = axis_minmax(1, py, inv_y)
         n3, x3 = axis_minmax(2, pz, inv_z)
-        tmin = jnp.maximum(jnp.maximum(n1, n2), n3)   # (1, TR)
+        tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
         tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
         active = (
-            (tmax >= tmin) & (tmax >= 0.0)
-            & (tmin < t_ref[0:1, :])
+            (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_ref[:])
         )
 
         @pl.when(jnp.any(active))
         def _():
-            rows = tri_ref[pl.ds(ci * k, k), :]   # (K, 16)
+            blk = tri_ref[ci]                # (16, K)
 
-            def col(j):
-                return rows[:, j:j + 1]
+            def row(j):
+                return blk[j:j + 1, :]       # (1, K)
 
             def pd(base):
-                vx, vy, vz = col(base), col(base + 1), col(base + 2)
-                return (vx * px + vy * py + vz * pz,
-                        vx * dx + vy * dy + vz * dz)
+                vx, vy, vz = row(base), row(base + 1), row(base + 2)
+                pdot = px * vx + py * vy + pz * vz    # (TR, K)
+                vdot = dx * vx + dy * vy + dz * vz
+                return pdot, vdot
 
             pn, vn = pd(0)
-            t = (col(3) - pn) / vn
+            t = (row(3) - pn) / vn
             pm1, vm1 = pd(4)
             pm2, vm2 = pd(8)
             pm3, vm3 = pd(12)
             valid = (
                 (t > 0.0)
-                & (pm1 + t * vm1 >= col(7))
-                & (pm2 + t * vm2 >= col(11))
-                & (pm3 + t * vm3 >= col(15))
+                & (pm1 + t * vm1 >= row(7))
+                & (pm2 + t * vm2 >= row(11))
+                & (pm3 + t * vm3 >= row(15))
             )
             tm = jnp.where(valid, t, BIG)
-            local = jnp.argmin(tm, axis=0)
-            tmin_k = jnp.min(tm, axis=0)
+            tmin_k = jnp.min(tm, axis=1, keepdims=True)      # (TR, 1)
+            local = jnp.argmin(tm, axis=1).reshape(tr, 1)
             gidx = (ci * k + local).astype(jnp.float32)
-            better = tmin_k < t_ref[0, :]
-            t_ref[0, :] = jnp.where(better, tmin_k, t_ref[0, :])
-            i_ref[0, :] = jnp.where(better, gidx, i_ref[0, :])
+            better = tmin_k < t_ref[:]
+            t_ref[:] = jnp.where(better, tmin_k, t_ref[:])
+            i_ref[:] = jnp.where(better, gidx, i_ref[:])
 
         return 0
 
     jax.lax.fori_loop(0, c, body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _run(rays8, boxes, tri_pack, tr: int, k: int, interpret: bool):
-    rpad = rays8.shape[1]
-    c = boxes.shape[0]
-    kern = functools.partial(_kernel, k=k)
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _run(rays8, boxes, tri_pack, tr: int, interpret: bool):
+    rpad = rays8.shape[0]
+    c = tri_pack.shape[0]
+    k = tri_pack.shape[2]
     t_out, i_out = pl.pallas_call(
-        kern,
+        _kernel,
         grid=(rpad // tr,),
         in_specs=[
-            pl.BlockSpec((8, tr), lambda rt: (0, rt),
+            pl.BlockSpec((tr, 8), lambda rt: (rt, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 8), lambda rt: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((c * k, 16), lambda rt: (0, 0),
+            pl.BlockSpec((c, 16, k), lambda rt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tr), lambda rt: (0, rt),
+            pl.BlockSpec((tr, 1), lambda rt: (rt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda rt: (0, rt),
+            pl.BlockSpec((tr, 1), lambda rt: (rt, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, rpad), jnp.float32),
-            jax.ShapeDtypeStruct((1, rpad), jnp.float32),
+            jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
         ],
         interpret=interpret,
     )(rays8, boxes, tri_pack)
-    return t_out[0], i_out[0]
+    return t_out[:, 0], i_out[:, 0]
 
 
-def make_cluster_intersect(tris: TrianglesSoA, *, cluster_size: int = 64,
-                           tr: int = 512, interpret: bool = False):
+def pack_rays_rows(p: jnp.ndarray, d: jnp.ndarray,
+                   pad_to: int) -> jnp.ndarray:
+    """(Rpad, 8): rows [px py pz dx dy dz 0 0] (rays on sublanes)."""
+    r = p.shape[0]
+    buf = jnp.zeros((pad_to, 8), jnp.float32)
+    buf = buf.at[:r, 0:3].set(p)
+    buf = buf.at[:r, 3:6].set(d)
+    return buf
+
+
+def make_cluster_intersect(tris: TrianglesSoA, *,
+                           cluster_size: int = 128, tr: int = 512,
+                           interpret: bool = False):
     """Build clusters once; returns intersect(rays) -> Hits."""
     scene, c, k = build_clusters(tris, cluster_size)
 
     def intersect(rays: Rays) -> Hits:
         r = rays.p.shape[0]
         rpad = -(-r // tr) * tr
-        rays8 = pack_rays(rays.p, rays.d, rpad)
+        rays8 = pack_rays_rows(rays.p, rays.d, rpad)
         best_t, best_i = _run(
-            rays8, scene.boxes, scene.tri_pack, tr, k, interpret
+            rays8, scene.boxes, scene.tri_pack, tr, interpret
         )
         best_t = best_t[:r]
         best_i = jnp.clip(

@@ -22,10 +22,24 @@ os.makedirs(JOBS, exist_ok=True)
 sys.path.insert(0, "/root/repo")
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 print("worker ready:", jax.devices(), flush=True)
 
+_hb = jax.jit(lambda x: x + 1.0)
+_hb_val = jnp.float32(0)
+_last_hb = 0.0
+
 while True:
+    # Heartbeat: touch the device every ~20s so the tunnel grant stays
+    # warm while idle (idle sessions have been observed to wedge).
+    if time.time() - _last_hb > 20:
+        try:
+            _hb_val = _hb(_hb_val)
+            float(_hb_val)
+        except Exception as e:  # pragma: no cover
+            print(f"heartbeat failed: {e}", flush=True)
+        _last_hb = time.time()
     for name in sorted(os.listdir(JOBS)):
         if not name.endswith(".py"):
             continue
