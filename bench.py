@@ -63,7 +63,7 @@ def main() -> int:
             make_cluster_intersect,
         )
         isect = make_cluster_intersect(
-            scene.tris, cluster_size=64, tr=512, interpret=on_cpu
+            scene.tris, cluster_size=128, tr=256, interpret=on_cpu
         )
     elif args.accel == "pallas":
         from opencl_path_tracer_tpu.ops.pallas import make_pallas_intersect
@@ -84,7 +84,17 @@ def main() -> int:
     key = jax.random.key(1)
 
     if args.model == "wavefront":
-        state = wavefront.init_wavefront(cam, n, mode="fast", key=key)
+        from opencl_path_tracer_tpu.ops import raygen
+        # Square-tile pixel order: tighter ray bundles for the cluster
+        # intersector's per-tile culling.
+        if w % 16 == 0 and h % 16 == 0:
+            ids = raygen.tile_major_ids(w, h, 16, 16)
+        elif w % 16 == 0 and h % 8 == 0:
+            ids = raygen.tile_major_ids(w, h, 16, 8)
+        else:
+            ids = raygen.pixel_ids_like(n)
+        state = wavefront.init_wavefront(cam, n, mode="fast", key=key,
+                                         ids=ids)
 
         @jax.jit
         def run(state, k):
@@ -92,6 +102,7 @@ def main() -> int:
                 return wavefront.wavefront_step(
                     cam, scene.mats, st, intersect_fn=isect,
                     iterations=args.iters, mode="fast", key=key,
+                    ids=ids,
                 )
             st = jax.lax.fori_loop(0, k, body, state)
             return st, jnp.sum(st.colors[:8])

@@ -67,10 +67,18 @@ class WavefrontState:
 
 
 def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
-                   mode: str = "parity", key=None) -> WavefrontState:
+                   mode: str = "parity", key=None,
+                   ids: jnp.ndarray | None = None) -> WavefrontState:
+    """ids: optional pixel-id permutation — pass raygen.tile_major_ids to
+    process pixels in square screen tiles (tighter ray-bundle bounds for
+    the cluster intersector). Lane j of every state array then belongs
+    to pixel ids[j]."""
     n = num_pixels
-    ids = raygen.pixel_ids_like(n)
-    rng_state = rng.seed_pixel_streams(n, seed)
+    if ids is None:
+        ids = raygen.pixel_ids_like(n)
+    # Lane j serves pixel ids[j]: permute the per-pixel streams so
+    # parity mode keeps each pixel's reference Lehmer sequence.
+    rng_state = rng.seed_pixel_streams(n, seed)[ids]
     if mode == "parity":
         rng_state, r1, r2 = _draws_parity(
             rng_state, jnp.ones((n,), bool), jnp.ones((n,), bool)
@@ -96,11 +104,13 @@ def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
 def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
                    *, intersect_fn, iterations: int,
                    mode: str = "parity", key=None,
-                   max_samples: int | None = None) -> WavefrontState:
+                   max_samples: int | None = None,
+                   ids: jnp.ndarray | None = None) -> WavefrontState:
     """One wavefront step: intersect every live lane once, shade,
-    terminate/regenerate."""
+    terminate/regenerate. `ids` must match init_wavefront's."""
     n = st.colors.shape[0]
-    ids = raygen.pixel_ids_like(n)
+    if ids is None:
+        ids = raygen.pixel_ids_like(n)
 
     # Lanes past their sample budget idle completely.
     if max_samples is None:

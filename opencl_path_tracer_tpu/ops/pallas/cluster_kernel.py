@@ -1,31 +1,31 @@
 """Two-level cluster intersector (the TPU-native acceleration structure).
 
 Pointer-chasing BVH traversal is hostile to a lockstep vector machine
-(per-lane stacks, dependent row gathers — measured ~1.6ms per gather
-round on v5e). This kernel replaces the tree with a TWO-LEVEL scheme
-designed around VMEM residency and tile coherence:
+(per-lane stacks, dependent gathers), and per-cluster `pl.when` gating
+costs ~1-2us of scalar-branch overhead per cluster per tile — measured
+to dominate everything. This design is BRANCHLESS in the hot kernel:
 
-  * triangles are Morton-sorted and chunked into clusters of K = 128
-    (one full lane tile);
-  * the packed scene lives in VMEM for the duration of a ray tile as a
-    (C, 16, K) array — per-cluster blocks on the UNTILED leading dim
-    (dynamic indexing there is a plain address offset; dynamic slicing
-    on tiled dims silently corrupts), fields on sublanes, triangles on
-    lanes — fully dense storage, ~6.4 MB per 100k triangles;
-  * cluster AABBs sit in SMEM (scalar reads with dynamic indices);
-  * per ray tile: a fori over clusters slab-tests each cluster against
-    all lanes (prog.cl:123-143 math) and runs the K-triangle test ONLY
-    when the tile-level scalar `any(lane can improve)` is true
-    (`pl.when`), with best-t pruning sharpening as hits accumulate —
-    the same prune rule as the reference traversal (prog.cl:162-163).
+  Phase A (XLA, cheap): for every ray TILE, a conservative interval-
+  arithmetic slab test of the tile's ray bounds (origin box + direction
+  box) against every cluster AABB — (G, C) booleans, ~60 flops each —
+  compacted per tile into a cluster-id list + count. Conservative:
+  never culls a cluster any lane could hit (interval division by a
+  direction range spanning 0 yields (-inf, inf) -> pass).
 
-Orientation: rays on SUBLANES (TR per tile), triangles on LANES (K),
-so every per-cluster matrix is a dense (TR, K) VPU tile and the running
-best is a (TR, 1) column — no transposes or gathers anywhere.
+  Phase B (Pallas): grid over ray tiles; the whole Morton-clustered
+  triangle pack is VMEM-resident as (C, 16, K=128) — per-cluster blocks
+  on the UNTILED leading dim (dynamic indexing there is a plain address
+  offset; dynamic slicing on tiled dims silently corrupts), fields on
+  sublanes, triangles on lanes. Each tile runs ONE dynamic-bound
+  fori_loop over its compacted list: read cluster id from SMEM, test
+  the (TR, K) triangle block, min-update the (TR, 1) running best.
+  No branches, no gathers, no transposes.
 
-Worst case (every lane improves in every cluster) equals brute force;
-coherent tiles touch a handful of clusters. Same triangle math as
-ops/intersect.py (prog.cl:94-112 in m_k form).
+Coherent tiles (primary rays, locality-preserving bounces) touch a few
+clusters; fully incoherent tiles degrade to testing every cluster
+(= brute force, still correct). Triangle math identical to
+ops/intersect.py (prog.cl:94-112 in m_k form); slab math from
+prog.cl:123-143.
 """
 
 from __future__ import annotations
@@ -98,7 +98,7 @@ def build_clusters(tris: TrianglesSoA, cluster_size: int = 128
     ).astype(jnp.float32)[safe]
     pack = jnp.where(pad_mask[:, None], 0.0, pack)
     # (C*K, 16) -> (C, K, 16) -> (C, 16, K): fields on sublanes,
-    # triangles on lanes.
+    # triangles on lanes (dense VMEM tiles).
     pack3 = pack.reshape(c, k, 16).transpose(0, 2, 1)
 
     lo_r = jnp.where(pad_mask[:, None], BIG, lo[safe])
@@ -118,75 +118,137 @@ def build_clusters(tris: TrianglesSoA, cluster_size: int = 128
     )
 
 
-def _kernel(ray_ref, box_ref, tri_ref, t_ref, i_ref):
-    c = tri_ref.shape[0]
+# --------------------------------------------------------------------------
+# Phase A: conservative per-tile cluster culling (XLA).
+
+
+def _interval_slab(p_lo, p_hi, d_lo, d_hi, box_lo, box_hi):
+    """Conservative slab test of a ray-bundle interval box against
+    cluster boxes. p/d bounds: (G, 3); boxes: (C, 3).
+    Returns (G, C) bool: True if ANY ray in the bundle COULD hit.
+
+    Works axis-by-axis with (G, C) intermediates — NEVER (G, C, 3):
+    a minor dim of 3 is lane-padded 128-wide on TPU, multiplying memory
+    traffic ~40x.
+    """
+    g = p_lo.shape[0]
+    c = box_lo.shape[0]
+    tmin = jnp.full((g, c), -BIG, jnp.float32)
+    tmax = jnp.full((g, c), BIG, jnp.float32)
+    for ax in range(3):
+        bl = box_lo[None, :, ax]                 # (1, C)
+        bh = box_hi[None, :, ax]
+        plo = p_lo[:, ax:ax + 1]                 # (G, 1)
+        phi = p_hi[:, ax:ax + 1]
+        dlo = d_lo[:, ax:ax + 1]
+        dhi = d_hi[:, ax:ax + 1]
+
+        # Interval reciprocal of D; a range spanning 0 leaves the axis
+        # unconstrained (conservative).
+        spans_zero = (dlo <= 0.0) & (dhi >= 0.0)
+        r_lo = jnp.where(spans_zero, -BIG, 1.0 / dhi)   # (G, 1)
+        r_hi = jnp.where(spans_zero, BIG, 1.0 / dlo)
+
+        a_lo, a_hi = bl - phi, bl - plo          # (G, C)
+        b_lo, b_hi = bh - phi, bh - plo
+
+        def imul(x_lo, x_hi):
+            c1, c2 = x_lo * r_lo, x_lo * r_hi
+            c3, c4 = x_hi * r_lo, x_hi * r_hi
+            return (
+                jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4)),
+                jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4)),
+            )
+
+        t1_lo, t1_hi = imul(a_lo, a_hi)
+        t2_lo, t2_hi = imul(b_lo, b_hi)
+        tmin = jnp.maximum(tmin, jnp.minimum(t1_lo, t2_lo))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1_hi, t2_hi))
+    return (tmax >= tmin) & (tmax >= 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _tile_cluster_lists(rays8: jnp.ndarray, boxes: jnp.ndarray,
+                        tr: int):
+    """Per ray-tile compacted cluster lists.
+    rays8: (Rpad, 8) rows [p d 0 0]. Returns ids (G, C) int32 (passing
+    clusters first, original Morton order), cnt (G, 1) int32."""
+    rpad = rays8.shape[0]
+    g = rpad // tr
+    c = boxes.shape[0]
+    tiles = rays8.reshape(g, tr, 8)
+    # Padding rays are all-zero rows; their p=d=0 only loosens the
+    # direction intervals to include 0 -> conservative pass, still
+    # correct.
+    p_lo = tiles[:, :, 0:3].min(1)    # (G, 3)
+    p_hi = tiles[:, :, 0:3].max(1)
+    d_lo = tiles[:, :, 3:6].min(1)
+    d_hi = tiles[:, :, 3:6].max(1)
+
+    hit = _interval_slab(p_lo, p_hi, d_lo, d_hi,
+                         boxes[:, 0:3], boxes[:, 3:6])
+
+    # Compact: passing clusters first, stable (Morton) order. Shaped
+    # (G, 1, C) / (G, 1, 1): tile index on the leading dim so SMEM
+    # blocks satisfy the last-two-dims-match-array rule.
+    order = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)
+    cnt = jnp.sum(hit, axis=1, dtype=jnp.int32)
+    return order[:, None, :], cnt[:, None, None]
+
+
+# --------------------------------------------------------------------------
+# Phase B: branchless per-tile triangle tests (Pallas).
+
+
+def _kernel(ray_ref, cnt_ref, ids_ref, tri_ref, t_ref, i_ref):
     k = tri_ref.shape[2]
     tr = ray_ref.shape[0]
 
     rays = ray_ref[:]                       # (TR, 8)
     px, py, pz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]   # (TR, 1)
     dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-    inv_x, inv_y, inv_z = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
     t_ref[:] = jnp.full((tr, 1), BIG, jnp.float32)
     i_ref[:] = jnp.zeros((tr, 1), jnp.float32)
 
-    def body(ci, _):
-        # Slab test vs every lane (prog.cl:123-143); box bounds are SMEM
-        # scalars so dynamic ci indexing is legal and cheap.
-        def axis_minmax(j, p_col, inv_col):
-            t1 = (box_ref[ci, j] - p_col) * inv_col      # (TR, 1)
-            t2 = (box_ref[ci, j + 3] - p_col) * inv_col
-            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+    def body(slot, _):
+        ci = ids_ref[0, 0, slot]
+        blk = tri_ref[ci]                   # (16, K)
 
-        n1, x1 = axis_minmax(0, px, inv_x)
-        n2, x2 = axis_minmax(1, py, inv_y)
-        n3, x3 = axis_minmax(2, pz, inv_z)
-        tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
-        tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
-        active = (
-            (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_ref[:])
+        def row(j):
+            return blk[j:j + 1, :]          # (1, K)
+
+        def pd(base):
+            vx, vy, vz = row(base), row(base + 1), row(base + 2)
+            pdot = px * vx + py * vy + pz * vz    # (TR, K)
+            vdot = dx * vx + dy * vy + dz * vz
+            return pdot, vdot
+
+        pn, vn = pd(0)
+        t = (row(3) - pn) / vn
+        pm1, vm1 = pd(4)
+        pm2, vm2 = pd(8)
+        pm3, vm3 = pd(12)
+        valid = (
+            (t > 0.0)
+            & (pm1 + t * vm1 >= row(7))
+            & (pm2 + t * vm2 >= row(11))
+            & (pm3 + t * vm3 >= row(15))
         )
-
-        @pl.when(jnp.any(active))
-        def _():
-            blk = tri_ref[ci]                # (16, K)
-
-            def row(j):
-                return blk[j:j + 1, :]       # (1, K)
-
-            def pd(base):
-                vx, vy, vz = row(base), row(base + 1), row(base + 2)
-                pdot = px * vx + py * vy + pz * vz    # (TR, K)
-                vdot = dx * vx + dy * vy + dz * vz
-                return pdot, vdot
-
-            pn, vn = pd(0)
-            t = (row(3) - pn) / vn
-            pm1, vm1 = pd(4)
-            pm2, vm2 = pd(8)
-            pm3, vm3 = pd(12)
-            valid = (
-                (t > 0.0)
-                & (pm1 + t * vm1 >= row(7))
-                & (pm2 + t * vm2 >= row(11))
-                & (pm3 + t * vm3 >= row(15))
-            )
-            tm = jnp.where(valid, t, BIG)
-            tmin_k = jnp.min(tm, axis=1, keepdims=True)      # (TR, 1)
-            local = jnp.argmin(tm, axis=1).reshape(tr, 1)
-            gidx = (ci * k + local).astype(jnp.float32)
-            better = tmin_k < t_ref[:]
-            t_ref[:] = jnp.where(better, tmin_k, t_ref[:])
-            i_ref[:] = jnp.where(better, gidx, i_ref[:])
-
+        tm = jnp.where(valid, t, BIG)
+        tmin_k = jnp.min(tm, axis=1, keepdims=True)      # (TR, 1)
+        local = jnp.argmin(tm, axis=1).reshape(tr, 1)
+        gidx = (ci * k + local).astype(jnp.float32)
+        better = tmin_k < t_ref[:]
+        t_ref[:] = jnp.where(better, tmin_k, t_ref[:])
+        i_ref[:] = jnp.where(better, gidx, i_ref[:])
         return 0
 
-    jax.lax.fori_loop(0, c, body, 0)
+    jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _run(rays8, boxes, tri_pack, tr: int, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _run(rays8, cnt, ids, tri_pack, tr: int, interpret: bool):
     rpad = rays8.shape[0]
     c = tri_pack.shape[0]
     k = tri_pack.shape[2]
@@ -196,7 +258,9 @@ def _run(rays8, boxes, tri_pack, tr: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((tr, 8), lambda rt: (rt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 8), lambda rt: (0, 0),
+            pl.BlockSpec((1, 1, 1), lambda rt: (rt, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, c), lambda rt: (rt, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((c, 16, k), lambda rt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -212,7 +276,7 @@ def _run(rays8, boxes, tri_pack, tr: int, interpret: bool):
             jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(rays8, boxes, tri_pack)
+    )(rays8, cnt, ids, tri_pack)
     return t_out[:, 0], i_out[:, 0]
 
 
@@ -227,7 +291,7 @@ def pack_rays_rows(p: jnp.ndarray, d: jnp.ndarray,
 
 
 def make_cluster_intersect(tris: TrianglesSoA, *,
-                           cluster_size: int = 128, tr: int = 512,
+                           cluster_size: int = 128, tr: int = 256,
                            interpret: bool = False):
     """Build clusters once; returns intersect(rays) -> Hits."""
     scene, c, k = build_clusters(tris, cluster_size)
@@ -236,8 +300,9 @@ def make_cluster_intersect(tris: TrianglesSoA, *,
         r = rays.p.shape[0]
         rpad = -(-r // tr) * tr
         rays8 = pack_rays_rows(rays.p, rays.d, rpad)
+        ids, cnt = _tile_cluster_lists(rays8, scene.boxes, tr)
         best_t, best_i = _run(
-            rays8, scene.boxes, scene.tri_pack, tr, interpret
+            rays8, cnt, ids, scene.tri_pack, tr, interpret
         )
         best_t = best_t[:r]
         best_i = jnp.clip(

@@ -8,6 +8,7 @@ and the pinhole projection is pure VPU arithmetic.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from opencl_path_tracer_tpu.core.camera import Camera
@@ -42,3 +43,34 @@ def pixel_ids(width: int, height: int) -> jnp.ndarray:
 
 def pixel_ids_like(num_pixels: int) -> jnp.ndarray:
     return jnp.arange(num_pixels, dtype=jnp.int32)
+
+
+def tile_major_ids(width: int, height: int, tile_w: int = 16,
+                   tile_h: int = 16) -> jnp.ndarray:
+    """Linear pixel ids in square-tile-major order.
+
+    Rays processed in square screen tiles have far tighter origin/
+    direction bounds than scanline strips, which is what the cluster
+    intersector's per-tile conservative culling feeds on (a 256-pixel
+    strip spans a quarter of a scanline; a 16x16 tile spans 1/64 of the
+    screen in both axes). Pads to tile multiples are avoided by
+    requiring divisibility.
+    """
+    assert width % tile_w == 0 and height % tile_h == 0, (
+        f"{width}x{height} not divisible by {tile_w}x{tile_h} tiles"
+    )
+    ids = np.arange(width * height, dtype=np.int32).reshape(
+        height, width
+    )
+    tiles = ids.reshape(
+        height // tile_h, tile_h, width // tile_w, tile_w
+    )
+    return jnp.asarray(
+        tiles.transpose(0, 2, 1, 3).reshape(-1)
+    )
+
+
+def inverse_permutation(perm: jnp.ndarray) -> jnp.ndarray:
+    inv = np.empty(perm.shape[0], np.int32)
+    inv[np.asarray(perm)] = np.arange(perm.shape[0], dtype=np.int32)
+    return jnp.asarray(inv)
