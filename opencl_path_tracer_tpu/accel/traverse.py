@@ -35,35 +35,39 @@ from opencl_path_tracer_tpu.core.types import Hits, Rays
 BIG = jnp.float32(3.0e38)
 
 
-def _slab(lo, hi, p, inv_d):
-    """Slab test on packed boxes. lo/hi/p/inv_d: (..., 3).
-    Returns (hit, tmin). IEEE inf/nan semantics as prog.cl:123-143."""
-    t1 = (lo - p) * inv_d
-    t2 = (hi - p) * inv_d
-    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
-    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+def _slab(krows, p, inv_d):
+    """Slab test on packed child node rows. krows: (R, 2, 8) with
+    [lo3 hi3 a b]; p/inv_d: V3 of (R,). Returns (hit, tmin): (R, 2).
+    IEEE inf/nan semantics as prog.cl:123-143."""
+    tmin = jnp.full(krows.shape[:2], -BIG)
+    tmax = jnp.full(krows.shape[:2], BIG)
+    for ax in range(3):
+        t1 = (krows[:, :, ax] - p[ax][:, None]) * inv_d[ax][:, None]
+        t2 = (krows[:, :, ax + 3] - p[ax][:, None]) * inv_d[ax][:, None]
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
     return (tmax >= tmin) & (tmax >= 0.0), tmin
 
 
 def _leaf_test(tri_pack, base, p, d, leaf_size):
     """Closest valid hit among the L triangles starting at `base`.
-    Returns (t, local_index) with t = BIG on miss."""
+    p, d: V3 of (R,). Returns (t, local_index) with t = BIG on miss."""
     idx = base[:, None] + jnp.arange(leaf_size, dtype=jnp.int32)[None, :]
     rows = jnp.take(tri_pack, idx, axis=0, mode="clip")  # (R, L, 16)
-    n = rows[..., 0:3]
+
+    def dots(b):
+        pdot = sum(p[k][:, None] * rows[..., b + k] for k in range(3))
+        vdot = sum(d[k][:, None] * rows[..., b + k] for k in range(3))
+        return pdot, vdot
+
+    pn, vn = dots(0)
     c0 = rows[..., 3]
-    pn = jnp.sum(p[:, None, :] * n, -1)
-    vn = jnp.sum(d[:, None, :] * n, -1)
     t = (c0 - pn) / vn
 
     def edge(k):
-        m = rows[..., 4 * k:4 * k + 3]
+        pm, vm = dots(4 * k)
         dk = rows[..., 4 * k + 3]
-        return (
-            jnp.sum(p[:, None, :] * m, -1)
-            + t * jnp.sum(d[:, None, :] * m, -1)
-            - dk
-        )
+        return pm + t * vm - dk
 
     valid = (
         (t > 0.0) & (edge(1) >= 0.0) & (edge(2) >= 0.0) & (edge(3) >= 0.0)
@@ -82,8 +86,8 @@ def make_bvh_intersect(bvh: BVH, max_stack: int | None = None):
 
     def intersect(rays: Rays) -> Hits:
         p, d = rays.p, rays.d
-        r = p.shape[0]
-        inv_d = 1.0 / d
+        r = p[0].shape[0]
+        inv_d = tuple(1.0 / c for c in d)
 
         def cond(state):
             return ~jnp.all(state[0])
@@ -106,10 +110,7 @@ def make_bvh_intersect(bvh: BVH, max_stack: int | None = None):
             left = (-a).astype(jnp.int32)
             kids = jnp.stack([left, left + 1], axis=1)  # (R, 2)
             krows = jnp.take(bvh.nodes, kids, axis=0, mode="clip")
-            khit, ktmin = _slab(
-                krows[..., 0:3], krows[..., 3:6], p[:, None, :],
-                inv_d[:, None, :],
-            )  # (R, 2)
+            khit, ktmin = _slab(krows, p, inv_d)  # (R, 2)
             # Prune against current best (prog.cl:162-163).
             khit = khit & (ktmin < best_t[:, None]) & ~is_leaf[:, None]
 
@@ -157,13 +158,23 @@ def make_bvh_intersect(bvh: BVH, max_stack: int | None = None):
         )
 
         any_hit = best_t < BIG
-        n = jnp.take(bvh.tri_n, best_i, axis=0, mode="clip")
+        z = jnp.zeros_like(best_t)
+        safe_t = jnp.where(any_hit, best_t, 0.0)
+        n = tuple(
+            jnp.where(
+                any_hit,
+                jnp.take(bvh.tri_n[:, k], best_i, mode="clip"), z,
+            )
+            for k in range(3)
+        )
+        hit_p = tuple(
+            jnp.where(any_hit, p[k] + d[k] * safe_t, z) for k in range(3)
+        )
         mati = jnp.take(bvh.tri_mati, best_i, axis=0, mode="clip")
-        hit_p = p + d * best_t[:, None]
         return Hits(
             t=jnp.where(any_hit, best_t, -1.0),
-            p=jnp.where(any_hit[:, None], hit_p, 0.0),
-            n=jnp.where(any_hit[:, None], n, 0.0),
+            p=hit_p,
+            n=n,
             mati=jnp.where(any_hit, mati, 0).astype(jnp.int32),
         )
 

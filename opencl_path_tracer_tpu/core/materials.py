@@ -50,21 +50,25 @@ def _register(cls):
 @_register
 @dataclasses.dataclass(frozen=True)
 class MaterialsSoA:
-    """All scene materials, SoA (M rows)."""
+    """All scene materials, SoA (M entries). Color fields are V3 tuples
+    of (M,) arrays — 1-D so the per-ray material gathers in the render
+    loop stay dense (an (R, 3) gather output is lane-padded 42x in HBM
+    on TPU)."""
 
-    kd: jnp.ndarray        # (M, 3) diffuse color
-    ks: jnp.ndarray        # (M, 3) specular (Blinn) color
-    emission: jnp.ndarray  # (M, 3)
-    f0: jnp.ndarray        # (M, 3) Fresnel at normal incidence
+    kd: tuple        # V3 of (M,) diffuse color
+    ks: tuple        # V3 of (M,) specular (Blinn) color
+    emission: tuple  # V3 of (M,)
+    f0: tuple        # V3 of (M,) Fresnel at normal incidence
     n: jnp.ndarray         # (M,) scalar refraction index (mean of channels)
     shininess: jnp.ndarray # (M,) Blinn exponent
     type: jnp.ndarray      # (M,) int32 MaterialType
 
     @property
     def count(self) -> int:
-        return self.kd.shape[0]
+        return self.n.shape[0]
 
     def take(self, idx) -> "MaterialsSoA":
+        """Per-ray material fetch: component-wise 1-D gathers."""
         return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), self)
 
 
@@ -90,8 +94,15 @@ def stack_materials(rows: list[dict]) -> MaterialsSoA:
                               (0, 0, 0), (0, 0, 0), 0, 0)]
     def col(k):
         return jnp.asarray(np.stack([r[k] for r in rows]))
+
+    def col3(k):
+        a = np.stack([r[k] for r in rows])  # (M, 3)
+        return (jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
+                jnp.asarray(a[:, 2]))
+
     return MaterialsSoA(
-        kd=col("kd"), ks=col("ks"), emission=col("emission"), f0=col("f0"),
+        kd=col3("kd"), ks=col3("ks"), emission=col3("emission"),
+        f0=col3("f0"),
         n=col("n"), shininess=col("shininess"), type=col("type"),
     )
 

@@ -24,7 +24,7 @@ def save_checkpoint(path: str, state: TraceState,
                     meta: dict | None = None) -> None:
     np.savez_compressed(
         path,
-        colors=np.asarray(state.colors),
+        colors=np.stack([np.asarray(c) for c in state.colors], -1),
         rng_state=np.asarray(state.rng_state),
         sample=np.asarray(state.sample),
         meta=json.dumps({"version": FORMAT_VERSION, **(meta or {})}),
@@ -39,8 +39,10 @@ def load_checkpoint(path: str) -> tuple[TraceState, dict]:
                 f"checkpoint version {meta.get('version')} != "
                 f"{FORMAT_VERSION}"
             )
+        c = z["colors"]
         state = TraceState(
-            colors=jnp.asarray(z["colors"]),
+            colors=(jnp.asarray(c[:, 0]), jnp.asarray(c[:, 1]),
+                    jnp.asarray(c[:, 2])),
             rng_state=jnp.asarray(z["rng_state"]),
             sample=jnp.asarray(z["sample"]),
         )

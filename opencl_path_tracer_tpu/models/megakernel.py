@@ -13,9 +13,12 @@ lockstep through a `lax.fori_loop` over bounces with:
     and emitter, 1 for refractive, 0 for specular/miss) — this is what
     makes converged images bit-comparable.
 
+All per-ray quantities are 1-D component arrays (V3 tuples, see
+core/types.py — (N, 3) buffers are lane-padded 42x in TPU HBM).
+
 The intersection routine is injected (`intersect_fn`) so the same model
-runs brute-force (ops.intersect.first_intersect) or BVH-accelerated
-(accel.traverse) or Pallas-kernel backends.
+runs brute-force (ops.intersect.first_intersect), BVH-accelerated
+(accel.traverse) or Pallas cluster-kernel backends.
 """
 
 from __future__ import annotations
@@ -29,7 +32,10 @@ import jax.numpy as jnp
 
 from opencl_path_tracer_tpu.core.camera import Camera
 from opencl_path_tracer_tpu.core.materials import MaterialsSoA
-from opencl_path_tracer_tpu.core.types import Hits, Rays
+from opencl_path_tracer_tpu.core.types import (
+    Hits, Rays, V3, vadd, vdot, vmul, vneg, vnormalize, vscale, vsub,
+    vwhere,
+)
 from opencl_path_tracer_tpu.ops import bsdf, raygen, rng
 
 IntersectFn = Callable[[Rays], Hits]
@@ -46,17 +52,24 @@ def _register(cls):
 class TraceState:
     """Per-sample accumulation state (the reference's device buffers:
     colors (prog.cl:379), per-pixel RNG seeds (main.cpp:522-527), and the
-    sample counter)."""
+    sample counter). colors: V3 of (N,)."""
 
-    colors: jnp.ndarray          # (N, 3) running average
+    colors: V3
     rng_state: jnp.ndarray       # (N,) uint32 Lehmer states (parity mode)
     sample: jnp.ndarray          # () int32 current_sample
 
 
-def init_state(num_pixels: int, seed: int = 1) -> TraceState:
+def init_state(num_pixels: int, seed: int = 1,
+               ids: jnp.ndarray | None = None) -> TraceState:
+    """ids: optional pixel permutation (lane j serves pixel ids[j]);
+    parity RNG streams are permuted to match."""
+    streams = rng.seed_pixel_streams(num_pixels, seed)
+    if ids is not None:
+        streams = streams[ids]
+    z = jnp.zeros((num_pixels,), jnp.float32)
     return TraceState(
-        colors=jnp.zeros((num_pixels, 3), jnp.float32),
-        rng_state=rng.seed_pixel_streams(num_pixels, seed),
+        colors=(z, z, z),
+        rng_state=streams,
         sample=jnp.int32(0),
     )
 
@@ -75,6 +88,79 @@ def _draws_parity(state, need1, need2):
     return state2, u1, u2
 
 
+def shade(cam: Camera, mats: MaterialsSoA, hit: Hits, ray_p: V3,
+          ray_d: V3, inside, r1, r2, has_hit):
+    """One bounce of the reference dispatch (prog.cl:326-366), all
+    branches computed and selected. Returns a dict of updates shared by
+    the megakernel and wavefront models."""
+    mat = mats.take(hit.mati)
+    mtype = mat.type
+
+    # Flip normal toward the incoming ray (prog.cl:326-328).
+    n_vec = vwhere(vdot(ray_d, hit.n) > 0.0, vneg(hit.n), hit.n)
+
+    is_diff = has_hit & (mtype == 0)
+    is_spec = has_hit & (mtype == 1)
+    is_refr = has_hit & (mtype == 2)
+    is_emit = has_hit & (mtype == 3)
+
+    # Candidate bounces (diffuse result shared by emitter,
+    # prog.cl:330 and :361 both call new_ray_diffuse).
+    diff_p, diff_d = bsdf.diffuse_ray(hit.p, n_vec, r1, r2)
+    spec_p, spec_d = bsdf.specular_ray(hit.p, n_vec, ray_d)
+    refr_p, refr_d, new_inside, refr_fac = bsdf.refractive_ray(
+        hit.p, n_vec, ray_d, mat.n, mat.f0, inside, r1
+    )
+
+    # Diffuse: Lambert + Blinn with the *camera* view direction
+    # (camera_view_dir, prog.cl:79-81, used at :335).
+    cos_theta = vdot(diff_d, n_vec)
+    intens_d = jnp.maximum(0.0, cos_theta)
+    eye_dir = vnormalize(tuple(cam.eye[k] - hit.p[k] for k in range(3)))
+    halfway = vnormalize(vadd(eye_dir, diff_d))
+    intens_s = jnp.power(
+        jnp.maximum(0.0, vdot(n_vec, halfway)), mat.shininess
+    )
+
+    fres = bsdf.fresnel(mat.f0, n_vec, ray_d)
+    emit_cos = jnp.maximum(0.0, vdot(vneg(ray_d), n_vec))
+
+    use_diff = is_diff | is_emit
+    new_p = vwhere(use_diff, diff_p, vwhere(is_refr, refr_p, spec_p))
+    new_d = vwhere(use_diff, diff_d, vwhere(is_refr, refr_d, spec_d))
+
+    return dict(
+        mat=mat, n_vec=n_vec,
+        is_diff=is_diff, is_spec=is_spec, is_refr=is_refr,
+        is_emit=is_emit,
+        intens_d=intens_d, intens_s=intens_s, fres=fres,
+        refr_fac=refr_fac, new_inside=new_inside, emit_cos=emit_cos,
+        new_p=vwhere(has_hit, new_p, ray_p),
+        new_d=vwhere(has_hit, new_d, ray_d),
+    )
+
+
+def apply_factors(s, f_l: V3, f_b: V3, f_s: V3, f_r: V3, inside, color: V3):
+    """Factor updates + emitter contribution (prog.cl:329-366)."""
+    mat = s["mat"]
+    f_l = vwhere(
+        s["is_diff"], vmul(f_l, vscale(mat.kd, s["intens_d"])), f_l
+    )
+    f_b = vwhere(
+        s["is_diff"], vmul(f_b, vscale(mat.ks, s["intens_s"])), f_b
+    )
+    f_s = vwhere(s["is_spec"], vmul(f_s, s["fres"]), f_s)
+    f_r = vwhere(s["is_refr"], vmul(f_r, s["refr_fac"]), f_r)
+    inside = jnp.where(s["is_refr"], s["new_inside"], inside)
+
+    contrib = vscale(
+        vmul(mat.emission, vmul(vadd(f_l, f_b), vmul(f_s, f_r))),
+        s["emit_cos"],
+    )
+    color = vwhere(s["is_emit"], vadd(color, contrib), color)
+    return f_l, f_b, f_s, f_r, inside, color
+
+
 def trace_sample(
     cam: Camera,
     mats: MaterialsSoA,
@@ -87,18 +173,17 @@ def trace_sample(
     ids: jnp.ndarray | None = None,
     sample_index: jnp.ndarray | None = None,
     with_stats: bool = False,
-) -> TraceState:
+):
     """Render ONE progressive sample for every pixel and fold it into the
     running average (prog.cl:379). `iterations` is the bounce depth
     (static, like the kernel arg at main.cpp:657).
 
     ids: optional (N,) global linear pixel ids — pass when this call
-    renders a *tile* of a larger framebuffer (multi-chip sharding).
-    sample_index: optional override of the sample counter used for fast-
-    mode RNG decorrelation (multi-chip sample sharding renders sample
-    s_dev = axis_index + i * n_dev on each chip).
+    renders a tile of a larger framebuffer or uses a tile-major pixel
+    permutation. sample_index: optional override of the sample counter
+    for fast-mode RNG decorrelation (multi-chip sample sharding).
     """
-    n = state.colors.shape[0]
+    n = state.rng_state.shape[0]
     if ids is None:
         ids = raygen.pixel_ids_like(n)
     s_idx = state.sample if sample_index is None else sample_index
@@ -117,7 +202,8 @@ def trace_sample(
         rng_state = state.rng_state
     rays = raygen.camera_rays(cam, ids, r1, r2)
 
-    factor_one = jnp.ones((n, 3), jnp.float32)
+    ones = tuple(jnp.ones((n,), jnp.float32) for _ in range(3))
+    zeros = tuple(jnp.zeros((n,), jnp.float32) for _ in range(3))
 
     def body(b, carry):
         (ray_p, ray_d, rng_state, f_l, f_b, f_s, f_r,
@@ -126,94 +212,41 @@ def trace_sample(
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         hit = intersect_fn(Rays(p=ray_p, d=ray_d))
         has_hit = hit.valid & alive
-        mat = mats.take(hit.mati)
-        mtype = mat.type
-
-        # Preview mode (prog.cl:323-325): iterations==1 -> flat shading.
-        if iterations == 1:
-            color = jnp.where(
-                has_hit[:, None], mat.kd + mat.emission, color
-            )
-
-        # Flip normal toward the incoming ray (prog.cl:326-328).
-        n_vec = jnp.where(
-            (jnp.sum(ray_d * hit.n, -1) > 0.0)[:, None], -hit.n, hit.n
-        )
-
-        is_diff = has_hit & (mtype == 0)
-        is_spec = has_hit & (mtype == 1)
-        is_refr = has_hit & (mtype == 2)
-        is_emit = has_hit & (mtype == 3)
 
         # RNG draws: diffuse/emitter take 2, refractive takes 1
         # (prog.cl:330, :349, :361).
+        mtype = jnp.take(mats.type, hit.mati)
+        is_d_or_e = has_hit & ((mtype == 0) | (mtype == 3))
         if mode == "parity":
-            need1 = is_diff | is_emit | is_refr
-            need2 = is_diff | is_emit
-            rng_state, r1, r2 = _draws_parity(rng_state, need1, need2)
+            need1 = is_d_or_e | (has_hit & (mtype == 2))
+            rng_state, r1, r2 = _draws_parity(
+                rng_state, need1, is_d_or_e
+            )
         else:
             u = rng.fast_uniforms(tile_key, s_idx, b + 1, (n,), 2)
             r1, r2 = u[:, 0], u[:, 1]
 
-        # Candidate bounces (diffuse result shared by emitter,
-        # prog.cl:330 and :361 both call new_ray_diffuse).
-        diff_p, diff_d = bsdf.diffuse_ray(hit.p, n_vec, r1, r2)
-        spec_p, spec_d = bsdf.specular_ray(hit.p, n_vec, ray_d)
-        refr_p, refr_d, new_inside, refr_fac = bsdf.refractive_ray(
-            hit.p, n_vec, ray_d, mat.n, mat.f0, inside, r1
+        s = shade(cam, mats, hit, ray_p, ray_d, inside, r1, r2, has_hit)
+
+        # Preview mode (prog.cl:323-325): iterations==1 -> flat shading.
+        if iterations == 1:
+            color = vwhere(
+                has_hit, vadd(s["mat"].kd, s["mat"].emission), color
+            )
+
+        f_l, f_b, f_s, f_r, inside, color = apply_factors(
+            s, f_l, f_b, f_s, f_r, inside, color
         )
-
-        # --- factor updates (prog.cl:329-366) ---
-        # Diffuse: Lambert + Blinn with the *camera* view direction
-        # (camera_view_dir, prog.cl:79-81, used at :335).
-        cos_theta = jnp.sum(diff_d * n_vec, -1)
-        intens_d = jnp.maximum(0.0, cos_theta)[:, None]
-        eye_dir = cam.eye[None, :] - hit.p
-        eye_dir = eye_dir / jnp.sqrt(
-            jnp.sum(eye_dir * eye_dir, -1, keepdims=True)
-        )
-        halfway = eye_dir + diff_d
-        halfway = halfway / jnp.sqrt(
-            jnp.sum(halfway * halfway, -1, keepdims=True)
-        )
-        cos_delta = jnp.sum(n_vec * halfway, -1)
-        intens_s = jnp.power(
-            jnp.maximum(0.0, cos_delta), mat.shininess
-        )[:, None]
-        f_l = jnp.where(is_diff[:, None], f_l * mat.kd * intens_d, f_l)
-        f_b = jnp.where(is_diff[:, None], f_b * mat.ks * intens_s, f_b)
-
-        # Specular conductor (prog.cl:341-345).
-        fres = bsdf.fresnel(mat.f0, n_vec, ray_d)
-        f_s = jnp.where(is_spec[:, None], f_s * fres, f_s)
-
-        # Refractive Russian roulette compensation (prog.cl:346-357).
-        f_r = jnp.where(is_refr[:, None], f_r * refr_fac, f_r)
-        inside = jnp.where(is_refr, new_inside, inside)
-
-        # Emitter (prog.cl:358-366): cos against the *old* ray direction.
-        emit_cos = jnp.maximum(0.0, jnp.sum(-ray_d * n_vec, -1))[:, None]
-        contrib = mat.emission * (f_l + f_b) * f_s * f_r * emit_cos
-        color = jnp.where(is_emit[:, None], color + contrib, color)
-
-        # Next ray: diffuse for types 0 and 3, mirror for 1, refr for 2.
-        use_diff = (is_diff | is_emit)[:, None]
-        new_p = jnp.where(use_diff, diff_p,
-                          jnp.where(is_refr[:, None], refr_p, spec_p))
-        new_d = jnp.where(use_diff, diff_d,
-                          jnp.where(is_refr[:, None], refr_d, spec_d))
-        ray_p = jnp.where(has_hit[:, None], new_p, ray_p)
-        ray_d = jnp.where(has_hit[:, None], new_d, ray_d)
 
         # Miss -> break (prog.cl:367-376): lane goes dead.
         alive = has_hit
-        return (ray_p, ray_d, rng_state, f_l, f_b, f_s, f_r,
+        return (s["new_p"], s["new_d"], rng_state, f_l, f_b, f_s, f_r,
                 color, alive, inside, rays_traced)
 
     carry = (
         rays.p, rays.d, rng_state,
-        factor_one, factor_one, factor_one, factor_one,
-        jnp.zeros((n, 3), jnp.float32),
+        ones, ones, ones, ones,
+        zeros,
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
         jnp.float32(0.0),
@@ -223,13 +256,16 @@ def trace_sample(
 
     # Progressive average (prog.cl:379). current_sample==0 overwrites
     # (prog.cl:312-314 zeroes first, same result).
-    s = state.sample.astype(jnp.float32)
-    colors = (state.colors * s + color) / (s + 1.0)
+    s_f = state.sample.astype(jnp.float32)
+    inv = 1.0 / (s_f + 1.0)
+    colors = tuple(
+        (state.colors[k] * s_f + color[k]) * inv for k in range(3)
+    )
     new_state = TraceState(
         colors=colors, rng_state=rng_state, sample=state.sample + 1
     )
     if with_stats:
-        # rays actually traced this sample: live lanes at each bounce
+        # Rays actually traced this sample: live lanes at each bounce
         # (the derived rays/sec metric of BASELINE.md).
         return new_state, {"rays_traced": carry[10]}
     return new_state
@@ -264,3 +300,8 @@ def render(cam, mats, *, intersect_fn, num_pixels, iterations, spp,
     for _ in range(spp):
         state = step(state)
     return state
+
+
+def colors_array(state: TraceState):
+    """(N, 3) numpy-convertible color array (API edge only)."""
+    return jnp.stack(state.colors, axis=-1)

@@ -1,23 +1,21 @@
-"""Ray-scene intersection.
+"""Ray-scene intersection (XLA reference implementation).
 
 The reference intersects one ray against one triangle at a time with a
 plane hit + three cross-product edge-sign tests (triangle_intersect,
 prog.cl:94-112) and scans leaf ranges linearly (first_intersect,
-prog.cl:113-122). Same math here, but restructured for the TPU:
+prog.cl:113-122). Same math here, restructured for the TPU:
 
 With per-triangle constants m_k = cross(N, e_k) (precomputed in
 TrianglesSoA.build), each edge test dot(cross(e_k, p - v_k), N) >= 0
 rewrites (scalar triple product rotation) to
     dot(p, m_k) >= dot(v_k, m_k),   p = P + t V
-so a block of R rays vs a block of T triangles is exactly eight
-(R,3)x(3,T) products — two matmul-shaped contractions of the ray origin
-and direction against the packed triangle-constant matrix — followed by
-elementwise compares and a min-reduction over T. No divergence, no
-gathers in the inner loop; XLA tiles it straight onto the vector units.
+so a block of R rays vs T triangles is eight (R,3)x(3,T) contractions
+plus elementwise compares and a min-reduction.
 
-This module is the single source of truth for intersection math; the
-brute-force path, the BVH leaf tests (accel/traverse.py) and the Pallas
-kernels (ops/pallas/) all call into it.
+This is the correctness oracle and CPU path; the production kernels
+live in ops/pallas/ (fused, VMEM-resident). The matmuls here force
+Precision.HIGHEST — TPU matmuls default to bf16 inputs, which breaks
+geometry (1e-2 t errors, false edge flips; found the hard way).
 """
 
 from __future__ import annotations
@@ -26,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
-from opencl_path_tracer_tpu.core.types import Hits, Rays
+from opencl_path_tracer_tpu.core.types import Hits, Rays, v3_stack
 
 BIG = jnp.float32(3.0e38)
 
@@ -41,10 +39,6 @@ def ray_tri_t(p: jnp.ndarray, d: jnp.ndarray, tris: TrianglesSoA):
     three half-plane tests. IEEE semantics for parallel rays (t = inf/nan
     -> comparisons false -> miss) match OpenCL.
     """
-    # Pack the four per-triangle vectors: (T, 3) each.
-    # pn/vn: plane terms; pk/vk: edge terms.
-    # CRITICAL: TPU matmuls default to bf16 inputs, which breaks
-    # geometry (1e-2 t errors, false edge-test flips). Force full f32.
     def mm(a, b):
         return jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST)
 
@@ -67,19 +61,29 @@ def first_intersect(rays: Rays, tris: TrianglesSoA) -> Hits:
     strict < keeps the first minimal-t triangle on ties, which argmin
     reproduces (first occurrence of the minimum).
     """
-    t, valid = ray_tri_t(rays.p, rays.d, tris)
+    p = v3_stack(rays.p)
+    d = v3_stack(rays.d)
+    t, valid = ray_tri_t(p, d, tris)
     t_masked = jnp.where(valid, t, BIG)
     best = jnp.argmin(t_masked, axis=1)
     best_t = jnp.take_along_axis(t_masked, best[:, None], 1)[:, 0]
     any_hit = best_t < BIG
 
-    n = tris.n[best]
-    mati = tris.mati[best]
-    hit_p = rays.p + rays.d * best_t[:, None]
+    z = jnp.zeros_like(best_t)
+    safe_t = jnp.where(any_hit, best_t, 0.0)
+    n = tuple(
+        jnp.where(any_hit, jnp.take(tris.n[:, k], best), z)
+        for k in range(3)
+    )
+    hit_p = tuple(
+        jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
+        for k in range(3)
+    )
+    mati = jnp.take(tris.mati, best)
     return Hits(
         t=jnp.where(any_hit, best_t, -1.0),
-        p=jnp.where(any_hit[:, None], hit_p, 0.0),
-        n=jnp.where(any_hit[:, None], n, 0.0),
+        p=hit_p,
+        n=n,
         mati=jnp.where(any_hit, mati, 0).astype(jnp.int32),
     )
 

@@ -280,13 +280,14 @@ def _run(rays8, cnt, ids, tri_pack, tr: int, interpret: bool):
     return t_out[:, 0], i_out[:, 0]
 
 
-def pack_rays_rows(p: jnp.ndarray, d: jnp.ndarray,
-                   pad_to: int) -> jnp.ndarray:
-    """(Rpad, 8): rows [px py pz dx dy dz 0 0] (rays on sublanes)."""
-    r = p.shape[0]
+def pack_rays_rows(p, d, pad_to: int) -> jnp.ndarray:
+    """(Rpad, 8): rows [px py pz dx dy dz 0 0] (rays on sublanes).
+    p, d: V3 tuples of (R,) component arrays."""
+    r = p[0].shape[0]
     buf = jnp.zeros((pad_to, 8), jnp.float32)
-    buf = buf.at[:r, 0:3].set(p)
-    buf = buf.at[:r, 3:6].set(d)
+    for k in range(3):
+        buf = buf.at[:r, k].set(p[k])
+        buf = buf.at[:r, 3 + k].set(d[k])
     return buf
 
 
@@ -297,7 +298,7 @@ def make_cluster_intersect(tris: TrianglesSoA, *,
     scene, c, k = build_clusters(tris, cluster_size)
 
     def intersect(rays: Rays) -> Hits:
-        r = rays.p.shape[0]
+        r = rays.p[0].shape[0]
         rpad = -(-r // tr) * tr
         rays8 = pack_rays_rows(rays.p, rays.d, rpad)
         ids, cnt = _tile_cluster_lists(rays8, scene.boxes, tr)
@@ -309,13 +310,21 @@ def make_cluster_intersect(tris: TrianglesSoA, *,
             best_i[:r].astype(jnp.int32), 0, scene.tri_n.shape[0] - 1
         )
         any_hit = best_t < BIG
-        n = jnp.take(scene.tri_n, best_i, axis=0)
+        z = jnp.zeros_like(best_t)
+        safe_t = jnp.where(any_hit, best_t, 0.0)
+        n = tuple(
+            jnp.where(any_hit, jnp.take(scene.tri_n[:, k], best_i), z)
+            for k in range(3)
+        )
+        hit_p = tuple(
+            jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
+            for k in range(3)
+        )
         mati = jnp.take(scene.tri_mati, best_i, axis=0)
-        hit_p = rays.p + rays.d * best_t[:, None]
         return Hits(
             t=jnp.where(any_hit, best_t, -1.0),
-            p=jnp.where(any_hit[:, None], hit_p, 0.0),
-            n=jnp.where(any_hit[:, None], n, 0.0),
+            p=hit_p,
+            n=n,
             mati=jnp.where(any_hit, mati, 0).astype(jnp.int32),
         )
 

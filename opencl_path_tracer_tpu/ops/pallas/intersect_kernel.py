@@ -37,12 +37,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def pack_rays(p: jnp.ndarray, d: jnp.ndarray, pad_to: int) -> jnp.ndarray:
-    """(8, Rpad): [px py pz dx dy dz 0 0] rows; rays on the lane axis."""
-    r = p.shape[0]
+def pack_rays(p, d, pad_to: int) -> jnp.ndarray:
+    """(8, Rpad): [px py pz dx dy dz 0 0] rows; rays on the lane axis.
+    p, d: V3 tuples of (R,) component arrays."""
+    r = p[0].shape[0]
     buf = jnp.zeros((8, pad_to), jnp.float32)
-    buf = buf.at[0:3, :r].set(p.T)
-    buf = buf.at[3:6, :r].set(d.T)
+    for k in range(3):
+        buf = buf.at[k, :r].set(p[k])
+        buf = buf.at[3 + k, :r].set(d[k])
     return buf
 
 
@@ -135,7 +137,7 @@ def pallas_first_intersect(rays: Rays, tris: TrianglesSoA, *,
                            interpret: bool = False) -> Hits:
     """Closest hit via the fused kernel. Matches
     ops.intersect.first_intersect results."""
-    r = rays.p.shape[0]
+    r = rays.p[0].shape[0]
     t_count = tris.count
 
     if tri_pack is None:
@@ -150,13 +152,21 @@ def pallas_first_intersect(rays: Rays, tris: TrianglesSoA, *,
     best_i = jnp.clip(best_i[:r].astype(jnp.int32), 0, t_count - 1)
 
     any_hit = best_t < BIG
-    n = jnp.take(tris.n, best_i, axis=0)
+    z = jnp.zeros_like(best_t)
+    safe_t = jnp.where(any_hit, best_t, 0.0)
+    n = tuple(
+        jnp.where(any_hit, jnp.take(tris.n[:, k], best_i), z)
+        for k in range(3)
+    )
+    hit_p = tuple(
+        jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
+        for k in range(3)
+    )
     mati = jnp.take(tris.mati, best_i, axis=0)
-    hit_p = rays.p + rays.d * best_t[:, None]
     return Hits(
         t=jnp.where(any_hit, best_t, -1.0),
-        p=jnp.where(any_hit[:, None], hit_p, 0.0),
-        n=jnp.where(any_hit[:, None], n, 0.0),
+        p=hit_p,
+        n=n,
         mati=jnp.where(any_hit, mati, 0).astype(jnp.int32),
     )
 

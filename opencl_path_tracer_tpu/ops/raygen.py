@@ -3,7 +3,8 @@
 The reference launches one work-item per pixel over a 1D range; here the
 whole framebuffer is a single vectorized computation: ids are a lane
 dimension, two RNG draws jitter the sample position inside the pixel,
-and the pinhole projection is pure VPU arithmetic.
+and the pinhole projection is pure VPU arithmetic over 1-D component
+arrays (see core/types.py on why (N, 3) layouts are avoided).
 """
 
 from __future__ import annotations
@@ -12,7 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from opencl_path_tracer_tpu.core.camera import Camera
-from opencl_path_tracer_tpu.core.types import Rays
+from opencl_path_tracer_tpu.core.types import Rays, vnormalize
 
 
 def camera_rays(cam: Camera, ids: jnp.ndarray, rnd1: jnp.ndarray,
@@ -26,14 +27,17 @@ def camera_rays(cam: Camera, ids: jnp.ndarray, rnd1: jnp.ndarray,
     y_dim = cam.ym.astype(jnp.int32)
     x = (ids % x_dim).astype(jnp.float32) + rnd1
     y = (ids // x_dim).astype(jnp.float32) + rnd2
-    xf = x_dim.astype(jnp.float32)
-    yf = y_dim.astype(jnp.float32)
-    right = cam.right[None, :] * (2.0 * x / xf - 1.0)[:, None]
-    up = cam.up[None, :] * (2.0 * y / yf - 1.0)[:, None]
-    p = cam.lookat[None, :] + right + up
-    d = p - cam.eye[None, :]
-    d = d / jnp.sqrt(jnp.sum(d * d, -1, keepdims=True))
-    origins = jnp.broadcast_to(cam.eye[None, :], d.shape)
+    sx = 2.0 * x / cam.xm - 1.0          # (N,)
+    sy = 2.0 * y / cam.ym - 1.0
+
+    d = tuple(
+        cam.lookat[k] + cam.right[k] * sx + cam.up[k] * sy - cam.eye[k]
+        for k in range(3)
+    )
+    d = vnormalize(d)
+    origins = tuple(
+        jnp.broadcast_to(cam.eye[k], d[0].shape) for k in range(3)
+    )
     return Rays(p=origins, d=d)
 
 
@@ -53,8 +57,7 @@ def tile_major_ids(width: int, height: int, tile_w: int = 16,
     direction bounds than scanline strips, which is what the cluster
     intersector's per-tile conservative culling feeds on (a 256-pixel
     strip spans a quarter of a scanline; a 16x16 tile spans 1/64 of the
-    screen in both axes). Pads to tile multiples are avoided by
-    requiring divisibility.
+    screen in both axes).
     """
     assert width % tile_w == 0 and height % tile_h == 0, (
         f"{width}x{height} not divisible by {tile_w}x{tile_h} tiles"

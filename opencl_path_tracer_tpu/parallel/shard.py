@@ -41,7 +41,7 @@ def shard_state(state: TraceState, mesh: Mesh) -> TraceState:
     """Place a TraceState with its pixel axis sharded over the mesh."""
     sh = NamedSharding(mesh, P(RENDER_AXIS))
     return TraceState(
-        colors=jax.device_put(state.colors, sh),
+        colors=tuple(jax.device_put(c, sh) for c in state.colors),
         rng_state=jax.device_put(state.rng_state, sh),
         sample=jax.device_put(
             state.sample, NamedSharding(mesh, P())
@@ -61,7 +61,7 @@ def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
     n_dev = mesh.devices.size
 
     def per_shard(state: TraceState) -> tuple[TraceState, jnp.ndarray]:
-        n_local = state.colors.shape[0]
+        n_local = state.rng_state.shape[0]
         shard = jax.lax.axis_index(RENDER_AXIS)
         ids = shard.astype(jnp.int32) * n_local + jnp.arange(
             n_local, dtype=jnp.int32
@@ -71,12 +71,15 @@ def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
             intersect_fn=intersect_fn, iterations=iterations,
             mode=mode, key=key, ids=ids,
         )
-        lum = jax.lax.psum(jnp.sum(new.colors), RENDER_AXIS)
+        lum = jax.lax.psum(
+            sum(jnp.sum(c) for c in new.colors), RENDER_AXIS
+        )
         total_px = jnp.float32(n_local * n_dev * 3)
         return new, lum / total_px
 
     state_spec = TraceState(
-        colors=P(RENDER_AXIS), rng_state=P(RENDER_AXIS), sample=P()
+        colors=(P(RENDER_AXIS),) * 3,
+        rng_state=P(RENDER_AXIS), sample=P(),
     )
     fn = shard_map(
         per_shard, mesh=mesh,
@@ -100,8 +103,9 @@ def make_sample_sharded_render(cam: Camera, mats: MaterialsSoA,
 
     def per_shard() -> jnp.ndarray:
         shard = jax.lax.axis_index(RENDER_AXIS)
+        z = jnp.zeros((num_pixels,), jnp.float32)
         state = megakernel.TraceState(
-            colors=jnp.zeros((num_pixels, 3), jnp.float32),
+            colors=(z, z, z),
             rng_state=jnp.zeros((num_pixels,), jnp.uint32),
             sample=jnp.int32(0),
         )
@@ -117,7 +121,9 @@ def make_sample_sharded_render(cam: Camera, mats: MaterialsSoA,
         state = jax.lax.fori_loop(0, samples_per_device, body, state)
         # state.colors is the mean of this chip's samples; the global
         # mean is the mean over chips (equal sample counts).
-        return jax.lax.pmean(state.colors, RENDER_AXIS)
+        return jax.lax.pmean(
+            jnp.stack(state.colors, axis=-1), RENDER_AXIS
+        )
 
     fn = shard_map(per_shard, mesh=mesh, in_specs=(), out_specs=P(),
                    check_vma=False)
@@ -125,5 +131,8 @@ def make_sample_sharded_render(cam: Camera, mats: MaterialsSoA,
 
 
 def gather_colors(state: TraceState) -> jnp.ndarray:
-    """Fetch the (possibly sharded) framebuffer to the host."""
-    return jax.device_get(state.colors)
+    """Fetch the (possibly sharded) framebuffer to the host, (N, 3)."""
+    import numpy as np
+    return np.stack(
+        [np.asarray(jax.device_get(c)) for c in state.colors], axis=-1
+    )

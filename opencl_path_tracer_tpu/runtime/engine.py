@@ -103,10 +103,10 @@ class RenderEngine:
         step = self._step(st.iterations)
         self.state = step(self.state, cam)
         sample = int(self.state.sample)
-        if st.real_time:
-            jax.block_until_ready(self.state.colors)
-        elif sample % 3 == 0:  # offline cadence (main.cpp:679-680)
-            jax.block_until_ready(self.state.colors)
+        if st.real_time or sample % 3 == 0:
+            # realtime blocks per frame; offline syncs every 3rd sample
+            # (main.cpp:670-681).
+            jax.block_until_ready(self.state.colors[0])
         self.meter.tick(
             sample, iterations=st.iterations, real_time=st.real_time,
             rays_traced=self.estimated_rays(sample),
@@ -120,7 +120,7 @@ class RenderEngine:
         for i in range(spp):
             self.state = step(self.state, cam)
             if (i + 1) % 3 == 0 or i == spp - 1:
-                jax.block_until_ready(self.state.colors)
+                jax.block_until_ready(self.state.colors[0])
             if progress:
                 self.meter.tick(
                     int(self.state.sample),
@@ -141,6 +141,10 @@ class RenderEngine:
             sample=jax.numpy.int32(0),
         )
 
+    @property
+    def _colors_np(self) -> np.ndarray:
+        return np.asarray(megakernel.colors_array(self.state))
+
     def estimated_rays(self, samples: int) -> float:
         """Rays traced so far, using a one-off instrumented calibration."""
         if self._rays_per_sample is None:
@@ -159,7 +163,7 @@ class RenderEngine:
     def image(self, apply_tonemap: bool | str = True) -> np.ndarray:
         """(H, W, 3) display image, y flipped to top-down raster order
         (the reference framebuffer is GL bottom-up)."""
-        colors = np.asarray(self.state.colors).reshape(
+        colors = self._colors_np.reshape(
             self.cfg.height, self.cfg.width, 3
         )
         if apply_tonemap:

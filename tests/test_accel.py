@@ -29,7 +29,7 @@ def _random_rays(r, seed=1, spread=14.0):
     p = rs.uniform(-spread, spread, size=(r, 3)).astype(np.float32)
     d = rs.normal(size=(r, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    return Rays(p=jnp.asarray(p), d=jnp.asarray(d))
+    return Rays.make(jnp.asarray(p), jnp.asarray(d))
 
 
 def _check_matches_bruteforce(bvh, tris, rays, rtol=1e-4):
@@ -70,10 +70,12 @@ def test_lbvh_matches_bruteforce():
 def test_lbvh_on_cornell():
     scene = library.cornell_box(with_spheres=True)
     bvh = build_lbvh(scene.tris)
-    rays = _random_rays(400, seed=7, spread=900.0)
-    # Recenter origins into the box.
-    p = np.asarray(rays.p) * 0.5 + np.asarray([500.0, 500.0, 0.0])
-    rays = Rays(p=jnp.asarray(p.astype(np.float32)), d=rays.d)
+    rs = np.random.default_rng(7)
+    p = (rs.uniform(-450, 450, size=(400, 3))
+         + np.asarray([500.0, 500.0, 0.0])).astype(np.float32)
+    d = rs.normal(size=(400, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays.make(jnp.asarray(p), jnp.asarray(d))
     _check_matches_bruteforce(bvh, scene.tris, rays)
 
 
@@ -131,9 +133,9 @@ def test_degenerate_identical_midpoints():
         lambda: build_lbvh(tris),
     ):
         bvh = builder()
-        rays = Rays(
-            p=jnp.asarray([[0.2, 0.2, -1.0]], jnp.float32),
-            d=jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+        rays = Rays.make(
+            jnp.asarray([[0.2, 0.2, -1.0]], jnp.float32),
+            jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
         )
         hits = make_bvh_intersect(bvh)(rays)
         assert float(hits.t[0]) > 0

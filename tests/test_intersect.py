@@ -19,7 +19,7 @@ def _tri_xy():
 def _rays(p, d):
     p = jnp.asarray(p, jnp.float32).reshape(-1, 3)
     d = jnp.asarray(d, jnp.float32).reshape(-1, 3)
-    return Rays(p=p, d=d)
+    return Rays.make(p, d)
 
 
 def test_hit_center():
@@ -28,9 +28,10 @@ def test_hit_center():
         _rays([0.25, 0.25, -2.0], [0.0, 0.0, 1.0]), tris
     )
     assert float(hits.t[0]) == 2.0
-    np.testing.assert_allclose(np.asarray(hits.p[0]), [0.25, 0.25, 0.0],
-                               atol=1e-6)
-    np.testing.assert_allclose(np.asarray(hits.n[0]), [0, 0, 1], atol=1e-6)
+    pt = [float(hits.p[k][0]) for k in range(3)]
+    np.testing.assert_allclose(pt, [0.25, 0.25, 0.0], atol=1e-6)
+    nrm = [float(hits.n[k][0]) for k in range(3)]
+    np.testing.assert_allclose(nrm, [0, 0, 1], atol=1e-6)
     assert int(hits.mati[0]) == 5
 
 

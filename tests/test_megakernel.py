@@ -12,6 +12,12 @@ from opencl_path_tracer_tpu.ops import intersect
 from opencl_path_tracer_tpu.scene import library
 
 
+def _c(state_or_colors):
+    """(N, 3) array from a V3 colors tuple or a state holding one."""
+    c = getattr(state_or_colors, "colors", state_or_colors)
+    return np.stack([np.asarray(x) for x in c], axis=-1)
+
+
 def _cornell_setup(w=32, h=32, with_spheres=False):
     scene = library.cornell_box(with_spheres=with_spheres)
     cam = library.cornell_camera(w, h)
@@ -25,7 +31,7 @@ def test_preview_mode_shapes_and_values():
         cam, scene.mats, intersect_fn=isect, num_pixels=32 * 32,
         iterations=1, spp=1, mode="parity",
     )
-    img = np.asarray(state.colors).reshape(32, 32, 3)
+    img = _c(state).reshape(32, 32, 3)
     assert img.shape == (32, 32, 3)
     assert int(state.sample) == 1
     # Preview shows kd+emission: box walls have kd in {0.3, 0.1}; pixels
@@ -46,8 +52,8 @@ def test_progressive_average_accumulates():
                            num_pixels=32 * 32, iterations=2, spp=4,
                            mode="parity")
     # More samples -> lower variance but similar mean (diffuse-only box).
-    m1 = np.asarray(s1.colors).mean()
-    m4 = np.asarray(s4.colors).mean()
+    m1 = _c(s1).mean()
+    m4 = _c(s4).mean()
     assert m4 > 0
     assert abs(m1 - m4) / max(m4, 1e-9) < 0.6
 
@@ -76,8 +82,8 @@ def test_parity_mode_deterministic():
     b = megakernel.render(cam, scene.mats, intersect_fn=isect,
                           num_pixels=16 * 16, iterations=3, spp=2,
                           mode="parity")
-    np.testing.assert_array_equal(np.asarray(a.colors),
-                                  np.asarray(b.colors))
+    np.testing.assert_array_equal(_c(a),
+                                  _c(b))
     np.testing.assert_array_equal(np.asarray(a.rng_state),
                                   np.asarray(b.rng_state))
 
@@ -90,8 +96,8 @@ def test_fast_mode_runs_and_converges_similarly():
     fast = megakernel.render(cam, scene.mats, intersect_fn=isect,
                              num_pixels=24 * 24, iterations=4, spp=24,
                              mode="fast", seed=3)
-    a = np.asarray(par.colors)
-    b = np.asarray(fast.colors)
+    a = _c(par)
+    b = _c(fast)
     # Same scene, different samplers: image means should agree loosely.
     assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-9) < 0.25
 
@@ -101,7 +107,7 @@ def test_emitter_contributes_light():
     state = megakernel.render(cam, scene.mats, intersect_fn=isect,
                               num_pixels=24 * 24, iterations=4, spp=8,
                               mode="parity")
-    img = np.asarray(state.colors)
+    img = _c(state)
     assert img.mean() > 1e-3  # light reached the film
     assert np.all(np.isfinite(img))
 
@@ -115,7 +121,7 @@ def test_golden_statistics():
     state = megakernel.render(cam, scene.mats, intersect_fn=isect,
                               num_pixels=16 * 16, iterations=2, spp=4,
                               mode="parity")
-    img = np.asarray(state.colors)
+    img = _c(state)
     stats = np.array([img.mean(), img.std(), img.max()])
     golden = np.load("tests/golden/cornell_16x16_i2_s4.npy")
     np.testing.assert_allclose(stats, golden[:3], rtol=1e-5)

@@ -95,7 +95,7 @@ def test_native_bvh_matches_bruteforce():
     p = rs.uniform(-12, 12, size=(300, 3)).astype(np.float32)
     d = rs.normal(size=(300, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    rays = Rays(p=jnp.asarray(p), d=jnp.asarray(d))
+    rays = Rays.make(jnp.asarray(p), jnp.asarray(d))
 
     brute = intersect.first_intersect(rays, tris)
     fast = make_bvh_intersect(bvh)(rays)

@@ -28,7 +28,7 @@ def _rays(r, seed=1):
     p = rs.uniform(-12, 12, size=(r, 3)).astype(np.float32)
     d = rs.normal(size=(r, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    return Rays(p=jnp.asarray(p), d=jnp.asarray(d))
+    return Rays.make(jnp.asarray(p), jnp.asarray(d))
 
 
 def _assert_matches(fast, brute, rtol=1e-3):
@@ -81,9 +81,12 @@ def test_cluster_build_structure():
 def test_cluster_kernel_on_cornell():
     from opencl_path_tracer_tpu.scene import library
     scene = library.cornell_box(with_spheres=True)
-    rays = _rays(600, seed=11)
-    p = np.asarray(rays.p) * 40 + np.asarray([500.0, 500.0, 100.0])
-    rays = Rays(p=jnp.asarray(p.astype(np.float32)), d=rays.d)
+    rs = np.random.default_rng(11)
+    p = (rs.uniform(-12, 12, size=(600, 3)) * 40
+         + np.asarray([500.0, 500.0, 100.0])).astype(np.float32)
+    d = rs.normal(size=(600, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays.make(jnp.asarray(p), jnp.asarray(d))
     fast = make_cluster_intersect(scene.tris, interpret=True)(rays)
     brute = intersect.first_intersect(rays, scene.tris)
     _assert_matches(fast, brute)

@@ -18,6 +18,12 @@ from opencl_path_tracer_tpu.parallel.shard import shard_state
 from opencl_path_tracer_tpu.scene import library
 
 
+def _c(state_or_colors):
+    """(N, 3) array from a V3 colors tuple or a state holding one."""
+    c = getattr(state_or_colors, "colors", state_or_colors)
+    return np.stack([np.asarray(x) for x in c], axis=-1)
+
+
 def _setup(w=32, h=32):
     scene = library.cornell_box(with_spheres=False)
     cam = library.cornell_camera(w, h)
@@ -52,14 +58,14 @@ def test_tiled_step_matches_single_device_parity():
         state, lum = step(state)
 
     np.testing.assert_array_equal(
-        np.asarray(ref.colors), np.asarray(state.colors)
+        _c(ref), _c(state)
     )
     np.testing.assert_array_equal(
         np.asarray(ref.rng_state), np.asarray(state.rng_state)
     )
     # The psum'd luminance equals the global mean.
     np.testing.assert_allclose(
-        float(lum), float(np.asarray(state.colors).mean()), rtol=1e-5
+        float(lum), float(_c(state).mean()), rtol=1e-5
     )
 
 
@@ -80,7 +86,7 @@ def test_sample_sharded_render_converges():
         cam, scene.mats, intersect_fn=isect, num_pixels=w * h,
         iterations=3, spp=32, mode="fast", key=key,
     )
-    a, b = img8, np.asarray(ref.colors)
+    a, b = img8, _c(ref)
     # Different sample->draw mapping, same estimator: means must agree.
     assert a.shape == b.shape == (w * h, 3)
     assert abs(a.mean() - b.mean()) / b.mean() < 0.15

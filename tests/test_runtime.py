@@ -14,6 +14,12 @@ from opencl_path_tracer_tpu.runtime.meter import PerfMeter
 from opencl_path_tracer_tpu.scene import library
 
 
+def _c(state_or_colors):
+    """(N, 3) array from a V3 colors tuple or a state holding one."""
+    c = getattr(state_or_colors, "colors", state_or_colors)
+    return np.stack([np.asarray(x) for x in c], axis=-1)
+
+
 def _cfg(**kw):
     base = dict(
         width=24, height=24, iterations=2, spp=2, mode="parity",
@@ -46,14 +52,10 @@ def test_engine_checkpoint_roundtrip(tmp_path):
 
     eng2 = RenderEngine(scene, _cfg())
     eng2.load(str(p))
-    np.testing.assert_array_equal(
-        np.asarray(eng.state.colors), np.asarray(eng2.state.colors)
-    )
+    np.testing.assert_array_equal(_c(eng.state), _c(eng2.state))
     eng.render(2, progress=False)
     eng2.render(2, progress=False)
-    np.testing.assert_array_equal(
-        np.asarray(eng.state.colors), np.asarray(eng2.state.colors)
-    )
+    np.testing.assert_array_equal(_c(eng.state), _c(eng2.state))
 
 
 def test_engine_interactive_frame_and_reset():

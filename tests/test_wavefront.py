@@ -11,6 +11,12 @@ from opencl_path_tracer_tpu.ops import intersect
 from opencl_path_tracer_tpu.scene import library
 
 
+def _c(state_or_colors):
+    """(N, 3) array from a V3 colors tuple or a state holding one."""
+    c = getattr(state_or_colors, "colors", state_or_colors)
+    return np.stack([np.asarray(x) for x in c], axis=-1)
+
+
 def _setup(w=24, h=24):
     scene = library.cornell_box(with_spheres=False)
     cam = library.cornell_camera(w, h)
@@ -33,7 +39,7 @@ def test_wavefront_matches_megakernel_parity():
     )
     assert int(np.asarray(wf.samples).min()) == spp
     assert int(np.asarray(wf.samples).max()) == spp
-    a, b = np.asarray(mk.colors), np.asarray(wf.colors)
+    a, b = _c(mk), _c(wf)
     # Same math, same RNG draws; the two compiled graphs may reassociate
     # float adds differently, so allow last-ulp wiggle but require the
     # overwhelming majority to be bit-identical.
@@ -57,8 +63,8 @@ def test_wavefront_free_running_unbiased():
         cam, scene.mats, intersect_fn=isect, num_pixels=w * h,
         iterations=3, spp=32, mode="fast", seed=2,
     )
-    a = np.asarray(wf.colors).mean()
-    b = np.asarray(mk.colors).mean()
+    a = _c(wf).mean()
+    b = _c(mk).mean()
     assert abs(a - b) / max(b, 1e-9) < 0.2
 
 
