@@ -105,7 +105,7 @@ def main() -> int:
                     ids=ids,
                 )
             st = jax.lax.fori_loop(0, k, body, state)
-            return st, jnp.sum(st.colors[:8])
+            return st, jnp.sum(st.colors[0][:8])
 
         t0 = time.time()
         state, _ = run(state, 2)
@@ -141,13 +141,13 @@ def main() -> int:
         state, stats = step_stats(state)
         rays_per_sample = float(stats["rays_traced"])
         state = step(state)
-        float(jnp.sum(state.colors[:4]))
+        float(jnp.sum(state.colors[0][:4]))
         print(f"# warmup+compile {time.time()-t0:.1f}s; "
               f"avg path len {rays_per_sample/n:.2f}", file=sys.stderr)
         t0 = time.time()
         for _ in range(args.steps):
             state = step(state)
-        float(jnp.sum(state.colors[:4]))
+        float(jnp.sum(state.colors[0][:4]))
         dt = time.time() - t0
         total_rays = rays_per_sample * args.steps
         spp_done = float(state.sample)

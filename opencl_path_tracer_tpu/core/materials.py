@@ -71,6 +71,23 @@ class MaterialsSoA:
         """Per-ray material fetch: component-wise 1-D gathers."""
         return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), self)
 
+    def take_select(self, idx) -> "MaterialsSoA":
+        """Per-ray material fetch as static where-chains — M is small
+        (10 archetypes; tens for OBJ scenes), and TPU gathers cost ~10ms
+        per 2M-element fetch while M-1 selects on (R,) lanes are ~free.
+        Falls back to gathers past 64 materials."""
+        m = self.count
+        if m > 64:
+            return self.take(idx)
+
+        def sel(tab):
+            acc = jnp.full(idx.shape, tab[0], tab.dtype)
+            for j in range(1, m):
+                acc = jnp.where(idx == j, tab[j], acc)
+            return acc
+
+        return jax.tree.map(sel, self)
+
 
 def make_material(kd, ks, emission, N, K, shininess, type) -> dict:
     """One material row as plain numpy, reference ctor semantics

@@ -88,12 +88,12 @@ def _draws_parity(state, need1, need2):
     return state2, u1, u2
 
 
-def shade(cam: Camera, mats: MaterialsSoA, hit: Hits, ray_p: V3,
+def shade(cam: Camera, mat: MaterialsSoA, hit: Hits, ray_p: V3,
           ray_d: V3, inside, r1, r2, has_hit):
     """One bounce of the reference dispatch (prog.cl:326-366), all
-    branches computed and selected. Returns a dict of updates shared by
+    branches computed and selected. `mat` is the per-ray material fetch
+    (mats.take_select(hit.mati)). Returns a dict of updates shared by
     the megakernel and wavefront models."""
-    mat = mats.take(hit.mati)
     mtype = mat.type
 
     # Flip normal toward the incoming ray (prog.cl:326-328).
@@ -215,7 +215,8 @@ def trace_sample(
 
         # RNG draws: diffuse/emitter take 2, refractive takes 1
         # (prog.cl:330, :349, :361).
-        mtype = jnp.take(mats.type, hit.mati)
+        mat = mats.take_select(hit.mati)
+        mtype = mat.type
         is_d_or_e = has_hit & ((mtype == 0) | (mtype == 3))
         if mode == "parity":
             need1 = is_d_or_e | (has_hit & (mtype == 2))
@@ -226,7 +227,7 @@ def trace_sample(
             u = rng.fast_uniforms(tile_key, s_idx, b + 1, (n,), 2)
             r1, r2 = u[:, 0], u[:, 1]
 
-        s = shade(cam, mats, hit, ray_p, ray_d, inside, r1, r2, has_hit)
+        s = shade(cam, mat, hit, ray_p, ray_d, inside, r1, r2, has_hit)
 
         # Preview mode (prog.cl:323-325): iterations==1 -> flat shading.
         if iterations == 1:

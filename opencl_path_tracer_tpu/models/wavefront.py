@@ -130,7 +130,8 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
 
     # --- bounce draws (2 diffuse/emit, 1 refr; prog.cl:330,349,361) ---
     rng_state = st.rng_state
-    mtype = jnp.take(mats.type, hit.mati)
+    mat = mats.take_select(hit.mati)
+    mtype = mat.type
     is_d_or_e = has_hit & ((mtype == 0) | (mtype == 3))
     if mode == "parity":
         need1 = is_d_or_e | (has_hit & (mtype == 2))
@@ -139,7 +140,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         u = rng.fast_uniforms(key, st.step, 0, (n,), 2)
         r1, r2 = u[:, 0], u[:, 1]
 
-    s = shade(cam, mats, hit, st.ray_p, st.ray_d, st.inside, r1, r2,
+    s = shade(cam, mat, hit, st.ray_p, st.ray_d, st.inside, r1, r2,
               has_hit)
     cur_color = st.cur_color
     if iterations == 1:  # preview (prog.cl:323-325)

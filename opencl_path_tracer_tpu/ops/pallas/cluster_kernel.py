@@ -57,9 +57,12 @@ def _register(cls):
 @dataclasses.dataclass(frozen=True)
 class ClusterScene:
     boxes: jnp.ndarray     # (C, 8) f32 [lo3 hi3 0 0]; pad: lo=+BIG,hi=-BIG
-    tri_pack: jnp.ndarray  # (C, 16, K) field-rows x tri-lanes per cluster
-    tri_n: jnp.ndarray     # (C*K, 3) Morton order (hit records)
-    tri_mati: jnp.ndarray  # (C*K,) int32
+    # (C, 24, K) field-rows x tri-lanes per cluster: rows 0-15 are the
+    # intersection constants, row 16 is the material id (float-exact),
+    # rows 17-23 pad the sublane dim to a tile multiple. The kernel
+    # returns the winner's normal (rows 0-2) and material directly, so
+    # hit assembly needs NO gathers (TPU gathers cost ~10ms/2M rays).
+    tri_pack: jnp.ndarray
 
 
 def build_clusters(tris: TrianglesSoA, cluster_size: int = 128
@@ -97,9 +100,16 @@ def build_clusters(tris: TrianglesSoA, cluster_size: int = 128
         axis=1,
     ).astype(jnp.float32)[safe]
     pack = jnp.where(pad_mask[:, None], 0.0, pack)
-    # (C*K, 16) -> (C, K, 16) -> (C, 16, K): fields on sublanes,
-    # triangles on lanes (dense VMEM tiles).
-    pack3 = pack.reshape(c, k, 16).transpose(0, 2, 1)
+    mati_f = jnp.where(
+        pad_mask, 0.0, tris.mati[safe].astype(jnp.float32)
+    )
+    pack = jnp.concatenate(
+        [pack, mati_f[:, None],
+         jnp.zeros((total, 7), jnp.float32)], axis=1
+    )  # (C*K, 24)
+    # -> (C, K, 24) -> (C, 24, K): fields on sublanes, triangles on
+    # lanes (dense VMEM tiles).
+    pack3 = pack.reshape(c, k, 24).transpose(0, 2, 1)
 
     lo_r = jnp.where(pad_mask[:, None], BIG, lo[safe])
     hi_r = jnp.where(pad_mask[:, None], -BIG, hi[safe])
@@ -109,13 +119,7 @@ def build_clusters(tris: TrianglesSoA, cluster_size: int = 128
         [c_lo, c_hi, jnp.zeros((c, 2), jnp.float32)], axis=1
     )
 
-    tri_n = jnp.where(pad_mask[:, None], 0.0, tris.n[safe])
-    tri_mati = jnp.where(pad_mask, 0, tris.mati[safe]).astype(jnp.int32)
-    return (
-        ClusterScene(boxes=boxes, tri_pack=pack3, tri_n=tri_n,
-                     tri_mati=tri_mati),
-        c, k,
-    )
+    return ClusterScene(boxes=boxes, tri_pack=pack3), c, k
 
 
 # --------------------------------------------------------------------------
@@ -200,20 +204,26 @@ def _tile_cluster_lists(rays8: jnp.ndarray, boxes: jnp.ndarray,
 # Phase B: branchless per-tile triangle tests (Pallas).
 
 
-def _kernel(ray_ref, cnt_ref, ids_ref, tri_ref, t_ref, i_ref):
+def _kernel(ray_ref, cnt_ref, ids_ref, tri_ref, t_ref, i_ref,
+            nx_ref, ny_ref, nz_ref, m_ref):
     k = tri_ref.shape[2]
     tr = ray_ref.shape[0]
 
     rays = ray_ref[:]                       # (TR, 8)
     px, py, pz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]   # (TR, 1)
     dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     t_ref[:] = jnp.full((tr, 1), BIG, jnp.float32)
     i_ref[:] = jnp.zeros((tr, 1), jnp.float32)
+    nx_ref[:] = jnp.zeros((tr, 1), jnp.float32)
+    ny_ref[:] = jnp.zeros((tr, 1), jnp.float32)
+    nz_ref[:] = jnp.zeros((tr, 1), jnp.float32)
+    m_ref[:] = jnp.zeros((tr, 1), jnp.float32)
 
     def body(slot, _):
         ci = ids_ref[0, 0, slot]
-        blk = tri_ref[ci]                   # (16, K)
+        blk = tri_ref[ci]                   # (24, K)
 
         def row(j):
             return blk[j:j + 1, :]          # (1, K)
@@ -239,9 +249,21 @@ def _kernel(ray_ref, cnt_ref, ids_ref, tri_ref, t_ref, i_ref):
         tmin_k = jnp.min(tm, axis=1, keepdims=True)      # (TR, 1)
         local = jnp.argmin(tm, axis=1).reshape(tr, 1)
         gidx = (ci * k + local).astype(jnp.float32)
+
+        # Winner attributes, extracted with a lane one-hot (no gathers).
+        onehot = (lane == local).astype(jnp.float32)     # (TR, K)
+        win_nx = jnp.sum(onehot * row(0), axis=1, keepdims=True)
+        win_ny = jnp.sum(onehot * row(1), axis=1, keepdims=True)
+        win_nz = jnp.sum(onehot * row(2), axis=1, keepdims=True)
+        win_m = jnp.sum(onehot * row(16), axis=1, keepdims=True)
+
         better = tmin_k < t_ref[:]
         t_ref[:] = jnp.where(better, tmin_k, t_ref[:])
         i_ref[:] = jnp.where(better, gidx, i_ref[:])
+        nx_ref[:] = jnp.where(better, win_nx, nx_ref[:])
+        ny_ref[:] = jnp.where(better, win_ny, ny_ref[:])
+        nz_ref[:] = jnp.where(better, win_nz, nz_ref[:])
+        m_ref[:] = jnp.where(better, win_m, m_ref[:])
         return 0
 
     jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body, 0)
@@ -252,7 +274,7 @@ def _run(rays8, cnt, ids, tri_pack, tr: int, interpret: bool):
     rpad = rays8.shape[0]
     c = tri_pack.shape[0]
     k = tri_pack.shape[2]
-    t_out, i_out = pl.pallas_call(
+    outs = pl.pallas_call(
         _kernel,
         grid=(rpad // tr,),
         in_specs=[
@@ -262,22 +284,19 @@ def _run(rays8, cnt, ids, tri_pack, tr: int, interpret: bool):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, c), lambda rt: (rt, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((c, 16, k), lambda rt: (0, 0, 0),
+            pl.BlockSpec((c, 24, k), lambda rt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tr, 1), lambda rt: (rt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, 1), lambda rt: (rt, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] * 6,
         out_shape=[
             jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
-        ],
+        ] * 6,
         interpret=interpret,
     )(rays8, cnt, ids, tri_pack)
-    return t_out[:, 0], i_out[:, 0]
+    return tuple(o[:, 0] for o in outs)
 
 
 def pack_rays_rows(p, d, pad_to: int) -> jnp.ndarray:
@@ -302,30 +321,24 @@ def make_cluster_intersect(tris: TrianglesSoA, *,
         rpad = -(-r // tr) * tr
         rays8 = pack_rays_rows(rays.p, rays.d, rpad)
         ids, cnt = _tile_cluster_lists(rays8, scene.boxes, tr)
-        best_t, best_i = _run(
+        best_t, _best_i, nx, ny, nz, m = _run(
             rays8, cnt, ids, scene.tri_pack, tr, interpret
         )
         best_t = best_t[:r]
-        best_i = jnp.clip(
-            best_i[:r].astype(jnp.int32), 0, scene.tri_n.shape[0] - 1
-        )
         any_hit = best_t < BIG
         z = jnp.zeros_like(best_t)
         safe_t = jnp.where(any_hit, best_t, 0.0)
-        n = tuple(
-            jnp.where(any_hit, jnp.take(scene.tri_n[:, k], best_i), z)
-            for k in range(3)
-        )
         hit_p = tuple(
             jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
             for k in range(3)
         )
-        mati = jnp.take(scene.tri_mati, best_i, axis=0)
         return Hits(
             t=jnp.where(any_hit, best_t, -1.0),
             p=hit_p,
-            n=n,
-            mati=jnp.where(any_hit, mati, 0).astype(jnp.int32),
+            n=(nx[:r], ny[:r], nz[:r]),
+            mati=jnp.where(
+                any_hit, m[:r], 0.0
+            ).astype(jnp.int32),
         )
 
     return intersect

@@ -64,15 +64,15 @@ def test_cluster_build_structure():
     tris = _scene(500, seed=9)
     scene, c, k = build_clusters(tris, 64)
     assert c == -(-500 // 64)
-    # (C, 16, K): fields on sublanes, triangles on lanes.
-    assert scene.tri_pack.shape == (c, 16, k)
+    # (C, 24, K): 16 constants + mati row + pad, triangles on lanes.
+    assert scene.tri_pack.shape == (c, 24, k)
     boxes = np.asarray(scene.boxes)
     # Non-pad clusters have lo <= hi on every axis.
     real = boxes[:, 0] <= boxes[:, 3]
     assert real.sum() >= 500 // 64
     # Padding rows are degenerate (n = 0 -> never hit).
     pack_n = np.asarray(
-        scene.tri_pack.transpose(0, 2, 1).reshape(c * k, 16)[:, 0:3]
+        scene.tri_pack.transpose(0, 2, 1).reshape(c * k, 24)[:, 0:3]
     )
     nonpad = (np.abs(pack_n).sum(1) > 0)
     assert nonpad.sum() == 500
