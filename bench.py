@@ -40,6 +40,8 @@ def main() -> int:
                     choices=["wavefront", "megakernel"])
     ap.add_argument("--accel", default="cluster",
                     choices=["cluster", "bvh", "bruteforce", "pallas"])
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="wavefront steps per device program")
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
     n = w * h
@@ -113,7 +115,13 @@ def main() -> int:
         print(f"# warmup+compile {time.time()-t0:.1f}s",
               file=sys.stderr)
         t0 = time.time()
-        state, chk = run(state, args.steps)
+        # Chunk device programs so no single execution risks the device
+        # watchdog on slow (incoherent) workloads.
+        done = 0
+        while done < args.steps:
+            k = min(args.chunk, args.steps - done)
+            state, chk = run(state, k)
+            done += k
         float(chk)  # dependent fetch = real sync
         dt = time.time() - t0
         # Every lane traces exactly one live ray per step.

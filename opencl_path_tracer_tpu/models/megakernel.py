@@ -198,7 +198,7 @@ def trace_sample(
     else:
         tile_key = jax.random.fold_in(key, ids[0].astype(jnp.uint32))
         u = rng.fast_uniforms(tile_key, s_idx, 0, (n,), 2)
-        r1, r2 = u[:, 0], u[:, 1]
+        r1, r2 = u[0], u[1]
         rng_state = state.rng_state
     rays = raygen.camera_rays(cam, ids, r1, r2)
 
@@ -225,7 +225,7 @@ def trace_sample(
             )
         else:
             u = rng.fast_uniforms(tile_key, s_idx, b + 1, (n,), 2)
-            r1, r2 = u[:, 0], u[:, 1]
+            r1, r2 = u[0], u[1]
 
         s = shade(cam, mat, hit, ray_p, ray_d, inside, r1, r2, has_hit)
 

@@ -91,7 +91,7 @@ def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
         )
     else:
         u = rng.fast_uniforms(key, 0, 0, (n,), 2)
-        r1, r2 = u[:, 0], u[:, 1]
+        r1, r2 = u[0], u[1]
     rays = raygen.camera_rays(cam, ids, r1, r2)
     ones = tuple(jnp.ones((n,), jnp.float32) for _ in range(3))
     zeros = tuple(jnp.zeros((n,), jnp.float32) for _ in range(3))
@@ -138,7 +138,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         rng_state, r1, r2 = _draws_parity(rng_state, need1, is_d_or_e)
     else:
         u = rng.fast_uniforms(key, st.step, 0, (n,), 2)
-        r1, r2 = u[:, 0], u[:, 1]
+        r1, r2 = u[0], u[1]
 
     s = shade(cam, mat, hit, st.ray_p, st.ray_d, st.inside, r1, r2,
               has_hit)
@@ -174,7 +174,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         )
     else:
         u = rng.fast_uniforms(key, st.step, 1, (n,), 2)
-        g1, g2 = u[:, 0], u[:, 1]
+        g1, g2 = u[0], u[1]
     fresh = raygen.camera_rays(cam, ids, g1, g2)
 
     ones = tuple(jnp.ones((n,), jnp.float32) for _ in range(3))

@@ -168,7 +168,10 @@ def _interval_slab(p_lo, p_hi, d_lo, d_hi, box_lo, box_hi):
         t2_lo, t2_hi = imul(b_lo, b_hi)
         tmin = jnp.maximum(tmin, jnp.minimum(t1_lo, t2_lo))
         tmax = jnp.minimum(tmax, jnp.maximum(t1_hi, t2_hi))
-    return (tmax >= tmin) & (tmax >= 0.0)
+    hit = (tmax >= tmin) & (tmax >= 0.0)
+    # Entry lower bound (conservative): no ray in the bundle can reach
+    # this cluster closer than max(tmin, 0).
+    return hit, jnp.maximum(tmin, 0.0)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -189,23 +192,29 @@ def _tile_cluster_lists(rays8: jnp.ndarray, boxes: jnp.ndarray,
     d_lo = tiles[:, :, 3:6].min(1)
     d_hi = tiles[:, :, 3:6].max(1)
 
-    hit = _interval_slab(p_lo, p_hi, d_lo, d_hi,
-                         boxes[:, 0:3], boxes[:, 3:6])
+    hit, entry = _interval_slab(p_lo, p_hi, d_lo, d_hi,
+                                boxes[:, 0:3], boxes[:, 3:6])
 
-    # Compact: passing clusters first, stable (Morton) order. Shaped
+    # Compact, NEAREST-FIRST: sort each tile's clusters by conservative
+    # entry distance (missed clusters key to BIG and sort last). The
+    # kernel walks the list in this order and stops as soon as the next
+    # entry bound exceeds every lane's current best hit. Shaped
     # (G, 1, C) / (G, 1, 1): tile index on the leading dim so SMEM
     # blocks satisfy the last-two-dims-match-array rule.
-    order = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)
+    key = jnp.where(hit, entry, BIG)
+    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    entry_sorted = jnp.take_along_axis(key, order, axis=1)
     cnt = jnp.sum(hit, axis=1, dtype=jnp.int32)
-    return order[:, None, :], cnt[:, None, None]
+    return (order[:, None, :], cnt[:, None, None],
+            entry_sorted[:, None, :])
 
 
 # --------------------------------------------------------------------------
 # Phase B: branchless per-tile triangle tests (Pallas).
 
 
-def _kernel(ray_ref, cnt_ref, ids_ref, tri_ref, t_ref, i_ref,
-            nx_ref, ny_ref, nz_ref, m_ref):
+def _kernel(ray_ref, cnt_ref, ids_ref, entry_ref, tri_ref, t_ref,
+            i_ref, nx_ref, ny_ref, nz_ref, m_ref):
     k = tri_ref.shape[2]
     tr = ray_ref.shape[0]
 
@@ -264,13 +273,23 @@ def _kernel(ray_ref, cnt_ref, ids_ref, tri_ref, t_ref, i_ref,
         ny_ref[:] = jnp.where(better, win_ny, ny_ref[:])
         nz_ref[:] = jnp.where(better, win_nz, nz_ref[:])
         m_ref[:] = jnp.where(better, win_m, m_ref[:])
-        return 0
+        return slot + 1, jnp.max(t_ref[:])
 
-    jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body, 0)
+    # Nearest-first early exit: the list is sorted by conservative entry
+    # distance, so once the next cluster's entry bound exceeds every
+    # lane's best hit, no remaining cluster can improve any lane.
+    cnt = cnt_ref[0, 0, 0]
+
+    def cond(carry):
+        slot, max_best = carry
+        return (slot < cnt) & (entry_ref[0, 0, slot] < max_best)
+
+    jax.lax.while_loop(cond, lambda c: body(c[0], None),
+                       (jnp.int32(0), jnp.float32(BIG)))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _run(rays8, cnt, ids, tri_pack, tr: int, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _run(rays8, cnt, ids, entry, tri_pack, tr: int, interpret: bool):
     rpad = rays8.shape[0]
     c = tri_pack.shape[0]
     k = tri_pack.shape[2]
@@ -281,6 +300,8 @@ def _run(rays8, cnt, ids, tri_pack, tr: int, interpret: bool):
             pl.BlockSpec((tr, 8), lambda rt: (rt, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda rt: (rt, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, c), lambda rt: (rt, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, c), lambda rt: (rt, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -295,7 +316,7 @@ def _run(rays8, cnt, ids, tri_pack, tr: int, interpret: bool):
             jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
         ] * 6,
         interpret=interpret,
-    )(rays8, cnt, ids, tri_pack)
+    )(rays8, cnt, ids, entry, tri_pack)
     return tuple(o[:, 0] for o in outs)
 
 
@@ -320,9 +341,9 @@ def make_cluster_intersect(tris: TrianglesSoA, *,
         r = rays.p[0].shape[0]
         rpad = -(-r // tr) * tr
         rays8 = pack_rays_rows(rays.p, rays.d, rpad)
-        ids, cnt = _tile_cluster_lists(rays8, scene.boxes, tr)
+        ids, cnt, entry = _tile_cluster_lists(rays8, scene.boxes, tr)
         best_t, _best_i, nx, ny, nz, m = _run(
-            rays8, cnt, ids, scene.tri_pack, tr, interpret
+            rays8, cnt, ids, entry, scene.tri_pack, tr, interpret
         )
         best_t = best_t[:r]
         any_hit = best_t < BIG

@@ -48,12 +48,13 @@ def pack_rays(p, d, pad_to: int) -> jnp.ndarray:
     return buf
 
 
-def _kernel(ray_ref, tri_ref, t_ref, i_ref):
+def _kernel(ray_ref, tri_ref, t_ref, i_ref, nx_ref, ny_ref, nz_ref,
+            m_ref):
     tt_idx = pl.program_id(1)
     tt = tri_ref.shape[0]
 
     rays = ray_ref[:]             # (8, TR)
-    tri = tri_ref[:]              # (TT, 16)
+    tri = tri_ref[:]              # (TT, 24)
     px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
 
@@ -84,16 +85,32 @@ def _kernel(ray_ref, tri_ref, t_ref, i_ref):
     tmin = jnp.min(tm, axis=0)                         # (TR,)
     gidx = (tt_idx * tt + local).astype(jnp.float32)
 
+    # Winner attributes via sublane one-hot (no post-kernel gathers).
+    sub = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+    onehot = (sub == local[None, :]).astype(jnp.float32)  # (TT, TR)
+    win_nx = jnp.sum(onehot * col(0), axis=0)
+    win_ny = jnp.sum(onehot * col(1), axis=0)
+    win_nz = jnp.sum(onehot * col(2), axis=0)
+    win_m = jnp.sum(onehot * col(16), axis=0)
+
     @pl.when(tt_idx == 0)
     def _():
         t_ref[0, :] = tmin
         i_ref[0, :] = gidx
+        nx_ref[0, :] = win_nx
+        ny_ref[0, :] = win_ny
+        nz_ref[0, :] = win_nz
+        m_ref[0, :] = win_m
 
     @pl.when(tt_idx != 0)
     def _():
         better = tmin < t_ref[0, :]
         t_ref[0, :] = jnp.where(better, tmin, t_ref[0, :])
         i_ref[0, :] = jnp.where(better, gidx, i_ref[0, :])
+        nx_ref[0, :] = jnp.where(better, win_nx, nx_ref[0, :])
+        ny_ref[0, :] = jnp.where(better, win_ny, ny_ref[0, :])
+        nz_ref[0, :] = jnp.where(better, win_nz, nz_ref[0, :])
+        m_ref[0, :] = jnp.where(better, win_m, m_ref[0, :])
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -102,33 +119,30 @@ def _run(rays8: jnp.ndarray, tri_pack: jnp.ndarray, tr: int, tt: int,
     rpad = rays8.shape[1]
     tpad = tri_pack.shape[0]
     grid = (rpad // tr, tpad // tt)
-    t_out, i_out = pl.pallas_call(
+    outs = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, tr), lambda rt, ttg: (0, rt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tt, 16), lambda rt, ttg: (ttg, 0),
+            pl.BlockSpec((tt, 24), lambda rt, ttg: (ttg, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tr), lambda rt, ttg: (0, rt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda rt, ttg: (0, rt),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] * 6,
         out_shape=[
             jax.ShapeDtypeStruct((1, rpad), jnp.float32),
-            jax.ShapeDtypeStruct((1, rpad), jnp.float32),
-        ],
+        ] * 6,
         cost_estimate=pl.CostEstimate(
-            flops=rpad * tpad * 50,
-            bytes_accessed=rpad * 8 * 4 + tpad * 16 * 4 + rpad * 8,
+            flops=rpad * tpad * 55,
+            bytes_accessed=rpad * 8 * 4 + tpad * 24 * 4 + rpad * 24,
             transcendentals=0,
         ),
         interpret=interpret,
     )(rays8, tri_pack)
-    return t_out[0], i_out[0]
+    return tuple(o[0] for o in outs)
 
 
 def pallas_first_intersect(rays: Rays, tris: TrianglesSoA, *,
@@ -147,38 +161,35 @@ def pallas_first_intersect(rays: Rays, tris: TrianglesSoA, *,
 
     rpad = _round_up(r, tr)
     rays8 = pack_rays(rays.p, rays.d, rpad)
-    best_t, best_i = _run(rays8, tri_pack, tr, tt, interpret)
+    best_t, _bi, nx, ny, nz, m = _run(rays8, tri_pack, tr, tt, interpret)
     best_t = best_t[:r]
-    best_i = jnp.clip(best_i[:r].astype(jnp.int32), 0, t_count - 1)
 
     any_hit = best_t < BIG
     z = jnp.zeros_like(best_t)
     safe_t = jnp.where(any_hit, best_t, 0.0)
-    n = tuple(
-        jnp.where(any_hit, jnp.take(tris.n[:, k], best_i), z)
-        for k in range(3)
-    )
     hit_p = tuple(
         jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
         for k in range(3)
     )
-    mati = jnp.take(tris.mati, best_i, axis=0)
     return Hits(
         t=jnp.where(any_hit, best_t, -1.0),
         p=hit_p,
-        n=n,
-        mati=jnp.where(any_hit, mati, 0).astype(jnp.int32),
+        n=(nx[:r], ny[:r], nz[:r]),
+        mati=jnp.where(any_hit, m[:r], 0.0).astype(jnp.int32),
     )
 
 
 def build_tri_pack(tris: TrianglesSoA, tt: int = 512) -> jnp.ndarray:
-    """(Tpad, 16) constants, padded with never-hit rows."""
+    """(Tpad, 24) rows: 16 intersection constants + mati (col 16, float-
+    exact) + pad; padding rows never hit (n = 0)."""
     pack = jnp.concatenate(
         [
             tris.n, tris.c0[:, None],
             tris.m1, tris.d1[:, None],
             tris.m2, tris.d2[:, None],
             tris.m3, tris.d3[:, None],
+            tris.mati.astype(jnp.float32)[:, None],
+            jnp.zeros((tris.count, 7), jnp.float32),
         ],
         axis=1,
     ).astype(jnp.float32)
@@ -191,7 +202,7 @@ def build_tri_pack(tris: TrianglesSoA, tt: int = 512) -> jnp.ndarray:
         tpad = _round_up(t_count, tt)
     if tpad != t_count:
         pack = jnp.concatenate(
-            [pack, jnp.zeros((tpad - t_count, 16), jnp.float32)]
+            [pack, jnp.zeros((tpad - t_count, 24), jnp.float32)]
         )
     return pack
 

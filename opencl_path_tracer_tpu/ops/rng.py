@@ -111,13 +111,15 @@ def fast_uniforms(key: jax.Array, sample: jnp.ndarray, bounce,
                   shape: tuple[int, ...], num: int) -> jnp.ndarray:
     """`num` uniform draws per element for a given (sample, bounce) event.
 
-    Returns float32 array of shape shape + (num,) in [0, 1). Stateless:
-    the same (key, sample, bounce) always produces the same draws, so
-    sample batches can be sharded across devices in any order.
+    Returns float32 array of shape (num,) + shape in [0, 1) — num on the
+    MAJOR axis so the minor dim stays wide (an (N, 2) array is lane-
+    padded 64x in TPU HBM). Stateless: the same (key, sample, bounce)
+    always produces the same draws, so sample batches can be sharded
+    across devices in any order.
     """
     k = jax.random.fold_in(key, jnp.asarray(sample, jnp.uint32))
     k = jax.random.fold_in(k, jnp.asarray(bounce, jnp.uint32))
-    return jax.random.uniform(k, shape + (num,), jnp.float32)
+    return jax.random.uniform(k, (num,) + shape, jnp.float32)
 
 
 # Pure-python oracle used by unit tests (closed-form Lehmer).

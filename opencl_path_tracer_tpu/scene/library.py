@@ -218,7 +218,10 @@ def stress_scene(num_tris: int = 100_000, seed: int = 0) -> Scene:
     b = SceneBuilder()
     _add_archetypes(b)
 
-    # Box shell (reuse cornell geometry, no spheres).
+    # Box shell (reuse cornell geometry, no spheres) + a back wall
+    # behind the camera so the scene is fully enclosed: every ray
+    # terminates on geometry, which keeps the cluster intersector's
+    # nearest-first early exit effective for incoherent bounce rays.
     base = cornell_box(with_spheres=False)
     r1 = np.asarray(base.tris.r1)
     r2 = np.asarray(base.tris.r2)
@@ -226,6 +229,10 @@ def stress_scene(num_tris: int = 100_000, seed: int = 0) -> Scene:
     mi = np.asarray(base.tris.mati)
     for i in range(r1.shape[0]):
         b.add_triangle(r1[i], r2[i], r3[i], int(mi[i]))
+    b.add_triangle((-100.0, 0.0, -2000.0), (1100.0, 1000.0, -2000.0),
+                   (-100.0, 1000.0, -2000.0), WHITE_DIFFUSE)
+    b.add_triangle((1100.0, 1000.0, -2000.0), (-100.0, 0.0, -2000.0),
+                   (1100.0, 0.0, -2000.0), WHITE_DIFFUSE)
     b.end_obj()
 
     lat, lon = 16, 24

@@ -38,7 +38,10 @@ while True:
             _hb_val = _hb(_hb_val)
             float(_hb_val)
         except Exception as e:  # pragma: no cover
-            print(f"heartbeat failed: {e}", flush=True)
+            # Device session is wedged/crashed: exit so the launcher's
+            # restart loop claims a fresh grant.
+            print(f"heartbeat failed, exiting: {e}", flush=True)
+            sys.exit(17)
         _last_hb = time.time()
     for name in sorted(os.listdir(JOBS)):
         if not name.endswith(".py"):

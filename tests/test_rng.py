@@ -98,6 +98,7 @@ def test_fast_uniforms_deterministic_and_bounded():
     import jax
     key = jax.random.key(7)
     a = rng.fast_uniforms(key, 3, 1, (64,), 2)
+    assert a.shape == (2, 64)
     b = rng.fast_uniforms(key, 3, 1, (64,), 2)
     c = rng.fast_uniforms(key, 4, 1, (64,), 2)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
