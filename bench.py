@@ -38,8 +38,9 @@ def main() -> int:
                     choices=["cornell", "stress"])
     ap.add_argument("--model", default="wavefront",
                     choices=["wavefront", "megakernel"])
-    ap.add_argument("--accel", default="cluster",
-                    choices=["cluster", "bvh", "bruteforce", "pallas"])
+    ap.add_argument("--accel", default="auto",
+                    choices=["auto", "cluster", "bvh", "bruteforce",
+                             "pallas"])
     ap.add_argument("--chunk", type=int, default=8,
                     help="wavefront steps per device program")
     args = ap.parse_args()
@@ -60,6 +61,12 @@ def main() -> int:
     print(f"# scene: {scene.num_triangles} tris", file=sys.stderr)
     cam = library.cornell_camera(w, h)
 
+    if args.accel == "auto":
+        # Brute beats the two-level scheme below ~4k triangles (the
+        # whole scene is a handful of VMEM tiles; per-tile cull overhead
+        # dominates any savings).
+        args.accel = "pallas" if scene.num_triangles <= 4096 else "cluster"
+        print(f"# accel auto -> {args.accel}", file=sys.stderr)
     if args.accel == "cluster":
         from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
             make_cluster_intersect,

@@ -150,8 +150,9 @@ def main(argv=None) -> int:
                        help="bounce depth (1..50)")
         p.add_argument("--mode", default="fast",
                        choices=["fast", "parity"])
-        p.add_argument("--accel", default="bvh",
-                       choices=["bvh", "bruteforce", "pallas"])
+        p.add_argument("--accel", default="auto",
+                       choices=["auto", "bvh", "bruteforce", "pallas",
+                                "cluster"])
         p.add_argument("--seed", type=int, default=1)
         p.add_argument("--fov", type=float, default=None)
         p.add_argument("--yaw", type=float, default=None)

@@ -51,8 +51,11 @@ class RenderConfig:
     # Tone mapping: 'reinhard' (active in reference, prog.cl:380) or 'filmic'
     # (used only by the dormant filt_im kernel, prog.cl:259-263) or 'none'.
     tonemap: str = "reinhard"
-    # Acceleration structure: 'bruteforce' | 'bvh'.
-    accel: str = "bvh"
+    # Acceleration structure backend:
+    #   'auto' (brute Pallas kernel for small scenes / cluster kernel
+    #   for large on TPU; bruteforce/BVH on CPU), or force one of
+    #   'bruteforce' | 'bvh' | 'pallas' | 'cluster'.
+    accel: str = "auto"
 
     def validate(self) -> "RenderConfig":
         if self.width <= 0 or self.height <= 0:
@@ -65,7 +68,8 @@ class RenderConfig:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.tonemap not in ("reinhard", "filmic", "none"):
             raise ValueError(f"unknown tonemap {self.tonemap!r}")
-        if self.accel not in ("bruteforce", "bvh"):
+        if self.accel not in ("auto", "bruteforce", "bvh", "pallas",
+                              "cluster"):
             raise ValueError(f"unknown accel {self.accel!r}")
         return self
 

@@ -40,6 +40,20 @@ from opencl_path_tracer_tpu.scene.builder import Scene
 
 
 def make_intersect_fn(scene: Scene, accel: str):
+    if accel == "auto":
+        if jax.default_backend() == "cpu":
+            accel = "bvh" if scene.num_triangles > 4096 else "bruteforce"
+        else:
+            accel = (
+                "pallas" if scene.num_triangles <= 4096 else "cluster"
+            )
+    if accel == "cluster":
+        from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
+            make_cluster_intersect,
+        )
+        return make_cluster_intersect(
+            scene.tris, interpret=jax.default_backend() == "cpu"
+        )
     if accel == "bruteforce":
         from opencl_path_tracer_tpu.ops import intersect
         return functools.partial(
