@@ -93,7 +93,22 @@ def main() -> int:
     key = jax.random.key(1)
 
     if args.model == "wavefront":
+        import numpy as np
         from opencl_path_tracer_tpu.ops import raygen
+        # Large scenes on the cluster path: re-sort lanes periodically
+        # so bounce rays stay tile-coherent.
+        sort_every = 0
+        scene_bounds = None
+        if args.accel == "cluster":
+            v = np.concatenate([
+                np.asarray(scene.tris.r1), np.asarray(scene.tris.r2),
+                np.asarray(scene.tris.r3),
+            ])
+            lo = v.min(0)
+            inv = 1.0 / np.maximum(v.max(0) - lo, 1e-9)
+            scene_bounds = (tuple(map(float, lo)),
+                            tuple(map(float, inv)))
+            sort_every = 2
         # Square-tile pixel order: tighter ray bundles for the cluster
         # intersector's per-tile culling.
         if w % 16 == 0 and h % 16 == 0:
@@ -111,7 +126,8 @@ def main() -> int:
                 return wavefront.wavefront_step(
                     cam, scene.mats, st, intersect_fn=isect,
                     iterations=args.iters, mode="fast", key=key,
-                    ids=ids,
+                    ids=ids, sort_every=sort_every,
+                    scene_bounds=scene_bounds,
                 )
             st = jax.lax.fori_loop(0, k, body, state)
             return st, jnp.sum(st.colors[0][:8])

@@ -59,6 +59,7 @@ class WavefrontState:
 
     colors: V3              # running per-pixel average
     samples: jnp.ndarray    # (N,) int32 per-pixel completed samples
+    pixel: jnp.ndarray      # (N,) int32 pixel id this lane serves
     rng_state: jnp.ndarray  # (N,) uint32 Lehmer streams (parity)
     ray_p: V3               # current path ray
     ray_d: V3
@@ -98,6 +99,7 @@ def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
     return WavefrontState(
         colors=zeros,
         samples=jnp.zeros((n,), jnp.int32),
+        pixel=jnp.asarray(ids, jnp.int32),
         rng_state=rng_state,
         ray_p=rays.p, ray_d=rays.d,
         f_l=ones, f_b=ones, f_s=ones, f_r=ones,
@@ -108,16 +110,79 @@ def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
     )
 
 
+def sort_state(st: WavefrontState,
+               scene_lo, scene_inv_extent) -> WavefrontState:
+    """Reorder lanes by (direction octant, origin Morton cell) so ray
+    tiles stay spatially coherent for the cluster intersector's per-tile
+    culling. Correct for any lane order because every lane carries its
+    pixel binding (st.pixel) and its own accumulators. scene_lo /
+    scene_inv_extent: python/np 3-vectors of the scene bounds."""
+    from opencl_path_tracer_tpu.accel.lbvh import morton3
+
+    q = tuple(
+        jnp.clip((st.ray_p[k] - scene_lo[k]) * scene_inv_extent[k],
+                 0.0, 1.0)
+        for k in range(3)
+    )
+    cell = morton3_components(q)
+    octant = (
+        (st.ray_d[0] >= 0).astype(jnp.uint32) * jnp.uint32(4)
+        + (st.ray_d[1] >= 0).astype(jnp.uint32) * jnp.uint32(2)
+        + (st.ray_d[2] >= 0).astype(jnp.uint32)
+    )
+    key = (octant << jnp.uint32(27)) | (cell >> jnp.uint32(3))
+
+    leaves, treedef = jax.tree.flatten(st)
+    scalars = [(i, a) for i, a in enumerate(leaves) if a.ndim == 0]
+    vec_idx = [i for i, a in enumerate(leaves) if a.ndim != 0]
+    sorted_ops = jax.lax.sort(
+        [key] + [leaves[i] for i in vec_idx], dimension=0, num_keys=1
+    )
+    for j, i in enumerate(vec_idx):
+        leaves[i] = sorted_ops[1 + j]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def morton3_components(q) -> jnp.ndarray:
+    """30-bit Morton code from a V3 of normalized coords (lbvh.morton3
+    takes an (N, 3) array; this is the component-array twin)."""
+    from opencl_path_tracer_tpu.accel.lbvh import _expand_bits
+
+    def scale(c):
+        return jnp.clip(c * 1024.0, 0.0, 1023.0).astype(jnp.uint32)
+
+    return (
+        (_expand_bits(scale(q[0])) << jnp.uint32(2))
+        | (_expand_bits(scale(q[1])) << jnp.uint32(1))
+        | _expand_bits(scale(q[2]))
+    )
+
+
 def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
                    *, intersect_fn, iterations: int,
                    mode: str = "parity", key=None,
                    max_samples: int | None = None,
-                   ids: jnp.ndarray | None = None) -> WavefrontState:
+                   ids: jnp.ndarray | None = None,
+                   sort_every: int = 0,
+                   scene_bounds=None) -> WavefrontState:
     """One wavefront step: intersect every live lane once, shade,
-    terminate/regenerate. `ids` must match init_wavefront's."""
+    terminate/regenerate. `ids` must match init_wavefront's (unused once
+    lanes carry st.pixel, kept for API compatibility).
+
+    sort_every > 0: re-sort lanes for spatial coherence every that many
+    steps (requires scene_bounds = (lo, inv_extent) 3-vectors); use with
+    the cluster intersector on large scenes where bounce-ray incoherence
+    otherwise degrades per-tile culling to brute force."""
     n = st.samples.shape[0]
-    if ids is None:
-        ids = raygen.pixel_ids_like(n)
+    if sort_every and scene_bounds is not None:
+        do_sort = (st.step % jnp.uint32(sort_every)) == 0
+        st = jax.lax.cond(
+            do_sort,
+            lambda s: sort_state(s, scene_bounds[0], scene_bounds[1]),
+            lambda s: s,
+            st,
+        )
+    ids = st.pixel
 
     # Lanes past their sample budget idle completely.
     if max_samples is None:
@@ -182,6 +247,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     return WavefrontState(
         colors=colors,
         samples=samples,
+        pixel=st.pixel,
         rng_state=rng_state,
         ray_p=vwhere(terminated, fresh.p, s["new_p"]),
         ray_d=vwhere(terminated, fresh.d, s["new_d"]),
@@ -225,3 +291,14 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
         if int(jax.device_get(jnp.min(state.samples))) >= min_spp:
             break
     return state
+
+
+def colors_by_pixel(state: WavefrontState):
+    """(N, 3) color array indexed by pixel id (undoes any lane
+    reordering from tile-major init or sorting)."""
+    import numpy as np
+    pix = np.asarray(state.pixel)
+    out = np.zeros((pix.shape[0], 3), np.float32)
+    for k in range(3):
+        out[pix, k] = np.asarray(state.colors[k])
+    return out
