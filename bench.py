@@ -72,7 +72,9 @@ def main() -> int:
             make_cluster_intersect,
         )
         isect = make_cluster_intersect(
-            scene.tris, cluster_size=128, tr=256, interpret=on_cpu
+            scene.tris, cluster_size=128, tr=256,
+            early_exit=True,  # bounce batches are incoherent
+            interpret=on_cpu,
         )
     elif args.accel == "pallas":
         from opencl_path_tracer_tpu.ops.pallas import make_pallas_intersect

@@ -205,8 +205,7 @@ def _tile_cluster_lists(rays8: jnp.ndarray, boxes: jnp.ndarray,
     order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
     entry_sorted = jnp.take_along_axis(key, order, axis=1)
     cnt = jnp.sum(hit, axis=1, dtype=jnp.int32)
-    return (order[:, None, :], cnt[:, None, None],
-            entry_sorted[:, None, :])
+    return order, cnt[:, None], entry_sorted
 
 
 # --------------------------------------------------------------------------
@@ -214,109 +213,147 @@ def _tile_cluster_lists(rays8: jnp.ndarray, boxes: jnp.ndarray,
 
 
 def _kernel(ray_ref, cnt_ref, ids_ref, entry_ref, tri_ref, t_ref,
-            i_ref, nx_ref, ny_ref, nz_ref, m_ref):
+            i_ref, nx_ref, ny_ref, nz_ref, m_ref, *, subtiles: int,
+            early_exit: bool):
     k = tri_ref.shape[2]
-    tr = ray_ref.shape[0]
-
-    rays = ray_ref[:]                       # (TR, 8)
-    px, py, pz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]   # (TR, 1)
-    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    str_ = ray_ref.shape[0]          # S * TR rays per instance
+    tr = str_ // subtiles
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
-    t_ref[:] = jnp.full((tr, 1), BIG, jnp.float32)
-    i_ref[:] = jnp.zeros((tr, 1), jnp.float32)
-    nx_ref[:] = jnp.zeros((tr, 1), jnp.float32)
-    ny_ref[:] = jnp.zeros((tr, 1), jnp.float32)
-    nz_ref[:] = jnp.zeros((tr, 1), jnp.float32)
-    m_ref[:] = jnp.zeros((tr, 1), jnp.float32)
+    t_ref[:] = jnp.full((str_, 1), BIG, jnp.float32)
+    i_ref[:] = jnp.zeros((str_, 1), jnp.float32)
+    nx_ref[:] = jnp.zeros((str_, 1), jnp.float32)
+    ny_ref[:] = jnp.zeros((str_, 1), jnp.float32)
+    nz_ref[:] = jnp.zeros((str_, 1), jnp.float32)
+    m_ref[:] = jnp.zeros((str_, 1), jnp.float32)
 
-    def body(slot, _):
-        ci = ids_ref[0, 0, slot]
-        blk = tri_ref[ci]                   # (24, K)
+    # Several ray subtiles share one grid instance (and one copy of the
+    # VMEM-resident scene): per-grid-step fixed costs (block DMAs, loop
+    # setup, unpipelined sequencing around dynamic control flow) were
+    # measured at ~4us/tile — the dominant cost for small scenes.
+    for sub in range(subtiles):
+        lo = sub * tr
+        rays = ray_ref[lo:lo + tr, :]                       # (TR, 8)
+        px, py, pz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+        dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
 
-        def row(j):
-            return blk[j:j + 1, :]          # (1, K)
+        def body(slot, _, lo=lo, px=px, py=py, pz=pz, dx=dx, dy=dy,
+                 dz=dz):
+            ci = ids_ref[0, 0, sub, slot]
+            blk = tri_ref[ci]                   # (24, K)
 
-        def pd(base):
-            vx, vy, vz = row(base), row(base + 1), row(base + 2)
-            pdot = px * vx + py * vy + pz * vz    # (TR, K)
-            vdot = dx * vx + dy * vy + dz * vz
-            return pdot, vdot
+            def row(j):
+                return blk[j:j + 1, :]          # (1, K)
 
-        pn, vn = pd(0)
-        t = (row(3) - pn) / vn
-        pm1, vm1 = pd(4)
-        pm2, vm2 = pd(8)
-        pm3, vm3 = pd(12)
-        valid = (
-            (t > 0.0)
-            & (pm1 + t * vm1 >= row(7))
-            & (pm2 + t * vm2 >= row(11))
-            & (pm3 + t * vm3 >= row(15))
-        )
-        tm = jnp.where(valid, t, BIG)
-        tmin_k = jnp.min(tm, axis=1, keepdims=True)      # (TR, 1)
-        local = jnp.argmin(tm, axis=1).reshape(tr, 1)
-        gidx = (ci * k + local).astype(jnp.float32)
+            def pd(base):
+                vx, vy, vz = row(base), row(base + 1), row(base + 2)
+                pdot = px * vx + py * vy + pz * vz    # (TR, K)
+                vdot = dx * vx + dy * vy + dz * vz
+                return pdot, vdot
 
-        # Winner attributes, extracted with a lane one-hot (no gathers).
-        onehot = (lane == local).astype(jnp.float32)     # (TR, K)
-        win_nx = jnp.sum(onehot * row(0), axis=1, keepdims=True)
-        win_ny = jnp.sum(onehot * row(1), axis=1, keepdims=True)
-        win_nz = jnp.sum(onehot * row(2), axis=1, keepdims=True)
-        win_m = jnp.sum(onehot * row(16), axis=1, keepdims=True)
+            pn, vn = pd(0)
+            t = (row(3) - pn) / vn
+            pm1, vm1 = pd(4)
+            pm2, vm2 = pd(8)
+            pm3, vm3 = pd(12)
+            valid = (
+                (t > 0.0)
+                & (pm1 + t * vm1 >= row(7))
+                & (pm2 + t * vm2 >= row(11))
+                & (pm3 + t * vm3 >= row(15))
+            )
+            tm = jnp.where(valid, t, BIG)
+            tmin_k = jnp.min(tm, axis=1, keepdims=True)      # (TR, 1)
+            local = jnp.argmin(tm, axis=1).reshape(tr, 1)
+            gidx = (ci * k + local).astype(jnp.float32)
 
-        better = tmin_k < t_ref[:]
-        t_ref[:] = jnp.where(better, tmin_k, t_ref[:])
-        i_ref[:] = jnp.where(better, gidx, i_ref[:])
-        nx_ref[:] = jnp.where(better, win_nx, nx_ref[:])
-        ny_ref[:] = jnp.where(better, win_ny, ny_ref[:])
-        nz_ref[:] = jnp.where(better, win_nz, nz_ref[:])
-        m_ref[:] = jnp.where(better, win_m, m_ref[:])
-        return slot + 1, jnp.max(t_ref[:])
+            # Winner attributes via lane one-hot (no gathers).
+            onehot = (lane == local).astype(jnp.float32)     # (TR, K)
+            win_nx = jnp.sum(onehot * row(0), axis=1, keepdims=True)
+            win_ny = jnp.sum(onehot * row(1), axis=1, keepdims=True)
+            win_nz = jnp.sum(onehot * row(2), axis=1, keepdims=True)
+            win_m = jnp.sum(onehot * row(16), axis=1, keepdims=True)
 
-    # Nearest-first early exit: the list is sorted by conservative entry
-    # distance, so once the next cluster's entry bound exceeds every
-    # lane's best hit, no remaining cluster can improve any lane.
-    cnt = cnt_ref[0, 0, 0]
+            cur = t_ref[lo:lo + tr, :]
+            better = tmin_k < cur
+            t_ref[lo:lo + tr, :] = jnp.where(better, tmin_k, cur)
+            i_ref[lo:lo + tr, :] = jnp.where(
+                better, gidx, i_ref[lo:lo + tr, :]
+            )
+            nx_ref[lo:lo + tr, :] = jnp.where(
+                better, win_nx, nx_ref[lo:lo + tr, :]
+            )
+            ny_ref[lo:lo + tr, :] = jnp.where(
+                better, win_ny, ny_ref[lo:lo + tr, :]
+            )
+            nz_ref[lo:lo + tr, :] = jnp.where(
+                better, win_nz, nz_ref[lo:lo + tr, :]
+            )
+            m_ref[lo:lo + tr, :] = jnp.where(
+                better, win_m, m_ref[lo:lo + tr, :]
+            )
+            return slot + 1, jnp.max(t_ref[lo:lo + tr, :])
 
-    def cond(carry):
-        slot, max_best = carry
-        return (slot < cnt) & (entry_ref[0, 0, slot] < max_best)
+        cnt = cnt_ref[0, 0, sub, 0]
+        if early_exit:
+            # Nearest-first early exit (list sorted by conservative
+            # entry bound): once the next entry exceeds every lane's
+            # best hit, no remaining cluster can improve any lane.
+            # Costs ~2x per-iteration overhead vs the plain fori (while
+            # loops pipeline worse in Mosaic) — worth it only when
+            # incoherent tiles would otherwise walk most clusters.
+            def cond(carry, sub=sub, cnt=cnt):
+                slot, max_best = carry
+                return ((slot < cnt)
+                        & (entry_ref[0, 0, sub, slot] < max_best))
 
-    jax.lax.while_loop(cond, lambda c: body(c[0], None),
-                       (jnp.int32(0), jnp.float32(BIG)))
+            jax.lax.while_loop(cond, lambda c: body(c[0], None),
+                               (jnp.int32(0), jnp.float32(BIG)))
+        else:
+            jax.lax.fori_loop(
+                0, cnt, lambda sl, _: (body(sl, None), 0)[1], 0
+            )
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
-def _run(rays8, cnt, ids, entry, tri_pack, tr: int, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _run(rays8, cnt, ids, entry, tri_pack, tr: int, subtiles: int,
+         early_exit: bool, interpret: bool):
     rpad = rays8.shape[0]
     c = tri_pack.shape[0]
     k = tri_pack.shape[2]
+    g = rpad // tr
+    s = subtiles
+    # Metadata reshaped so each grid instance gets its S subtiles' rows:
+    # (G, C) -> (G/S, 1, S, C) blocks via a (1, S, C) BlockSpec.
+    ids3 = ids.reshape(g // s, s, c)[:, None]      # (G/S, 1, S, C)
+    entry3 = entry.reshape(g // s, s, c)[:, None]
+    cnt3 = cnt.reshape(g // s, s, 1)[:, None]
+    kern = functools.partial(_kernel, subtiles=s,
+                             early_exit=early_exit)
     outs = pl.pallas_call(
-        _kernel,
-        grid=(rpad // tr,),
+        kern,
+        grid=(g // s,),
         in_specs=[
-            pl.BlockSpec((tr, 8), lambda rt: (rt, 0),
+            pl.BlockSpec((tr * s, 8), lambda rt: (rt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda rt: (rt, 0, 0),
+            pl.BlockSpec((1, 1, s, 1), lambda rt: (rt, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, c), lambda rt: (rt, 0, 0),
+            pl.BlockSpec((1, 1, s, c), lambda rt: (rt, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, c), lambda rt: (rt, 0, 0),
+            pl.BlockSpec((1, 1, s, c), lambda rt: (rt, 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((c, 24, k), lambda rt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tr, 1), lambda rt: (rt, 0),
+            pl.BlockSpec((tr * s, 1), lambda rt: (rt, 0),
                          memory_space=pltpu.VMEM),
         ] * 6,
         out_shape=[
             jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
         ] * 6,
         interpret=interpret,
-    )(rays8, cnt, ids, entry, tri_pack)
+    )(rays8, cnt3, ids3, entry3, tri_pack)
     return tuple(o[:, 0] for o in outs)
 
 
@@ -333,17 +370,19 @@ def pack_rays_rows(p, d, pad_to: int) -> jnp.ndarray:
 
 def make_cluster_intersect(tris: TrianglesSoA, *,
                            cluster_size: int = 128, tr: int = 256,
+                           subtiles: int = 1, early_exit: bool = False,
                            interpret: bool = False):
     """Build clusters once; returns intersect(rays) -> Hits."""
     scene, c, k = build_clusters(tris, cluster_size)
 
     def intersect(rays: Rays) -> Hits:
         r = rays.p[0].shape[0]
-        rpad = -(-r // tr) * tr
+        rpad = -(-r // (tr * subtiles)) * (tr * subtiles)
         rays8 = pack_rays_rows(rays.p, rays.d, rpad)
         ids, cnt, entry = _tile_cluster_lists(rays8, scene.boxes, tr)
         best_t, _best_i, nx, ny, nz, m = _run(
-            rays8, cnt, ids, entry, scene.tri_pack, tr, interpret
+            rays8, cnt, ids, entry, scene.tri_pack, tr, subtiles,
+            early_exit, interpret
         )
         best_t = best_t[:r]
         any_hit = best_t < BIG
