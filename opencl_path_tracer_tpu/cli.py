@@ -73,7 +73,16 @@ def cmd_render(args) -> int:
     dt = time.time() - t0
     print(f"\n{args.spp} spp in {dt:.2f}s "
           f"({args.spp/dt:.2f} samples/s)", file=sys.stderr)
-    eng.save_png(args.out)
+    if args.median:
+        import jax.numpy as jnp
+        from opencl_path_tracer_tpu.io.image import write_png
+        from opencl_path_tracer_tpu.ops.median_filter import median3x3
+        img = eng.image(apply_tonemap=False)
+        write_png(args.out, __import__("numpy").asarray(
+            median3x3(jnp.asarray(img.copy()))
+        ))
+    else:
+        eng.save_png(args.out)
     print(f"wrote {args.out}", file=sys.stderr)
     if args.checkpoint:
         eng.save(args.checkpoint)
@@ -163,6 +172,9 @@ def main(argv=None) -> int:
     p.add_argument("--spp", type=int, default=64)
     p.add_argument("--tonemap", default="reinhard",
                    choices=["reinhard", "filmic", "none"])
+    p.add_argument("--median", action="store_true",
+                   help="3x3 median filter + filmic tonemap (the "
+                        "reference's dormant filt_im kernel)")
     p.add_argument("--out", default="render.png")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
