@@ -220,3 +220,166 @@ def make_pallas_intersect(tris: TrianglesSoA, *, tr: int = 256,
         )
 
     return intersect
+
+
+# --------------------------------------------------------------------------
+# MXU variant: the eight per-tile dot products as ONE (8*TT, 8) x (8, TR)
+# matmul on the systolic array. Measured on v5e: with default (bf16)
+# matmul precision it reaches ~84 Gtests/s but CORRUPTS the geometry
+# (phantom hits, 10x t errors — bf16 inputs); with Precision.HIGHEST it
+# is exact but the multi-pass f32 emulation drops it to ~18 Gtests/s.
+# Kept correct-but-slow as the starting point for a future mixed-
+# precision scheme (bf16 MXU conservative candidate pass + f32 VPU
+# refine). The VPU kernel above is the production path.
+
+
+def _mxu_kernel(ray_ref, trig_ref, tric_ref, t_ref, i_ref, nx_ref,
+                ny_ref, nz_ref, m_ref):
+    tt_idx = pl.program_id(1)
+    tt = tric_ref.shape[0]
+
+    dots = jax.lax.dot_general(
+        trig_ref[:], ray_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # Full f32: the MXU truncates inputs to bf16 by default, which
+        # corrupts the geometry (phantom hits) — HIGHEST forces the
+        # multi-pass f32 emulation.
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (8*TT, TR)
+    pn = dots[0 * tt:1 * tt]
+    vn = dots[1 * tt:2 * tt]
+    pm1 = dots[2 * tt:3 * tt]
+    vm1 = dots[3 * tt:4 * tt]
+    pm2 = dots[4 * tt:5 * tt]
+    vm2 = dots[5 * tt:6 * tt]
+    pm3 = dots[6 * tt:7 * tt]
+    vm3 = dots[7 * tt:8 * tt]
+
+    def col(j):
+        return tric_ref[:, j:j + 1]
+
+    t = (col(0) - pn) / vn
+    valid = (
+        (t > 0.0)
+        & (pm1 + t * vm1 >= col(1))
+        & (pm2 + t * vm2 >= col(2))
+        & (pm3 + t * vm3 >= col(3))
+    )
+    tm = jnp.where(valid, t, BIG)
+    local = jnp.argmin(tm, axis=0)
+    tmin = jnp.min(tm, axis=0)
+    gidx = (tt_idx * tt + local).astype(jnp.float32)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+    onehot = (sub == local[None, :]).astype(jnp.float32)
+    win_nx = jnp.sum(onehot * col(4), axis=0)
+    win_ny = jnp.sum(onehot * col(5), axis=0)
+    win_nz = jnp.sum(onehot * col(6), axis=0)
+    win_m = jnp.sum(onehot * col(7), axis=0)
+
+    @pl.when(tt_idx == 0)
+    def _():
+        t_ref[0, :] = tmin
+        i_ref[0, :] = gidx
+        nx_ref[0, :] = win_nx
+        ny_ref[0, :] = win_ny
+        nz_ref[0, :] = win_nz
+        m_ref[0, :] = win_m
+
+    @pl.when(tt_idx != 0)
+    def _():
+        better = tmin < t_ref[0, :]
+        t_ref[0, :] = jnp.where(better, tmin, t_ref[0, :])
+        i_ref[0, :] = jnp.where(better, gidx, i_ref[0, :])
+        nx_ref[0, :] = jnp.where(better, win_nx, nx_ref[0, :])
+        ny_ref[0, :] = jnp.where(better, win_ny, ny_ref[0, :])
+        nz_ref[0, :] = jnp.where(better, win_nz, nz_ref[0, :])
+        m_ref[0, :] = jnp.where(better, win_m, m_ref[0, :])
+
+
+def build_mxu_pack(tris: TrianglesSoA, tt: int):
+    """Returns (trig (Tpad*8, 8), tric (Tpad, 8)): trig holds, grouped
+    per tt-tile, eight (TT, 8) row-blocks [pn; vn; pm1; vm1; pm2; vm2;
+    pm3; vm3] mapping the packed ray rows [p(3) d(3) 0 0]; tric holds
+    [c0 d1 d2 d3 nx ny nz mati]."""
+    import numpy as np
+    pack = np.asarray(build_tri_pack(tris, tt))  # (Tpad, 24)
+    tpad = pack.shape[0]
+    tt = min(tt, tpad)
+    n_, m1, m2, m3 = pack[:, 0:3], pack[:, 4:7], pack[:, 8:11], pack[:, 12:15]
+    z = np.zeros_like(n_)
+    pad2 = np.zeros((tpad, 2), np.float32)
+    rows_p = lambda v: np.concatenate([v, z, pad2], 1)
+    rows_v = lambda v: np.concatenate([z, v, pad2], 1)
+    blocks = [rows_p(n_), rows_v(n_), rows_p(m1), rows_v(m1),
+              rows_p(m2), rows_v(m2), rows_p(m3), rows_v(m3)]
+    ntiles = tpad // tt
+    trig = np.zeros((tpad * 8, 8), np.float32)
+    for kk in range(ntiles):
+        for b in range(8):
+            trig[(kk * 8 + b) * tt:(kk * 8 + b + 1) * tt] = (
+                blocks[b][kk * tt:(kk + 1) * tt]
+            )
+    tric = np.stack(
+        [pack[:, 3], pack[:, 7], pack[:, 11], pack[:, 15],
+         pack[:, 0], pack[:, 1], pack[:, 2], pack[:, 16]], 1
+    )
+    return jnp.asarray(trig), jnp.asarray(tric), tt
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _run_mxu(rays8, trig, tric, tr: int, tt: int, interpret: bool):
+    rpad = rays8.shape[1]
+    tpad = tric.shape[0]
+    outs = pl.pallas_call(
+        _mxu_kernel,
+        grid=(rpad // tr, tpad // tt),
+        in_specs=[
+            pl.BlockSpec((8, tr), lambda rt, tg: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * tt, 8), lambda rt, tg: (tg, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, 8), lambda rt, tg: (tg, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda rt, tg: (0, rt),
+                         memory_space=pltpu.VMEM),
+        ] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rpad), jnp.float32),
+        ] * 6,
+        interpret=interpret,
+    )(rays8, trig, tric)
+    return tuple(o[0] for o in outs)
+
+
+def make_mxu_intersect(tris: TrianglesSoA, *, tr: int = 1024,
+                       tt: int = 128, interpret: bool = False):
+    """MXU-dot variant of the fused brute-force intersector."""
+    trig, tric, tt_eff = build_mxu_pack(tris, tt)
+
+    def intersect(rays: Rays) -> Hits:
+        r = rays.p[0].shape[0]
+        rpad = _round_up(r, tr)
+        rays8 = pack_rays(rays.p, rays.d, rpad)
+        best_t, _bi, nx, ny, nz, m = _run_mxu(
+            rays8, trig, tric, tr, tt_eff, interpret
+        )
+        best_t = best_t[:r]
+        any_hit = best_t < BIG
+        z = jnp.zeros_like(best_t)
+        safe_t = jnp.where(any_hit, best_t, 0.0)
+        hit_p = tuple(
+            jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
+            for k in range(3)
+        )
+        return Hits(
+            t=jnp.where(any_hit, best_t, -1.0),
+            p=hit_p,
+            n=(nx[:r], ny[:r], nz[:r]),
+            mati=jnp.where(any_hit, m[:r], 0.0).astype(jnp.int32),
+        )
+
+    return intersect

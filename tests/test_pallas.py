@@ -90,3 +90,12 @@ def test_cluster_kernel_on_cornell():
     fast = make_cluster_intersect(scene.tris, interpret=True)(rays)
     brute = intersect.first_intersect(rays, scene.tris)
     _assert_matches(fast, brute)
+
+
+def test_mxu_kernel_matches():
+    from opencl_path_tracer_tpu.ops.pallas import make_mxu_intersect
+    tris = _scene(300, seed=21)
+    rays = _rays(500, seed=22)
+    fast = make_mxu_intersect(tris, interpret=True)(rays)
+    brute = intersect.first_intersect(rays, tris)
+    _assert_matches(fast, brute)
