@@ -1,0 +1,61 @@
+"""Live viewer HTTP surface: frame/stats/input endpoints."""
+
+import json
+import time
+import urllib.request
+
+from opencl_path_tracer_tpu.config import CameraConfig, RenderConfig
+from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+from opencl_path_tracer_tpu.runtime.viewer import ViewerServer
+from opencl_path_tracer_tpu.scene import library
+
+
+def test_viewer_endpoints():
+    scene = library.cornell_box(with_spheres=False)
+    cfg = RenderConfig(
+        width=16, height=16, iterations=2, mode="fast",
+        accel="bruteforce",
+        camera=CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
+                            shift=(0.0, 0.0, 0.0)),
+    )
+    viewer = ViewerServer(RenderEngine(scene, cfg), port=8699)
+    httpd = viewer.serve(block=False)
+    try:
+        base = "http://127.0.0.1:8699"
+        # Wait for the first frame.
+        deadline = time.time() + 60
+        png = b""
+        while time.time() < deadline:
+            png = urllib.request.urlopen(base + "/frame.png").read()
+            if png.startswith(b"\x89PNG"):
+                break
+            time.sleep(0.3)
+        assert png.startswith(b"\x89PNG")
+
+        page = urllib.request.urlopen(base + "/").read()
+        assert b"ptx viewer" in page
+
+        stats = json.loads(
+            urllib.request.urlopen(base + "/stats").read()
+        )
+        assert stats["iterations"] == 2
+
+        # Key press flows into the controller ('+' bumps bounce depth).
+        req = urllib.request.Request(
+            base + "/input",
+            data=json.dumps({"ev": "keydown", "key": "+"}).encode(),
+            method="POST",
+        )
+        assert urllib.request.urlopen(req).read() == b"ok"
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            stats = json.loads(
+                urllib.request.urlopen(base + "/stats").read()
+            )
+            if stats["iterations"] == 3:
+                break
+            time.sleep(0.2)
+        assert stats["iterations"] == 3
+    finally:
+        viewer._stop.set()
+        httpd.shutdown()
