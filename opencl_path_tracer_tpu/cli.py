@@ -58,18 +58,23 @@ def cmd_render(args) -> int:
 
     w, h = (int(x) for x in args.size.split("x"))
     scene = _build_scene(args.scene, args.models_dir)
-    cfg = RenderConfig(
-        width=w, height=h, iterations=args.iters, spp=args.spp,
-        mode=args.mode, seed=args.seed, tonemap=args.tonemap,
-        accel=args.accel, camera=_camera_preset(args.scene, w, h, args),
-    )
+    if args.config:
+        cfg = RenderConfig.from_json(open(args.config).read())
+    else:
+        cfg = RenderConfig(
+            width=w, height=h, iterations=args.iters, spp=args.spp,
+            mode=args.mode, seed=args.seed, tonemap=args.tonemap,
+            accel=args.accel,
+            camera=_camera_preset(args.scene, w, h, args),
+        )
     eng = RenderEngine(scene, cfg)
     if args.resume:
         eng.load(args.resume)
         print(f"resumed at sample {int(eng.state.sample)}",
               file=sys.stderr)
     t0 = time.time()
-    eng.render(args.spp)
+    eng.render(cfg.spp, autosave_every=args.autosave_every,
+               autosave_path=args.checkpoint)
     dt = time.time() - t0
     print(f"\n{args.spp} spp in {dt:.2f}s "
           f"({args.spp/dt:.2f} samples/s)", file=sys.stderr)
@@ -170,6 +175,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("render", help="offline render to PNG")
     common(p)
     p.add_argument("--spp", type=int, default=64)
+    p.add_argument("--config", default=None,
+                   help="JSON RenderConfig (overrides other flags)")
+    p.add_argument("--autosave-every", type=int, default=0)
     p.add_argument("--tonemap", default="reinhard",
                    choices=["reinhard", "filmic", "none"])
     p.add_argument("--median", action="store_true",

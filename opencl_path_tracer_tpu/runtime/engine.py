@@ -126,15 +126,32 @@ class RenderEngine:
             rays_traced=self.estimated_rays(sample),
         )
 
-    def render(self, spp: int, progress: bool = True) -> None:
+    def render(self, spp: int, progress: bool = True,
+               autosave_every: int = 0,
+               autosave_path: str | None = None) -> None:
         """Offline render: accumulate spp samples from the current
-        state."""
+        state.
+
+        autosave_every > 0 checkpoints the progressive state every that
+        many samples (crash-safe long renders — the recovery mechanism
+        the reference lacks entirely, SURVEY.md §5). Writes to a temp
+        file and renames, so a checkpoint is never half-written."""
         cam = self.controller.camera(self.cfg.width, self.cfg.height)
         step = self._step(self.controller.state.iterations)
         for i in range(spp):
             self.state = step(self.state, cam)
             if (i + 1) % 3 == 0 or i == spp - 1:
                 jax.block_until_ready(self.state.colors[0])
+            if autosave_every and autosave_path and (
+                (i + 1) % autosave_every == 0
+            ):
+                import os
+                tmp = autosave_path + ".tmp.npz"
+                save_checkpoint(tmp, self.state, meta={
+                    "width": self.cfg.width, "height": self.cfg.height,
+                    "mode": self.cfg.mode, "seed": self.cfg.seed,
+                })
+                os.replace(tmp, autosave_path)
             if progress:
                 self.meter.tick(
                     int(self.state.sample),

@@ -162,3 +162,30 @@ def test_cli_info(capsys):
     from opencl_path_tracer_tpu.cli import main
     assert main(["info"]) == 0
     assert "backend" in capsys.readouterr().out
+
+
+def test_engine_autosave(tmp_path):
+    scene = library.cornell_box(with_spheres=False)
+    eng = RenderEngine(scene, _cfg())
+    ck = tmp_path / "auto.npz"
+    eng.render(4, progress=False, autosave_every=2,
+               autosave_path=str(ck))
+    assert ck.exists()
+    eng2 = RenderEngine(scene, _cfg())
+    eng2.load(str(ck))
+    assert int(eng2.state.sample) == 4
+
+
+def test_cli_config_json(tmp_path):
+    from opencl_path_tracer_tpu.cli import main
+    from opencl_path_tracer_tpu.config import RenderConfig, CameraConfig
+    cfg = RenderConfig(width=16, height=16, iterations=2, spp=2,
+                       mode="fast", accel="bruteforce",
+                       camera=CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
+                                           shift=(0.0, 0.0, 0.0)))
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    out = tmp_path / "c.png"
+    rc = main(["render", "--scene", "cornell-empty",
+               "--config", str(cfg_path), "--out", str(out)])
+    assert rc == 0 and out.exists()
