@@ -149,6 +149,10 @@ def cmd_bench(args) -> int:
            os.path.join(os.path.dirname(__file__), "..", "bench.py")]
     if args.size:
         cmd += ["--size", args.size]
+    if args.scene:
+        cmd += ["--scene", args.scene]
+    if args.model:
+        cmd += ["--model", args.model]
     return subprocess.call(cmd)
 
 
@@ -204,6 +208,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--size", default=None)
+    p.add_argument("--scene", default=None)
+    p.add_argument("--model", default=None)
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
