@@ -189,3 +189,30 @@ def test_cli_config_json(tmp_path):
     rc = main(["render", "--scene", "cornell-empty",
                "--config", str(cfg_path), "--out", str(out)])
     assert rc == 0 and out.exists()
+
+
+def test_determinism_checker():
+    import functools
+    import jax
+    from opencl_path_tracer_tpu.models import megakernel
+    from opencl_path_tracer_tpu.ops import intersect
+    from opencl_path_tracer_tpu.utils.determinism import (
+        check_deterministic,
+    )
+
+    scene = library.cornell_box(with_spheres=False)
+    from opencl_path_tracer_tpu.scene.library import cornell_camera
+    cam = cornell_camera(8, 8)
+    isect = functools.partial(intersect.first_intersect, tris=scene.tris)
+    step = jax.jit(lambda st: megakernel.trace_sample(
+        cam, scene.mats, st, intersect_fn=isect, iterations=2,
+        mode="parity",
+    ))
+    state = megakernel.init_state(64, 1)
+    assert check_deterministic(step, state) == []
+
+    # A genuinely nondeterministic function is flagged.
+    import itertools
+    counter = itertools.count()
+    bad = lambda st: jax.numpy.float32(next(counter))
+    assert check_deterministic(bad, state) != []
