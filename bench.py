@@ -135,8 +135,19 @@ def main() -> int:
             return st, jnp.sum(st.colors[0][:8])
 
         t0 = time.time()
-        state, _ = run(state, 2)
-        float(jnp.sum(state.samples[:8]))
+        # The remote TPU compile service occasionally returns transient
+        # HTTP 500s — retry the first compile a couple of times.
+        for attempt in range(3):
+            try:
+                state, _ = run(state, 2)
+                float(jnp.sum(state.samples[:8]))
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                print(f"# warmup attempt {attempt + 1} failed, retrying",
+                      file=sys.stderr)
+                time.sleep(10)
         print(f"# warmup+compile {time.time()-t0:.1f}s",
               file=sys.stderr)
         t0 = time.time()
