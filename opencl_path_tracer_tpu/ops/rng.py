@@ -12,9 +12,12 @@ Two engines:
    TPU-native twist: the modulus is the Mersenne prime 2^31 - 1, so
    x mod m folds as (x >> 31) + (x & 0x7fffffff); a full 62-bit modular
    product decomposes into 16-bit limbs in pure uint32 — no int64, no
-   Schrage divisions, fully vectorizable on the VPU. This also gives us
-   O(log k) sequence jump-ahead (multiply by a^k mod m) for free, which is
-   how parity mode shards sample batches across chips without serializing.
+   Schrage divisions, fully vectorizable on the VPU. O(log k) sequence
+   jump-ahead (multiply by a^k mod m) comes for free; note that exact
+   reference parity CANNOT be sample-sharded this way (per-pixel draw
+   counts are data-dependent), so jump-ahead serves reproducible
+   decorrelated Lehmer streams, while bit-parity sharding uses
+   framebuffer tiles (each pixel's whole stream on one chip).
 
 2. FAST engine — counter-based threefry via jax.random: stateless,
    order-independent, the idiomatic TPU choice when parity is not needed.

@@ -129,3 +129,20 @@ def test_golden_statistics():
         img.reshape(16, 16, 3), golden[3:].reshape(16, 16, 3), rtol=1e-4,
         atol=1e-6,
     )
+
+
+def test_golden_statistics_full_bsdf():
+    """Second golden anchor covering the specular (chromium) and
+    refractive (glass) paths via the sphere scene at bounce depth 4."""
+    scene, cam, isect = _cornell_setup(w=16, h=16, with_spheres=True)
+    state = megakernel.render(cam, scene.mats, intersect_fn=isect,
+                              num_pixels=16 * 16, iterations=4, spp=4,
+                              mode="parity")
+    img = _c(state)
+    stats = np.array([img.mean(), img.std(), img.max()])
+    golden = np.load("tests/golden/cornell_spheres_16x16_i4_s4.npy")
+    np.testing.assert_allclose(stats, golden[:3], rtol=1e-5)
+    np.testing.assert_allclose(
+        img.reshape(16, 16, 3), golden[3:].reshape(16, 16, 3),
+        rtol=1e-4, atol=1e-6,
+    )
