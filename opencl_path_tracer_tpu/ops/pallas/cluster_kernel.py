@@ -195,6 +195,22 @@ def _tile_cluster_lists(rays8: jnp.ndarray, boxes: jnp.ndarray,
     hit, entry = _interval_slab(p_lo, p_hi, d_lo, d_hi,
                                 boxes[:, 0:3], boxes[:, 3:6])
 
+    # The slab entry bound collapses to 0 whenever the tile's direction
+    # interval spans zero on every axis (always true for incoherent
+    # bundles) — which silently disables nearest-first pruning. Ray
+    # directions are unit length, so the Euclidean distance from the
+    # tile's origin box to the cluster box is ALSO a lower bound on t;
+    # take the max of both bounds.
+    dist_sq = jnp.zeros_like(entry)
+    for ax in range(3):
+        gap = jnp.maximum(
+            boxes[None, :, ax] - p_hi[:, ax:ax + 1],
+            p_lo[:, ax:ax + 1] - boxes[None, :, ax + 3],
+        )
+        gap = jnp.maximum(gap, 0.0)
+        dist_sq = dist_sq + gap * gap
+    entry = jnp.maximum(entry, jnp.sqrt(dist_sq))
+
     # Compact, NEAREST-FIRST: sort each tile's clusters by conservative
     # entry distance (missed clusters key to BIG and sort last). The
     # kernel walks the list in this order and stops as soon as the next
