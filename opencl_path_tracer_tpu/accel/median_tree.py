@@ -29,7 +29,20 @@ from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
 
 def build_median_tree(tris: TrianglesSoA, *, leaf_size: int = 4,
                       split: str = "median",
-                      max_leaf: int = 6) -> BVH:
+                      max_leaf: int = 6,
+                      object_ranges=None) -> BVH:
+    """Build the host AABB tree.
+
+    object_ranges: optional (num_objects, 2) [from, to) triangle ranges
+    (Scene.object_ranges). When given, one subtree is built per object —
+    the reference builds one kd tree per OBJ shape and traverses them via
+    a start-offset table (Scene::end_Obj main.cpp:536-551,
+    prog.cl:151-166). In the flat pointer format a separate shift table
+    is unnecessary: the per-object subtrees hang under a balanced
+    internal "object hierarchy", so one traversal visits exactly the
+    same per-object trees the reference walks, with cross-object
+    bbox pruning for free.
+    """
     r1 = np.asarray(tris.r1, np.float64)
     r2 = np.asarray(tris.r2, np.float64)
     r3 = np.asarray(tris.r3, np.float64)
@@ -97,12 +110,43 @@ def build_median_tree(tris: TrianglesSoA, *, leaf_size: int = 4,
         process(left_slot, left_idx, depth + 1)
         process(left_slot + 1, right_idx, depth + 1)
 
+    obj_levels = [0]
+
+    def process_objects(slot: int, groups: list[np.ndarray],
+                        depth: int) -> None:
+        """Balanced internal tree over per-object triangle groups; each
+        single-object node roots that object's own subtree (the
+        reference's per-shape trees, main.cpp:536-551). Per-object
+        subtrees restart at depth 0, like the reference's independent
+        builds (axis = depth % 3 cycles from x in every tree)."""
+        obj_levels[0] = max(obj_levels[0], depth)
+        if len(groups) == 1:
+            process(slot, groups[0], 0)
+            return
+        idx = np.concatenate(groups)
+        lo = lo_all[idx].min(0)
+        hi = hi_all[idx].max(0)
+        half = len(groups) // 2
+        left_slot = len(nodes)
+        nodes.append([0.0] * 8)
+        nodes.append([0.0] * 8)
+        nodes[slot] = [*lo, *hi, -float(left_slot), 0.0]
+        process_objects(left_slot, groups[:half], depth + 1)
+        process_objects(left_slot + 1, groups[half:], depth + 1)
+
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 100000))
     try:
-        process(0, np.arange(t_count), 0)
+        if object_ranges is not None and len(object_ranges) > 1:
+            groups = [
+                np.arange(int(a), int(b)) for a, b in object_ranges
+            ]
+            process_objects(0, groups, 0)
+        else:
+            process(0, np.arange(t_count), 0)
     finally:
         sys.setrecursionlimit(old_limit)
+    max_depth[0] += obj_levels[0]
 
     return finalize_bvh(
         np.asarray(nodes, np.float32),

@@ -76,8 +76,8 @@ def cmd_render(args) -> int:
     eng.render(cfg.spp, autosave_every=args.autosave_every,
                autosave_path=args.checkpoint)
     dt = time.time() - t0
-    print(f"\n{args.spp} spp in {dt:.2f}s "
-          f"({args.spp/dt:.2f} samples/s)", file=sys.stderr)
+    print(f"\n{cfg.spp} spp in {dt:.2f}s "
+          f"({cfg.spp/dt:.2f} samples/s)", file=sys.stderr)
     if args.median:
         import jax.numpy as jnp
         from opencl_path_tracer_tpu.io.image import write_png
@@ -169,8 +169,8 @@ def main(argv=None) -> int:
         p.add_argument("--mode", default="fast",
                        choices=["fast", "parity"])
         p.add_argument("--accel", default="auto",
-                       choices=["auto", "bvh", "bruteforce", "pallas",
-                                "cluster"])
+                       choices=["auto", "bvh", "median", "bruteforce",
+                                "pallas", "cluster"])
         p.add_argument("--seed", type=int, default=1)
         p.add_argument("--fov", type=float, default=None)
         p.add_argument("--yaw", type=float, default=None)

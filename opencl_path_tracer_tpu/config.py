@@ -68,7 +68,8 @@ class RenderConfig:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.tonemap not in ("reinhard", "filmic", "none"):
             raise ValueError(f"unknown tonemap {self.tonemap!r}")
-        if self.accel not in ("auto", "bruteforce", "bvh", "pallas",
+        if self.accel not in ("auto", "bruteforce", "bvh", "median",
+                              "pallas",
                               "cluster"):
             raise ValueError(f"unknown accel {self.accel!r}")
         return self

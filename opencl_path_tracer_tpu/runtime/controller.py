@@ -9,7 +9,8 @@ Headless re-implementation of the reference's GLUT input layer
   main.cpp:1189-1209), E/C zoom fov (20 deg/s, slowing to 2 and 0.1 at
   narrow fov, :1211-1224), mouse-drag look (0.2 deg/px, slowing with
   fov, :1151-1163), '+'/'-' bounce depth in [1, max_iterations]
-  (:1043-1054), 'r' realtime toggle (:1067-1069).
+  (:1043-1054), 'r' realtime toggle (:1067-1069), ESC quit
+  (:1055-1058), space fullscreen toggle (:1059-1066).
 
 ANY movement/button event resets progressive accumulation
 (current_sample = 0, main.cpp:1098-1148) — surfaced here as the
@@ -39,6 +40,8 @@ class ControllerState:
     iterations: int
     real_time: bool = True
     accumulation_reset: bool = False
+    quit_requested: bool = False
+    fullscreen: bool = False
 
 
 class CameraController:
@@ -69,6 +72,14 @@ class CameraController:
                 st.accumulation_reset = True
         elif key == "r":
             st.real_time = not st.real_time
+        elif key in ("escape", "esc", "\x1b"):
+            # ESC destroys the window and exits (main.cpp:1055-1058);
+            # headless hosts consume this flag to shut down.
+            st.quit_requested = True
+        elif key in (" ", "space"):
+            # Fullscreen toggle (main.cpp:1059-1066) — display-only,
+            # no accumulation reset, matching the reference.
+            st.fullscreen = not st.fullscreen
         elif key in MOVE_KEYS:
             self._keys_down.add(key)
 

@@ -64,6 +64,16 @@ def make_intersect_fn(scene: Scene, accel: str):
             build_lbvh, make_bvh_intersect,
         )
         return make_bvh_intersect(build_lbvh(scene.tris, leaf_size=4))
+    if accel == "median":
+        # The reference's own structure: one midpoint-mean tree per
+        # object (main.cpp:536-551) under an object hierarchy.
+        from opencl_path_tracer_tpu.accel import (
+            build_median_tree, make_bvh_intersect,
+        )
+        return make_bvh_intersect(build_median_tree(
+            scene.tris, split="midpoint_mean",
+            object_ranges=scene.object_ranges,
+        ))
     if accel == "pallas":
         from opencl_path_tracer_tpu.ops.pallas import make_pallas_intersect
         interpret = jax.default_backend() == "cpu"

@@ -58,10 +58,14 @@ async function tick() {
   img.src = '/frame.png?' + Date.now();
   const r = await fetch('/stats');
   const s = await r.json();
+  if (s.fullscreen) { img.style.width = '100vw'; img.style.height = 'auto'; }
+  else { img.style.width = ''; img.style.height = ''; }
+  if (s.error) { hud.textContent = 'RENDER ERROR: ' + s.error; return; }
   hud.textContent = `samples=${s.samples}  ` +
     `samples/s=${s.samples_per_sec.toFixed(2)}  ` +
     `iterations=${s.iterations}  realtime=${s.real_time}  ` +
-    `[WASD/QY fly, drag look, E/C zoom, +/- bounces, R realtime]`;
+    `[WASD/QY fly, drag look, E/C zoom, +/- bounces, R realtime, ` +
+    `SPACE fullscreen, ESC quit]`;
 }
 setInterval(tick, 100); tick();
 </script></body></html>"""
@@ -76,12 +80,27 @@ class ViewerServer:
         self._lock = threading.Lock()
         self._frame_png: bytes = b""
         self._stop = threading.Event()
+        self._httpd = None
+        self.last_error: str | None = None
 
     # --- render thread (the onIdle loop) ---------------------------------
     def _render_loop(self) -> None:
+        try:
+            self._render_loop_inner()
+        except Exception as exc:  # surface in /stats instead of dying mute
+            import traceback
+            self.last_error = (
+                f"{type(exc).__name__}: {exc}"
+            )
+            traceback.print_exc()
+
+    def _render_loop_inner(self) -> None:
         from opencl_path_tracer_tpu.io.image import write_png
         last = time.time()
         while not self._stop.is_set():
+            if self.engine.controller.state.quit_requested:
+                self.shutdown()  # ESC (main.cpp:1055-1058)
+                return
             now = time.time()
             with self._lock:
                 self.engine.frame(dt=now - last)
@@ -119,6 +138,13 @@ class ViewerServer:
             elif ev == "mousemove":
                 ctl.mouse_motion(int(msg["x"]), int(msg["y"]))
 
+    def shutdown(self) -> None:
+        """Stop the render loop and the HTTP server (ESC path)."""
+        self._stop.set()
+        httpd = self._httpd
+        if httpd is not None:
+            threading.Thread(target=httpd.shutdown, daemon=True).start()
+
     def serve(self, block: bool = True):
         viewer = self
 
@@ -145,6 +171,8 @@ class ViewerServer:
                             eng.meter.last_samples_per_sec,
                         "iterations": st.iterations,
                         "real_time": st.real_time,
+                        "fullscreen": st.fullscreen,
+                        "error": viewer.last_error,
                     }).encode()
                     self._send(200, "application/json", body)
                 else:
@@ -168,6 +196,7 @@ class ViewerServer:
         )
         render_thread.start()
         httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self._httpd = httpd
         print(f"ptx viewer at http://{self.host}:{self.port}/")
         if block:
             try:

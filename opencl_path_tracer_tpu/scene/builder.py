@@ -57,7 +57,10 @@ class Scene:
 
     tris: TrianglesSoA
     mats: MaterialsSoA
-    # (num_objects, 2) [from, to) triangle ranges, one per end_obj().
+    # (num_objects, 2) [from, to) triangle ranges, one per end_obj();
+    # consumed by accel.build_median_tree(object_ranges=...) to build
+    # one subtree per object (accel='median'), like the reference's
+    # per-shape kd trees + kd_tree_shift (main.cpp:536-551).
     object_ranges: np.ndarray
 
     @property

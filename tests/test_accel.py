@@ -139,3 +139,26 @@ def test_degenerate_identical_midpoints():
         )
         hits = make_bvh_intersect(bvh)(rays)
         assert float(hits.t[0]) > 0
+
+
+def test_per_object_forest_matches_bruteforce():
+    """object_ranges builds one subtree per object (the reference's
+    per-shape trees + shift table, main.cpp:536-551) — identical hits."""
+    tris = _random_tris(240, seed=9)
+    ranges = np.asarray([[0, 50], [50, 51], [51, 180], [180, 240]])
+    bvh = build_median_tree(
+        tris, split="midpoint_mean", object_ranges=ranges
+    )
+    _check_matches_bruteforce(bvh, tris, _random_rays(400, seed=10))
+
+
+def test_per_object_forest_on_scene_ranges():
+    scene = library.cornell_box(with_spheres=True)
+    assert scene.num_objects >= 2  # walls + spheres closed separately
+    bvh = build_median_tree(
+        scene.tris, split="midpoint_mean",
+        object_ranges=scene.object_ranges,
+    )
+    _check_matches_bruteforce(
+        bvh, scene.tris, _random_rays(300, seed=11, spread=500.0)
+    )

@@ -216,3 +216,21 @@ def test_determinism_checker():
     counter = itertools.count()
     bad = lambda st: jax.numpy.float32(next(counter))
     assert check_deterministic(bad, state) != []
+
+
+def test_controller_esc_and_space():
+    """ESC requests quit (main.cpp:1055-1058); space toggles fullscreen
+    without resetting accumulation (main.cpp:1059-1066)."""
+    from opencl_path_tracer_tpu.config import RenderConfig
+    from opencl_path_tracer_tpu.runtime.controller import CameraController
+    ctl = CameraController(RenderConfig(width=8, height=8))
+    ctl.consume_reset()
+    assert not ctl.state.fullscreen
+    ctl.key_down(" ")
+    assert ctl.state.fullscreen
+    assert not ctl.consume_reset()  # display-only, no reset
+    ctl.key_down("space")
+    assert not ctl.state.fullscreen
+    assert not ctl.state.quit_requested
+    ctl.key_down("Escape")
+    assert ctl.state.quit_requested

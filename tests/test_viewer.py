@@ -59,3 +59,51 @@ def test_viewer_endpoints():
     finally:
         viewer._stop.set()
         httpd.shutdown()
+
+
+def test_viewer_surfaces_render_error_and_esc_quits():
+    """A render-thread exception lands in /stats['error'] instead of
+    killing the thread silently; ESC shuts the server down."""
+    scene = library.cornell_box(with_spheres=False)
+    cfg = RenderConfig(
+        width=16, height=16, iterations=2, mode="fast",
+        accel="bruteforce",
+        camera=CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
+                            shift=(0.0, 0.0, 0.0)),
+    )
+    viewer = ViewerServer(RenderEngine(scene, cfg), port=8698)
+
+    def boom(dt=0.0):
+        raise RuntimeError("synthetic kernel failure")
+
+    viewer.engine.frame = boom
+    httpd = viewer.serve(block=False)
+    try:
+        base = "http://127.0.0.1:8698"
+        deadline = time.time() + 30
+        err = None
+        while time.time() < deadline:
+            stats = json.loads(
+                urllib.request.urlopen(base + "/stats").read()
+            )
+            err = stats.get("error")
+            if err:
+                break
+            time.sleep(0.1)
+        assert err and "synthetic kernel failure" in err
+    finally:
+        viewer._stop.set()
+        httpd.shutdown()
+
+    # ESC: the controller flag makes the render loop stop the server.
+    viewer2 = ViewerServer(RenderEngine(scene, cfg), port=8697)
+    httpd2 = viewer2.serve(block=False)
+    try:
+        viewer2.engine.controller.key_down("escape")
+        deadline = time.time() + 30
+        while time.time() < deadline and not viewer2._stop.is_set():
+            time.sleep(0.1)
+        assert viewer2._stop.is_set()
+    finally:
+        viewer2._stop.set()
+        httpd2.shutdown()
