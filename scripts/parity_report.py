@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--outdir", default="out")
+    ap.add_argument("--models-dir", default=None,
+                    help="OBJ models for the reference scene (e.g. "
+                         "tests/assets/models)")
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
 
@@ -56,7 +59,7 @@ def main():
         scene = library.cornell_box(with_spheres=True)
         cam = library.cornell_camera(w, h)
     elif args.scene == "reference":
-        scene = library.reference_scene(None)
+        scene = library.reference_scene(args.models_dir)
         cam = library.reference_camera(w, h)
     else:
         raise SystemExit(f"unknown scene {args.scene}")

@@ -140,3 +140,29 @@ def test_reference_scene_builds():
     assert scene.num_triangles > 1000
     assert scene.num_objects >= 8
     assert int(scene.mats.count) == 10
+
+
+def test_reference_scene_with_model_assets():
+    """The seven generated model OBJs (tests/assets/models, from
+    scripts/gen_models.py) drive the full add_Obj path: OBJ parse, MTL
+    with Kn/Kk/Tp (main.cpp:564-581), X-flip + transform, per-shape
+    end_obj (main.cpp:615)."""
+    import os
+    import numpy as np
+    here = os.path.dirname(__file__)
+    scene = library.reference_scene(os.path.join(here, "assets", "models"))
+    assert scene.num_objects == 8  # ground + 7 models
+    # 10 archetypes + 7 MTL materials.
+    assert scene.mats.type.shape[0] == 17
+    types = np.asarray(scene.mats.type)[10:]
+    assert sorted(types.tolist()) == [0, 0, 1, 2, 2, 2, 3]
+    # The gold MTL's Kn/Kk became a conductor F0 (main.cpp:104-110):
+    # F0 = (k^2 + (n-1)^2) / (k^2 + (n+1)^2), per channel.
+    gold = np.nonzero(types == 1)[0][0] + 10
+    f0r = float(np.asarray(scene.mats.f0[0])[gold])
+    n_, k_ = 0.17, 3.1
+    expect = (k_**2 + (n_ - 1)**2) / (k_**2 + (n_ + 1)**2)
+    np.testing.assert_allclose(f0r, expect, rtol=1e-6)
+    # X-flip applied on load (main.cpp:598): the chair sits at +x=50
+    # pre-flip... its vertices must lie in the transformed range.
+    assert scene.num_triangles > 1800
