@@ -170,7 +170,7 @@ def main(argv=None) -> int:
                        choices=["fast", "parity"])
         p.add_argument("--accel", default="auto",
                        choices=["auto", "bvh", "median", "bruteforce",
-                                "pallas", "cluster"])
+                                "pallas", "cluster", "group", "pair"])
         p.add_argument("--seed", type=int, default=1)
         p.add_argument("--fov", type=float, default=None)
         p.add_argument("--yaw", type=float, default=None)

@@ -69,8 +69,7 @@ class RenderConfig:
         if self.tonemap not in ("reinhard", "filmic", "none"):
             raise ValueError(f"unknown tonemap {self.tonemap!r}")
         if self.accel not in ("auto", "bruteforce", "bvh", "median",
-                              "pallas",
-                              "cluster"):
+                              "pallas", "cluster", "group", "pair"):
             raise ValueError(f"unknown accel {self.accel!r}")
         return self
 

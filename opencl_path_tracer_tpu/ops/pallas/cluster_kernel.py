@@ -65,10 +65,18 @@ class ClusterScene:
     tri_pack: jnp.ndarray
 
 
-def build_clusters(tris: TrianglesSoA, cluster_size: int = 128
+def build_clusters(tris: TrianglesSoA, cluster_size: int = 128,
+                   split_large: bool = False,
                    ) -> tuple[ClusterScene, int, int]:
     """Morton-sort triangles into fixed-size clusters.
-    Returns (scene, num_clusters, cluster_size)."""
+    Returns (scene, num_clusters, cluster_size).
+
+    split_large: route triangles whose bbox diagonal exceeds 25% of the
+    scene diagonal (walls, ground planes) into dedicated LEADING
+    clusters instead of Morton cells. One wall triangle makes its Morton
+    cluster's box span the scene, defeating culling for every ray;
+    quarantined, the large-tri clusters pass every slab test (correct,
+    they're few) while the remaining cluster boxes stay tight."""
     t_count = int(tris.count)
     k = cluster_size
     c = max(1, -(-t_count // k))
@@ -80,6 +88,12 @@ def build_clusters(tris: TrianglesSoA, cluster_size: int = 128
     scene_lo = lo.min(0)
     extent = jnp.maximum(hi.max(0) - scene_lo, 1e-9)
     codes = morton3((mid - scene_lo) / extent)
+    if split_large:
+        diag = jnp.linalg.norm(hi - lo, axis=1)
+        scene_diag = jnp.linalg.norm(hi.max(0) - lo.min(0))
+        # Large tris sort before every Morton code (codes are < 2^30).
+        codes = jnp.where(diag > 0.25 * scene_diag,
+                          jnp.uint32(0), codes | jnp.uint32(1 << 30))
 
     pad = total - t_count
     codes = jnp.concatenate(
@@ -228,20 +242,20 @@ def _tile_cluster_lists(rays8: jnp.ndarray, boxes: jnp.ndarray,
 # Phase B: branchless per-tile triangle tests (Pallas).
 
 
-def _kernel(ray_ref, cnt_ref, ids_ref, entry_ref, tri_ref, t_ref,
-            i_ref, nx_ref, ny_ref, nz_ref, m_ref, *, subtiles: int,
-            early_exit: bool):
+def _kernel(ray_ref, cnt_ref, ids_ref, entry_ref, tri_ref, out_ref, *,
+            subtiles: int, early_exit: bool):
+    """out_ref: ONE (S*TR, 8) block, columns [t i nx ny nz m 0 0].
+    Separate (N, 1) outputs are each lane-padded to 128 in VMEM (6 MB
+    per 2048-ray block, double-buffered) — packing them into one row-8
+    array is 6x smaller and is what lets blocks grow past 1k rays
+    without blowing the 16 MB scoped-VMEM limit."""
     k = tri_ref.shape[2]
     str_ = ray_ref.shape[0]          # S * TR rays per instance
     tr = str_ // subtiles
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
-    t_ref[:] = jnp.full((str_, 1), BIG, jnp.float32)
-    i_ref[:] = jnp.zeros((str_, 1), jnp.float32)
-    nx_ref[:] = jnp.zeros((str_, 1), jnp.float32)
-    ny_ref[:] = jnp.zeros((str_, 1), jnp.float32)
-    nz_ref[:] = jnp.zeros((str_, 1), jnp.float32)
-    m_ref[:] = jnp.zeros((str_, 1), jnp.float32)
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (str_, 8), 1)
+    out_ref[:] = jnp.where(col8 == 0, BIG, 0.0).astype(jnp.float32)
 
     # Several ray subtiles share one grid instance (and one copy of the
     # VMEM-resident scene): per-grid-step fixed costs (block DMAs, loop
@@ -290,25 +304,25 @@ def _kernel(ray_ref, cnt_ref, ids_ref, entry_ref, tri_ref, t_ref,
             win_nz = jnp.sum(onehot * row(2), axis=1, keepdims=True)
             win_m = jnp.sum(onehot * row(16), axis=1, keepdims=True)
 
-            cur = t_ref[lo:lo + tr, :]
+            cur = out_ref[lo:lo + tr, 0:1]
             better = tmin_k < cur
-            t_ref[lo:lo + tr, :] = jnp.where(better, tmin_k, cur)
-            i_ref[lo:lo + tr, :] = jnp.where(
-                better, gidx, i_ref[lo:lo + tr, :]
+            out_ref[lo:lo + tr, 0:1] = jnp.where(better, tmin_k, cur)
+            out_ref[lo:lo + tr, 1:2] = jnp.where(
+                better, gidx, out_ref[lo:lo + tr, 1:2]
             )
-            nx_ref[lo:lo + tr, :] = jnp.where(
-                better, win_nx, nx_ref[lo:lo + tr, :]
+            out_ref[lo:lo + tr, 2:3] = jnp.where(
+                better, win_nx, out_ref[lo:lo + tr, 2:3]
             )
-            ny_ref[lo:lo + tr, :] = jnp.where(
-                better, win_ny, ny_ref[lo:lo + tr, :]
+            out_ref[lo:lo + tr, 3:4] = jnp.where(
+                better, win_ny, out_ref[lo:lo + tr, 3:4]
             )
-            nz_ref[lo:lo + tr, :] = jnp.where(
-                better, win_nz, nz_ref[lo:lo + tr, :]
+            out_ref[lo:lo + tr, 4:5] = jnp.where(
+                better, win_nz, out_ref[lo:lo + tr, 4:5]
             )
-            m_ref[lo:lo + tr, :] = jnp.where(
-                better, win_m, m_ref[lo:lo + tr, :]
+            out_ref[lo:lo + tr, 5:6] = jnp.where(
+                better, win_m, out_ref[lo:lo + tr, 5:6]
             )
-            return slot + 1, jnp.max(t_ref[lo:lo + tr, :])
+            return slot + 1, jnp.max(out_ref[lo:lo + tr, 0:1])
 
         cnt = cnt_ref[0, 0, sub, 0]
         if early_exit:
@@ -362,15 +376,16 @@ def _run(rays8, cnt, ids, entry, tri_pack, tr: int, subtiles: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tr * s, 1), lambda rt: (rt, 0),
+            pl.BlockSpec((tr * s, 8), lambda rt: (rt, 0),
                          memory_space=pltpu.VMEM),
-        ] * 6,
+        ],
         out_shape=[
-            jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
-        ] * 6,
+            jax.ShapeDtypeStruct((rpad, 8), jnp.float32),
+        ],
         interpret=interpret,
     )(rays8, cnt3, ids3, entry3, tri_pack)
-    return tuple(o[:, 0] for o in outs)
+    out = outs[0]
+    return tuple(out[:, j] for j in range(6))
 
 
 def pack_rays_rows(p, d, pad_to: int) -> jnp.ndarray:

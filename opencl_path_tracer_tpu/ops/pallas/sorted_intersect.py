@@ -1,0 +1,463 @@
+"""Sort-grouped intersectors: per-RAY culling on a lockstep machine.
+
+Round-1 finding (docs/BENCHMARKS.md): per-TILE conservative culling
+collapses on incoherent bounce rays — a tile of random directions spans
+the scene, so its interval frustum passes every cluster. Tile
+granularity is dead; only per-RAY candidate sets cull.
+
+Round-2 measurements that shape this design (v5e):
+  * lax.sort is FAST: 2M keys + 8 payloads ~ 3 ms, 16M ~ 58 ms;
+  * gathers/scatters are SLOW: 16M-row gather 91 ms, scatter-min 40 ms.
+
+So: compute each ray's exact passing-cluster set, then GROUP rays by
+that set with a sort (carrying the ray through as sort payloads — never
+gather), run the branchless cluster kernel on now-homogeneous tiles,
+and sort results back by a carried slot index. The wavefront renderer
+is permutation-tolerant (lanes carry their pixel id), so the two sorts
+bracket only the intersector.
+
+`make_group_intersect` — small scenes (C <= 30 clusters): the per-ray
+set is a bitmask key; a tile's cluster list is the UNION of its
+(near-identical) masks — exact per-ray culling, no candidate cap, no
+rounds. Matches ops.intersect.first_intersect bit-for-bit on hits.
+
+Triangle math: identical to the cluster kernel (prog.cl:94-112 in m_k
+form); slab: prog.cl:123-143 with a d==0 guard (the reference's
+IEEE-no-guard slab turns 0 * inf into NaN -> silently culls rays lying
+exactly on a cluster face; for CULLING we must be conservative, so the
+d==0 axis tests containment instead).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
+from opencl_path_tracer_tpu.core.types import Hits, Rays
+from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
+    BIG, build_clusters, _run,
+)
+
+
+def _perray_slab(comps, boxes, need_entry: bool = False):
+    """Exact per-ray slab test against every cluster box.
+
+    comps: 6 (R,) arrays px py pz dx dy dz. boxes: (C, 8) [lo3 hi3 _ _].
+    Returns (R, C) bool pass mask (and entry distance if need_entry).
+    Axis-chunked (R, C) intermediates — never (R, C, 3).
+    """
+    px, py, pz, dx, dy, dz = comps
+    r = px.shape[0]
+    c = boxes.shape[0]
+    tmin = jnp.full((r, c), -BIG, jnp.float32)
+    tmax = jnp.full((r, c), BIG, jnp.float32)
+    for p, d, ax in ((px, dx, 0), (py, dy, 1), (pz, dz, 2)):
+        bl = boxes[None, :, ax]          # (1, C)
+        bh = boxes[None, :, ax + 3]
+        p1 = p[:, None]                  # (R, 1)
+        d0 = d[:, None] == 0.0
+        # Safe reciprocal: d==0 handled by containment below, so the
+        # value fed to the products never produces 0 * inf = NaN.
+        inv = 1.0 / jnp.where(d0, 1.0, d[:, None])
+        t1 = (bl - p1) * inv             # (R, C)
+        t2 = (bh - p1) * inv
+        lo_ax = jnp.minimum(t1, t2)
+        hi_ax = jnp.maximum(t1, t2)
+        inside = (p1 >= bl) & (p1 <= bh)
+        lo_ax = jnp.where(d0, jnp.where(inside, -BIG, BIG), lo_ax)
+        hi_ax = jnp.where(d0, jnp.where(inside, BIG, -BIG), hi_ax)
+        tmin = jnp.maximum(tmin, lo_ax)
+        tmax = jnp.minimum(tmax, hi_ax)
+    hit = (tmax >= tmin) & (tmax >= 0.0)
+    if need_entry:
+        return hit, jnp.maximum(tmin, 0.0)
+    return hit
+
+
+def _hits_from_raw(rays: Rays, best_t, n3, m, r: int) -> Hits:
+    best_t = best_t[:r]
+    any_hit = best_t < BIG
+    z = jnp.zeros_like(best_t)
+    safe_t = jnp.where(any_hit, best_t, 0.0)
+    hit_p = tuple(
+        jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
+        for k in range(3)
+    )
+    return Hits(
+        t=jnp.where(any_hit, best_t, -1.0),
+        p=hit_p,
+        n=tuple(a[:r] for a in n3),
+        mati=jnp.where(any_hit, m[:r], 0.0).astype(jnp.int32),
+    )
+
+
+def make_group_intersect(tris: TrianglesSoA, *, cluster_size: int = 128,
+                         tr: int = 256, subtiles: int = 8,
+                         interpret: bool = False):
+    """Mask-sorted intersector for scenes with <= 30 clusters.
+
+    Per ray: exact passing-cluster bitmask (u32). Rays sorted by mask
+    (payloads: 6 ray components + original slot). Per ray-tile the
+    cluster list is the bit list of the tile's mask UNION — tiles are
+    mask-homogeneous after the sort, so the union IS (almost) each
+    lane's own set. Results sorted back by slot. No candidate cap:
+    every passing cluster is tested, so hits match brute force exactly.
+    """
+    scene, c, k = build_clusters(tris, cluster_size, split_large=True)
+    if c > 30:
+        raise ValueError(
+            f"{c} clusters exceed the u32 mask (use the pair intersector)"
+        )
+    boxes = scene.boxes
+    block = tr * subtiles
+    cbits = np.arange(c, dtype=np.uint32)
+
+    def intersect(rays: Rays) -> Hits:
+        r = rays.p[0].shape[0]
+        rpad = -(-r // block) * block
+
+        def pad(x):
+            if rpad == r:
+                return x
+            return jnp.concatenate(
+                [x, jnp.zeros((rpad - r,), x.dtype)]
+            )
+
+        comps = [pad(rays.p[i]) for i in range(3)] + [
+            pad(rays.d[i]) for i in range(3)
+        ]
+        passes = _perray_slab(comps, boxes)            # (Rpad, C)
+        key = jnp.sum(
+            jnp.where(passes, jnp.uint32(1) << cbits[None, :],
+                      jnp.uint32(0)),
+            axis=1, dtype=jnp.uint32,
+        )
+        slot = jnp.arange(rpad, dtype=jnp.int32)
+        srt = jax.lax.sort([key, *comps, slot], num_keys=1)
+        key_s, comps_s, slot_s = srt[0], srt[1:7], srt[7]
+
+        # Per-tile mask union -> compacted cluster-id lists (the
+        # interface of cluster_kernel._run).
+        g = rpad // tr
+        union = jax.lax.reduce(
+            key_s.reshape(g, tr), jnp.uint32(0), jax.lax.bitwise_or,
+            (1,),
+        )                                              # (G,)
+        bits = ((union[:, None] >> cbits[None, :])
+                & jnp.uint32(1)) == 1                  # (G, C)
+        ids = jnp.argsort(~bits, axis=1, stable=True).astype(jnp.int32)
+        cnt = jnp.sum(bits, axis=1, dtype=jnp.int32)[:, None]
+        entry = jnp.zeros((g, c), jnp.float32)
+
+        zeros = jnp.zeros((rpad,), jnp.float32)
+        rays8 = jnp.stack([*comps_s, zeros, zeros], axis=1)  # (Rpad, 8)
+        best_t, _i, nx, ny, nz, m = _run(
+            rays8, cnt, ids, entry, scene.tri_pack, tr, subtiles,
+            False, interpret,
+        )
+        back = jax.lax.sort(
+            [slot_s, best_t, nx, ny, nz, m], num_keys=1
+        )
+        return _hits_from_raw(rays, back[1], back[2:5], back[5], r)
+
+    return intersect
+
+
+# ---------------------------------------------------------------------------
+# Large-C path: (ray, cluster) pair expansion.
+#
+# For hundreds of clusters a bitmask key no longer exists and testing
+# every passing cluster per ray is too much; instead each ray gets its
+# L NEAREST passing clusters (by conservative slab entry distance), the
+# (ray, cluster) pairs are grouped by cluster with one sort, a Pallas
+# kernel walks the homogeneous runs, and results return via a second
+# sort. A certificate makes it exact: a ray is RESOLVED iff its best
+# hit is no farther than the entry of its first untested candidate
+# (or its candidate list is exhausted). Unresolved rays — a few percent
+# — are compacted by another sort and re-run with wider rank windows;
+# the last round's window extends to every cluster, so the result
+# equals brute force whenever the (generous, tested) prefix capacities
+# hold. This is the reference's nearest-first kd pruning
+# (prog.cl:162-163) re-expressed as data-parallel sorts.
+
+
+def _pair_kernel(key_ref, ray_ref, tri_ref, out_ref):
+    """One tile of TRP cluster-sorted pairs; while-loop over key runs.
+    ray_ref: (TRP, 8) rows [px py pz dx dy dz key 0] — the pair's
+    cluster key rides in column 6 (a separate (N, 1) input would be
+    lane-padded 128-wide in VMEM). out_ref: ONE (TRP, 8) block, columns
+    [t nx ny nz m 0 0 0] (same padding argument, see _kernel)."""
+    trp = ray_ref.shape[0]
+    k = tri_ref.shape[2]
+    n_clusters = tri_ref.shape[0] - 1   # last block is the dummy
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (trp, 8), 1)
+    out_ref[:] = jnp.where(col8 == 0, BIG, 0.0).astype(jnp.float32)
+
+    rays = ray_ref[:]                                   # (TRP, 8)
+    px, py, pz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    kf = rays[:, 6:7]                                   # (TRP, 1) f32
+
+    def body(pos):
+        ci = key_ref[0, 0, pos]                         # scalar i32
+        in_run = kf == ci.astype(jnp.float32)           # (TRP, 1)
+
+        @pl.when(ci < n_clusters)
+        def _():
+            blk = tri_ref[ci]                           # (24, K)
+
+            def row(j):
+                return blk[j:j + 1, :]
+
+            def pd(base):
+                vx, vy, vz = row(base), row(base + 1), row(base + 2)
+                return (px * vx + py * vy + pz * vz,
+                        dx * vx + dy * vy + dz * vz)
+
+            pn, vn = pd(0)
+            t = (row(3) - pn) / vn
+            pm1, vm1 = pd(4)
+            pm2, vm2 = pd(8)
+            pm3, vm3 = pd(12)
+            valid = (
+                (t > 0.0)
+                & (pm1 + t * vm1 >= row(7))
+                & (pm2 + t * vm2 >= row(11))
+                & (pm3 + t * vm3 >= row(15))
+            )
+            tm = jnp.where(valid, t, BIG)
+            tmin_k = jnp.min(tm, axis=1, keepdims=True)
+            local = jnp.argmin(tm, axis=1).reshape(trp, 1)
+            onehot = (lane == local).astype(jnp.float32)
+            win_nx = jnp.sum(onehot * row(0), axis=1, keepdims=True)
+            win_ny = jnp.sum(onehot * row(1), axis=1, keepdims=True)
+            win_nz = jnp.sum(onehot * row(2), axis=1, keepdims=True)
+            win_m = jnp.sum(onehot * row(16), axis=1, keepdims=True)
+
+            better = in_run & (tmin_k < out_ref[:, 0:1])
+            out_ref[:, 0:1] = jnp.where(better, tmin_k, out_ref[:, 0:1])
+            out_ref[:, 1:2] = jnp.where(better, win_nx, out_ref[:, 1:2])
+            out_ref[:, 2:3] = jnp.where(better, win_ny, out_ref[:, 2:3])
+            out_ref[:, 3:4] = jnp.where(better, win_nz, out_ref[:, 3:4])
+            out_ref[:, 4:5] = jnp.where(better, win_m, out_ref[:, 4:5])
+
+        run_len = jnp.sum(in_run.astype(jnp.int32))
+        return pos + run_len
+
+    jax.lax.while_loop(lambda pos: pos < trp, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _run_pairs(keys, rays8p, tri_pack, trp: int, interpret: bool):
+    """keys: (P,) i32 sorted cluster ids (C = dummy); rays8p: (P, 8)."""
+    p = keys.shape[0]
+    g = p // trp
+    keys3 = keys.reshape(g, 1, trp)
+    c1, rows, k = tri_pack.shape
+    outs = pl.pallas_call(
+        _pair_kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 1, trp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((trp, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, rows, k), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((trp, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((p, 8), jnp.float32)],
+        interpret=interpret,
+    )(keys3, rays8p, tri_pack)
+    return tuple(outs[0][:, j] for j in range(5))
+
+
+def _candidates(comps, boxes, lo_rank: int, hi_rank: int, num_clusters,
+                chunk: int = 1 << 18):
+    """Each ray's passing clusters ranked lo_rank..hi_rank-1 by entry
+    distance, plus the entry of rank hi_rank (the certificate bound).
+    Returns (ids (R, hi-lo) i32 with misses = num_clusters,
+    entry_next (R,)). Row-chunked so the (chunk, C) slab temporaries
+    stay bounded."""
+    r = comps[0].shape[0]
+    l = hi_rank - lo_rank
+    ids_out, next_out = [], []
+    for s in range(0, r, chunk):
+        e = min(s + chunk, r)
+        sub = [x[s:e] for x in comps]
+        hit, entry = _perray_slab(sub, boxes, need_entry=True)
+        keyd = jnp.where(hit, entry, BIG)
+        kk = min(hi_rank + 1, keyd.shape[1])
+        negv, idx = jax.lax.top_k(-keyd, kk)
+        vals = -negv                                   # ascending entries
+        if lo_rank >= kk:
+            ids = jnp.full((e - s, l), num_clusters, jnp.int32)
+            nxt = jnp.full((e - s,), BIG, jnp.float32)
+        else:
+            take_hi = min(hi_rank, kk)
+            ids = jnp.where(
+                vals[:, lo_rank:take_hi] < BIG,
+                idx[:, lo_rank:take_hi], num_clusters
+            ).astype(jnp.int32)
+            if ids.shape[1] < l:
+                ids = jnp.concatenate([
+                    ids, jnp.full((e - s, l - ids.shape[1]),
+                                  num_clusters, jnp.int32)], axis=1)
+            nxt = (vals[:, hi_rank] if hi_rank < kk
+                   else jnp.full((e - s,), BIG, jnp.float32))
+        ids_out.append(ids)
+        next_out.append(nxt)
+    return jnp.concatenate(ids_out), jnp.concatenate(next_out)
+
+
+def _pairs_round(comps, ids, tri_pack, trp: int, interpret: bool):
+    """Expand (R, L) candidate ids to cluster-sorted pairs, run the
+    kernel, return per-ray (t, nx, ny, nz, m) via the slot sort-back
+    and an L-way min."""
+    r, l = ids.shape
+    p = r * l
+    keys = ids.reshape(-1)
+    expand = [
+        jnp.broadcast_to(x[:, None], (r, l)).reshape(-1) for x in comps
+    ]
+    pslot = jnp.arange(p, dtype=jnp.int32)
+    # Pad the pair list to a whole number of kernel tiles with
+    # dummy-cluster pairs (they sort last and do no work).
+    ppad = -(-p // trp) * trp
+    if ppad != p:
+        dummy = tri_pack.shape[0] - 1
+        keys = jnp.concatenate(
+            [keys, jnp.full((ppad - p,), dummy, keys.dtype)]
+        )
+        expand = [
+            jnp.concatenate([x, jnp.zeros((ppad - p,), x.dtype)])
+            for x in expand
+        ]
+        pslot = jnp.concatenate(
+            [pslot, jnp.arange(p, ppad, dtype=jnp.int32)]
+        )
+    srt = jax.lax.sort([keys, *expand, pslot], num_keys=1)
+    keys_s, comps_s, pslot_s = srt[0], srt[1:7], srt[7]
+    zeros = jnp.zeros(keys_s.shape, jnp.float32)
+    rays8p = jnp.stack(
+        [*comps_s, keys_s.astype(jnp.float32), zeros], axis=1
+    )
+    t, nx, ny, nz, m = _run_pairs(keys_s, rays8p, tri_pack, trp,
+                                  interpret)
+    back = jax.lax.sort([pslot_s, t, nx, ny, nz, m], num_keys=1)
+    back = [a[:p] for a in back]    # drop tile padding
+    t_rl = back[1].reshape(r, l)
+    best = jnp.min(t_rl, axis=1)
+    which = jnp.argmin(t_rl, axis=1)
+    onehot = (jnp.arange(l, dtype=jnp.int32)[None, :]
+              == which[:, None]).astype(jnp.float32)
+
+    def pick(a):
+        return jnp.sum(a.reshape(r, l) * onehot, axis=1)
+
+    return best, pick(back[2]), pick(back[3]), pick(back[4]), \
+        pick(back[5])
+
+
+def _merge_best(cur, new):
+    """Elementwise min-merge of two (t, nx, ny, nz, m) tuples."""
+    better = new[0] < cur[0]
+    return tuple(jnp.where(better, n, c) for n, c in zip(new, cur))
+
+
+def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
+                        l1: int = 4, l2: int = 16, trp: int = 2048,
+                        u2_frac: int = 4, u3_frac: int = 16,
+                        interpret: bool = False):
+    """Pair-expansion intersector for large scenes (hundreds of
+    clusters, incoherent rays).
+
+    Rounds: (1) every ray x its l1 nearest passing clusters;
+    (2) unresolved rays (compacted to a rpad/u2_frac prefix) x ranks
+    l1..l2; (3) still-unresolved (rpad/u3_frac prefix) x ranks l2..C —
+    exhaustive, so results match brute force as long as the prefix
+    capacities hold (they are sized ~an order of magnitude above
+    measured unresolved fractions; tests assert).
+    """
+    scene, c, k = build_clusters(tris, cluster_size, split_large=True)
+    boxes = scene.boxes
+    # Dummy cluster C: all-zero (never-hit) triangles for invalid pairs.
+    tri_pack = jnp.concatenate(
+        [scene.tri_pack,
+         jnp.zeros((1,) + scene.tri_pack.shape[1:], jnp.float32)]
+    )
+    l2 = min(l2, c)
+
+    def intersect(rays: Rays) -> Hits:
+        r = rays.p[0].shape[0]
+        rpad = -(-r // trp) * trp
+
+        def pad(x):
+            if rpad == r:
+                return x
+            return jnp.concatenate([x, jnp.zeros((rpad - r,), x.dtype)])
+
+        comps = [pad(rays.p[i]) for i in range(3)] + [
+            pad(rays.d[i]) for i in range(3)
+        ]
+        slot = jnp.arange(rpad, dtype=jnp.int32)
+
+        # Round 1: l1 nearest candidates for every ray.
+        ids1, nxt1 = _candidates(comps, boxes, 0, l1, c)
+        best = _pairs_round(comps, ids1, tri_pack, trp, interpret)
+        resolved = ((best[0] <= nxt1) | (nxt1 >= BIG))
+
+        def escalation(comps, slot, best, resolved, u, lo, hi):
+            """Compact unresolved rays to a u-prefix; test ranks
+            lo..hi; merge. Returns updated (comps, slot, best,
+            resolved) in the new (sorted) lane order."""
+            srt = jax.lax.sort(
+                [resolved.astype(jnp.int32), *comps, slot, *best],
+                num_keys=1,
+            )
+            comps2, slot2 = list(srt[1:7]), srt[7]
+            best2 = tuple(srt[8:13])
+            sub = [x[:u] for x in comps2]
+            ids, nxt = _candidates(sub, boxes, lo, hi, c)
+            new_sub = _pairs_round(sub, ids, tri_pack, trp, interpret)
+            merged = _merge_best(tuple(b[:u] for b in best2), new_sub)
+            best3 = tuple(
+                jnp.concatenate([m, b[u:]])
+                for m, b in zip(merged, best2)
+            )
+            res_sub = (merged[0] <= nxt) | (nxt >= BIG)
+            # The suffix keeps its sorted resolved flags: if unresolved
+            # rays overflow the u-prefix (capacity exceeded), they stay
+            # marked unresolved so the next escalation still sees them.
+            resolved3 = jnp.concatenate([res_sub, srt[0][u:] == 1])
+            return comps2, slot2, best3, resolved3
+
+        # Round 2: unresolved prefix x ranks l1..l2.
+        if l2 > l1:
+            u2 = max(trp, (rpad // u2_frac // trp) * trp)
+            comps, slot, best, resolved = escalation(
+                comps, slot, best, resolved, u2, l1, l2
+            )
+        # Round 3: still-unresolved prefix x every remaining rank.
+        if c > l2:
+            u3 = max(trp // l1, (rpad // u3_frac // trp) * trp)
+            comps, slot, best, resolved = escalation(
+                comps, slot, best, resolved, u3, l2, c
+            )
+
+        back = jax.lax.sort([slot, *best], num_keys=1)
+        return _hits_from_raw(rays, back[1], back[2:5], back[5], r)
+
+    return intersect

@@ -45,8 +45,22 @@ def make_intersect_fn(scene: Scene, accel: str):
             accel = "bvh" if scene.num_triangles > 4096 else "bruteforce"
         else:
             accel = (
-                "pallas" if scene.num_triangles <= 4096 else "cluster"
+                "pallas" if scene.num_triangles <= 4096 else "pair"
             )
+    if accel == "group":
+        from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+            make_group_intersect,
+        )
+        return make_group_intersect(
+            scene.tris, interpret=jax.default_backend() == "cpu"
+        )
+    if accel == "pair":
+        from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+            make_pair_intersect,
+        )
+        return make_pair_intersect(
+            scene.tris, interpret=jax.default_backend() == "cpu"
+        )
     if accel == "cluster":
         from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
             make_cluster_intersect,

@@ -1,0 +1,139 @@
+"""Sort-grouped intersectors must agree with brute force exactly
+(the same correctness property the reference's kd_intersect has vs its
+commented-out first_intersect scan, prog.cl:318-319)."""
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from opencl_path_tracer_tpu.core.types import Rays
+from opencl_path_tracer_tpu.ops import intersect
+from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+    make_group_intersect,
+)
+from opencl_path_tracer_tpu.scene import library
+
+
+def _rand_rays(r, seed=1, lo=-90.0, hi=990.0):
+    rs = np.random.default_rng(seed)
+    p = rs.uniform(lo, hi, size=(r, 3)).astype(np.float32)
+    d = rs.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return Rays.make(jnp.asarray(p), jnp.asarray(d))
+
+
+def _check(hits, brute):
+    tb, tg = np.asarray(brute.t), np.asarray(hits.t)
+    np.testing.assert_array_equal(tb > 0, tg > 0)
+    both = (tb > 0) & (tg > 0)
+    np.testing.assert_allclose(tg[both], tb[both], rtol=2e-5, atol=1e-3)
+    assert np.all(
+        ~both | (np.asarray(brute.mati) == np.asarray(hits.mati))
+        | ~np.isclose(tb, tg, rtol=1e-6)
+    )
+
+
+def test_group_intersect_matches_bruteforce_cornell():
+    scene = library.cornell_box(with_spheres=True)
+    rays = _rand_rays(4096)
+    gi = make_group_intersect(scene.tris, tr=256, subtiles=2,
+                              interpret=True)
+    _check(gi(rays), intersect.first_intersect(rays, scene.tris))
+
+
+def test_group_intersect_axis_aligned_and_on_face_rays():
+    """Rays lying exactly on cluster faces with d==0 components — the
+    0*inf=NaN slab hazard the guard exists for."""
+    scene = library.cornell_box(with_spheres=False)
+    p = np.array([
+        [-100.0, 500.0, 500.0],   # exactly on the left wall plane
+        [500.0, 1000.0, 500.0],   # exactly on the ceiling
+        [500.0, 500.0, -0.0],
+        [500.0, 0.0, 500.0],
+    ], np.float32)
+    d = np.array([
+        [1.0, 0.0, 0.0],
+        [0.0, -1.0, 0.0],
+        [0.0, 0.0, 1.0],
+        [0.0, 1.0, 0.0],
+    ], np.float32)
+    rays = Rays.make(jnp.asarray(p), jnp.asarray(d))
+    gi = make_group_intersect(scene.tris, tr=256, subtiles=1,
+                              interpret=True)
+    _check(gi(rays), intersect.first_intersect(rays, scene.tris))
+
+
+def test_group_intersect_odd_ray_count_padding():
+    scene = library.cornell_box(with_spheres=True)
+    rays = _rand_rays(777, seed=3)
+    gi = make_group_intersect(scene.tris, tr=256, subtiles=4,
+                              interpret=True)
+    _check(gi(rays), intersect.first_intersect(rays, scene.tris))
+
+
+def _rand_tris(t, seed=0, spread=50.0):
+    from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
+    rs = np.random.default_rng(seed)
+    centers = rs.uniform(-spread, spread, size=(t, 1, 3))
+    verts = (centers + rs.normal(size=(t, 3, 3)) * 1.2).astype(np.float32)
+    return TrianglesSoA.build(
+        verts[:, 0], verts[:, 1], verts[:, 2],
+        np.arange(t, dtype=np.int32) % 7,
+    )
+
+
+def test_pair_intersect_exact_with_full_capacity():
+    """Escalation to every rank with full prefix capacity == brute."""
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    tris = _rand_tris(3000)
+    rays = _rand_rays(2048, seed=5, lo=-60.0, hi=60.0)
+    pi = make_pair_intersect(tris, cluster_size=256, l1=4, l2=12,
+                             trp=512, u2_frac=1, u3_frac=1,
+                             interpret=True)
+    _check(pi(rays), intersect.first_intersect(rays, tris))
+
+
+def test_pair_intersect_enclosed_scene_default_capacity():
+    """On an enclosed scene (every ray hits) the nearest-first
+    certificate resolves almost everything in round 1, so the default
+    prefix capacities suffice."""
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    scene = library.stress_scene(6000)
+    rays = _rand_rays(4096, seed=7, lo=-80.0, hi=1080.0)
+    pi = make_pair_intersect(scene.tris, cluster_size=256, l1=4, l2=12,
+                             trp=512, u2_frac=2, u3_frac=4,
+                             interpret=True)
+    _check(pi(rays), intersect.first_intersect(rays, scene.tris))
+
+
+def test_pair_intersect_small_ray_count():
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    tris = _rand_tris(1500, seed=2)
+    rays = _rand_rays(100, seed=9, lo=-60.0, hi=60.0)
+    pi = make_pair_intersect(tris, cluster_size=128, l1=3, l2=8,
+                             trp=256, u2_frac=1, u3_frac=1,
+                             interpret=True)
+    _check(pi(rays), intersect.first_intersect(rays, tris))
+
+
+def test_pair_intersect_nondivisible_pair_tiles():
+    """Round-3 windows often produce pair counts that are not a tile
+    multiple; the dummy-key padding must keep results exact."""
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    scene = library.stress_scene(6000)
+    rays = _rand_rays(512, seed=11, lo=50.0, hi=950.0)
+    # c=23 here: round 3 tests 11 ranks over a 128-ray prefix = 1408
+    # pairs, not a multiple of trp=512.
+    pi = make_pair_intersect(scene.tris, cluster_size=256, l1=4, l2=12,
+                             trp=512, u2_frac=2, u3_frac=32,
+                             interpret=True)
+    _check(pi(rays), intersect.first_intersect(rays, scene.tris))
