@@ -1,17 +1,23 @@
 """Benchmark: Mrays/sec on the default JAX device.
 
 Workload (BASELINE.md): progressive path tracing at 1080p, bounce depth
-5, on the Cornell+spheres scene (804 tris) or the 100k-tri stress scene.
-Flagship path: wavefront model (path regeneration — every lane is a
-live ray every step, so rays/sec is exact, not estimated) over the
-two-level VMEM cluster intersector. Reports ONE JSON line.
+5. Two scenes so the headline can't flatter the easy case (VERDICT r1):
+  * cornell  — Cornell+spheres, 804 tris (the small-scene path),
+  * stress   — 100k-tri enclosed sphere field (the acceleration path,
+               incoherent bounce rays).
+Flagship model: wavefront path regeneration — every lane is a live ray
+every step, so rays/sec is exact, not estimated.
+
+Default (no --scene): runs BOTH scenes and prints ONE JSON line whose
+headline value is the cornell number (comparable across rounds), with
+the stress number in "extra". --scene picks a single scene.
 
 vs_baseline: the driver-set north star is >= 1 Grays/sec aggregate on a
 v5e-8, i.e. 125 Mrays/sec/chip; vs_baseline = value / 125.
 
-Usage: python bench.py [--size WxH] [--steps N] [--iters N]
-       [--scene cornell|stress] [--model wavefront|megakernel]
-       [--accel cluster|bvh|bruteforce]
+Usage: python bench.py [--scene cornell|stress|ref-workload]
+       [--size WxH] [--steps N] [--iters N]
+       [--model wavefront|megakernel] [--accel ...] [--chunk N]
 """
 
 from __future__ import annotations
@@ -28,189 +34,215 @@ import jax.numpy as jnp
 PER_CHIP_TARGET_MRAYS = 125.0  # 1 Grays/s / 8 chips (BASELINE.md)
 
 
+def make_isect(scene, accel: str, on_cpu: bool):
+    if accel == "auto":
+        # Small scenes: the fused brute kernel (the whole scene is a
+        # handful of VMEM tiles). Large scenes: per-ray pair expansion.
+        accel = "pallas" if scene.num_triangles <= 4096 else "pair"
+        print(f"# accel auto -> {accel}", file=sys.stderr)
+    if accel == "pair":
+        from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+            make_pair_intersect,
+        )
+        return make_pair_intersect(scene.tris, interpret=on_cpu)
+    if accel == "group":
+        from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+            make_group_intersect,
+        )
+        return make_group_intersect(scene.tris, interpret=on_cpu)
+    if accel == "cluster":
+        from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
+            make_cluster_intersect,
+        )
+        return make_cluster_intersect(
+            scene.tris, cluster_size=128, tr=256, early_exit=True,
+            interpret=on_cpu,
+        )
+    if accel == "pallas":
+        from opencl_path_tracer_tpu.ops.pallas import make_pallas_intersect
+        return make_pallas_intersect(
+            scene.tris, tr=1024, tt=128, interpret=on_cpu
+        )
+    if accel == "bvh":
+        from opencl_path_tracer_tpu.accel import (
+            build_lbvh, make_bvh_intersect,
+        )
+        return make_bvh_intersect(build_lbvh(scene.tris, leaf_size=4))
+    from opencl_path_tracer_tpu.ops import intersect
+    return functools.partial(intersect.first_intersect, tris=scene.tris)
+
+
+def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk):
+    from opencl_path_tracer_tpu.models import wavefront
+    from opencl_path_tracer_tpu.ops import raygen
+
+    w = int(cam.xm)
+    h = int(cam.ym)
+    key = jax.random.key(1)
+    if w % 16 == 0 and h % 16 == 0:
+        ids = raygen.tile_major_ids(w, h, 16, 16)
+    elif w % 16 == 0 and h % 8 == 0:
+        ids = raygen.tile_major_ids(w, h, 16, 8)
+    else:
+        ids = raygen.pixel_ids_like(n)
+    state = wavefront.init_wavefront(cam, n, mode="fast", key=key,
+                                     ids=ids)
+
+    @jax.jit
+    def run(state, k):
+        def body(_, st):
+            return wavefront.wavefront_step(
+                cam, scene.mats, st, intersect_fn=isect,
+                iterations=iters, mode="fast", key=key, ids=ids,
+            )
+        st = jax.lax.fori_loop(0, k, body, state)
+        return st, jnp.sum(st.colors[0][:8])
+
+    t0 = time.time()
+    # The remote TPU compile service occasionally returns transient
+    # HTTP 500s — retry the first compile a couple of times.
+    for attempt in range(3):
+        try:
+            state, _ = run(state, 2)
+            float(jnp.sum(state.samples[:8]))
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            print(f"# warmup attempt {attempt + 1} failed, retrying",
+                  file=sys.stderr)
+            time.sleep(10)
+    print(f"# warmup+compile {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    done = 0
+    while done < steps:
+        k = min(chunk, steps - done)
+        state, chk = run(state, k)
+        done += k
+    float(chk)  # dependent fetch = real sync
+    dt = time.time() - t0
+    return float(n) * steps / dt / 1e6, dt, float(jnp.mean(state.samples))
+
+
+def run_megakernel(scene, cam, n, isect, *, iters, steps):
+    from opencl_path_tracer_tpu.models import megakernel
+
+    key = jax.random.key(1)
+    state = megakernel.init_state(n, seed=1)
+
+    @jax.jit
+    def step(st):
+        return megakernel.trace_sample(
+            cam, scene.mats, st, intersect_fn=isect,
+            iterations=iters, mode="fast", key=key,
+        )
+
+    @jax.jit
+    def step_stats(st):
+        return megakernel.trace_sample(
+            cam, scene.mats, st, intersect_fn=isect,
+            iterations=iters, mode="fast", key=key, with_stats=True,
+        )
+
+    t0 = time.time()
+    state, stats = step_stats(state)
+    rays_per_sample = float(stats["rays_traced"])
+    state = step(state)
+    float(jnp.sum(state.colors[0][:4]))
+    print(f"# warmup+compile {time.time()-t0:.1f}s; "
+          f"avg path len {rays_per_sample/n:.2f}", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(steps):
+        state = step(state)
+    float(jnp.sum(state.colors[0][:4]))
+    dt = time.time() - t0
+    return rays_per_sample * steps / dt / 1e6, dt, float(state.sample)
+
+
+def bench_scene(scene_name: str, args) -> dict:
+    from opencl_path_tracer_tpu.scene import library
+
+    if scene_name == "ref-workload":
+        # The reference's self-meter geometry: 1536x864 (192*8 x 108*8,
+        # main.cpp:20-21), cornell content.
+        w, h = 1536, 864
+        scene = library.cornell_box(with_spheres=True)
+    else:
+        w, h = (int(x) for x in args.size.split("x"))
+        scene = (library.cornell_box(with_spheres=True)
+                 if scene_name == "cornell"
+                 else library.stress_scene(100_000))
+    n = w * h
+    cam = library.cornell_camera(w, h)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    print(f"# scene {scene_name}: {scene.num_triangles} tris @ {w}x{h}",
+          file=sys.stderr)
+    isect = make_isect(scene, args.accel, on_cpu)
+    if args.model == "wavefront":
+        mrays, dt, spp = run_wavefront(
+            scene, cam, n, isect, iters=args.iters, steps=args.steps,
+            chunk=args.chunk,
+        )
+    else:
+        mrays, dt, spp = run_megakernel(
+            scene, cam, n, isect, iters=args.iters, steps=args.steps,
+        )
+    print(
+        f"# {scene_name}: {dt:.3f}s for {args.steps} steps @ {w}x{h} "
+        f"iters={args.iters} (mean spp {spp:.1f}) -> "
+        f"{mrays:.1f} Mrays/s",
+        file=sys.stderr,
+    )
+    return {"scene": scene_name, "w": w, "h": h, "mrays": round(mrays, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1920x1080")
     ap.add_argument("--steps", type=int, default=64,
                     help="wavefront steps (or samples for megakernel)")
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--scene", default="cornell",
-                    choices=["cornell", "stress"])
+    ap.add_argument("--scene", default=None,
+                    choices=["cornell", "stress", "ref-workload"],
+                    help="default: cornell AND stress in one run")
     ap.add_argument("--model", default="wavefront",
                     choices=["wavefront", "megakernel"])
     ap.add_argument("--accel", default="auto",
-                    choices=["auto", "cluster", "bvh", "bruteforce",
-                             "pallas"])
+                    choices=["auto", "pair", "group", "cluster", "bvh",
+                             "bruteforce", "pallas"])
     ap.add_argument("--chunk", type=int, default=8,
                     help="wavefront steps per device program")
     args = ap.parse_args()
-    w, h = (int(x) for x in args.size.split("x"))
-    n = w * h
-
-    from opencl_path_tracer_tpu.models import megakernel, wavefront
-    from opencl_path_tracer_tpu.scene import library
 
     dev = jax.devices()[0]
-    on_cpu = dev.platform == "cpu"
     print(f"# device: {dev.device_kind} ({dev.platform})",
           file=sys.stderr)
 
-    scene = (library.cornell_box(with_spheres=True)
-             if args.scene == "cornell"
-             else library.stress_scene(100_000))
-    print(f"# scene: {scene.num_triangles} tris", file=sys.stderr)
-    cam = library.cornell_camera(w, h)
-
-    if args.accel == "auto":
-        # Brute beats the two-level scheme below ~4k triangles (the
-        # whole scene is a handful of VMEM tiles; per-tile cull overhead
-        # dominates any savings).
-        args.accel = "pallas" if scene.num_triangles <= 4096 else "cluster"
-        print(f"# accel auto -> {args.accel}", file=sys.stderr)
-    if args.accel == "cluster":
-        from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
-            make_cluster_intersect,
-        )
-        isect = make_cluster_intersect(
-            scene.tris, cluster_size=128, tr=256,
-            early_exit=True,  # bounce batches are incoherent
-            interpret=on_cpu,
-        )
-    elif args.accel == "pallas":
-        from opencl_path_tracer_tpu.ops.pallas import make_pallas_intersect
-        isect = make_pallas_intersect(
-            scene.tris, tr=1024, tt=128, interpret=on_cpu
-        )
-    elif args.accel == "bvh":
-        from opencl_path_tracer_tpu.accel import (
-            build_lbvh, make_bvh_intersect,
-        )
-        isect = make_bvh_intersect(build_lbvh(scene.tris, leaf_size=4))
+    if args.scene:
+        results = [bench_scene(args.scene, args)]
     else:
-        from opencl_path_tracer_tpu.ops import intersect
-        isect = functools.partial(
-            intersect.first_intersect, tris=scene.tris
-        )
+        results = [bench_scene("cornell", args)]
+        try:
+            results.append(bench_scene("stress", args))
+        except Exception as exc:  # never lose the cornell number
+            print(f"# stress bench failed: {exc}", file=sys.stderr)
 
-    key = jax.random.key(1)
-
-    if args.model == "wavefront":
-        import numpy as np
-        from opencl_path_tracer_tpu.ops import raygen
-        # Large scenes on the cluster path: re-sort lanes periodically
-        # so bounce rays stay tile-coherent.
-        sort_every = 0
-        scene_bounds = None
-        if args.accel == "cluster":
-            v = np.concatenate([
-                np.asarray(scene.tris.r1), np.asarray(scene.tris.r2),
-                np.asarray(scene.tris.r3),
-            ])
-            lo = v.min(0)
-            inv = 1.0 / np.maximum(v.max(0) - lo, 1e-9)
-            scene_bounds = (tuple(map(float, lo)),
-                            tuple(map(float, inv)))
-            sort_every = 2
-        # Square-tile pixel order: tighter ray bundles for the cluster
-        # intersector's per-tile culling.
-        if w % 16 == 0 and h % 16 == 0:
-            ids = raygen.tile_major_ids(w, h, 16, 16)
-        elif w % 16 == 0 and h % 8 == 0:
-            ids = raygen.tile_major_ids(w, h, 16, 8)
-        else:
-            ids = raygen.pixel_ids_like(n)
-        state = wavefront.init_wavefront(cam, n, mode="fast", key=key,
-                                         ids=ids)
-
-        @jax.jit
-        def run(state, k):
-            def body(_, st):
-                return wavefront.wavefront_step(
-                    cam, scene.mats, st, intersect_fn=isect,
-                    iterations=args.iters, mode="fast", key=key,
-                    ids=ids, sort_every=sort_every,
-                    scene_bounds=scene_bounds,
-                )
-            st = jax.lax.fori_loop(0, k, body, state)
-            return st, jnp.sum(st.colors[0][:8])
-
-        t0 = time.time()
-        # The remote TPU compile service occasionally returns transient
-        # HTTP 500s — retry the first compile a couple of times.
-        for attempt in range(3):
-            try:
-                state, _ = run(state, 2)
-                float(jnp.sum(state.samples[:8]))
-                break
-            except Exception:
-                if attempt == 2:
-                    raise
-                print(f"# warmup attempt {attempt + 1} failed, retrying",
-                      file=sys.stderr)
-                time.sleep(10)
-        print(f"# warmup+compile {time.time()-t0:.1f}s",
-              file=sys.stderr)
-        t0 = time.time()
-        # Chunk device programs so no single execution risks the device
-        # watchdog on slow (incoherent) workloads.
-        done = 0
-        while done < args.steps:
-            k = min(args.chunk, args.steps - done)
-            state, chk = run(state, k)
-            done += k
-        float(chk)  # dependent fetch = real sync
-        dt = time.time() - t0
-        # Every lane traces exactly one live ray per step.
-        total_rays = float(n) * args.steps
-        spp_done = float(jnp.mean(state.samples))
-    else:
-        state = megakernel.init_state(n, seed=1)
-
-        @jax.jit
-        def step(st):
-            return megakernel.trace_sample(
-                cam, scene.mats, st, intersect_fn=isect,
-                iterations=args.iters, mode="fast", key=key,
-            )
-
-        @jax.jit
-        def step_stats(st):
-            return megakernel.trace_sample(
-                cam, scene.mats, st, intersect_fn=isect,
-                iterations=args.iters, mode="fast", key=key,
-                with_stats=True,
-            )
-
-        t0 = time.time()
-        state, stats = step_stats(state)
-        rays_per_sample = float(stats["rays_traced"])
-        state = step(state)
-        float(jnp.sum(state.colors[0][:4]))
-        print(f"# warmup+compile {time.time()-t0:.1f}s; "
-              f"avg path len {rays_per_sample/n:.2f}", file=sys.stderr)
-        t0 = time.time()
-        for _ in range(args.steps):
-            state = step(state)
-        float(jnp.sum(state.colors[0][:4]))
-        dt = time.time() - t0
-        total_rays = rays_per_sample * args.steps
-        spp_done = float(state.sample)
-
-    mrays = total_rays / dt / 1e6
-    print(
-        f"# {dt:.3f}s for {args.steps} steps @ {w}x{h} "
-        f"iters={args.iters} (mean spp {spp_done:.1f}) "
-        f"-> {mrays:.1f} Mrays/s",
-        file=sys.stderr,
-    )
+    head = results[0]
+    extra = {
+        f"{r['scene']}_mrays": r["mrays"] for r in results[1:]
+    }
     print(json.dumps({
         "metric": (
-            f"Mrays/sec/chip ({args.model}+{args.accel}, {args.scene} "
-            f"{w}x{h}, iters={args.iters})"
+            f"Mrays/sec/chip ({args.model}+{args.accel}, "
+            f"{head['scene']} {head['w']}x{head['h']}, "
+            f"iters={args.iters}"
+            + (", + stress in extra" if extra else "") + ")"
         ),
-        "value": round(mrays, 2),
+        "value": head["mrays"],
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / PER_CHIP_TARGET_MRAYS, 4),
+        "vs_baseline": round(head["mrays"] / PER_CHIP_TARGET_MRAYS, 4),
+        **({"extra": extra} if extra else {}),
     }))
     return 0
 
