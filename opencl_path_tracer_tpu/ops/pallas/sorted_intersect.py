@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
 from opencl_path_tracer_tpu.core.types import Hits, Rays
 from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
-    BIG, build_clusters, _run,
+    BIG, build_clusters,
 )
 
 
@@ -98,25 +98,88 @@ def _hits_from_raw(rays: Rays, best_t, n3, m, r: int) -> Hits:
     )
 
 
+def _group_kernel(union_ref, ray_ref, tri_ref, out_ref, *, c: int):
+    """One tile of mask-sorted rays. The cluster walk is STATICALLY
+    unrolled over all C clusters, each gated by one pl.when on the
+    tile's mask-union bit: measured per-ITERATION overhead of a dynamic
+    fori/while in Mosaic is ~5-7 us, which dominated the tile-list
+    variant; a static branch costs ~1-2 us and taken branches do a full
+    (BLK, K) test. union_ref: (1, 1, 1) SMEM u32."""
+    blk = ray_ref.shape[0]
+    k = tri_ref.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (blk, 8), 1)
+    out_ref[:] = jnp.where(col8 == 0, BIG, 0.0).astype(jnp.float32)
+
+    rays = ray_ref[:]
+    px, py, pz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    in_run = jnp.ones((blk, 1), bool)
+    u = union_ref[0, 0, 0]
+
+    for ci in range(c):
+        @pl.when(((u >> np.uint32(ci)) & np.uint32(1)) == 1)
+        def _(ci=ci):
+            blk_tri = tri_ref[ci]
+
+            def row(j, blk_tri=blk_tri):
+                return blk_tri[j:j + 1, :]
+
+            _test_cluster_block(row, px, py, pz, dx, dy, dz, in_run,
+                                out_ref, lane, blk)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _run_group(union, rays8, tri_pack, blk: int, c: int,
+               interpret: bool):
+    rpad = rays8.shape[0]
+    g = rpad // blk
+    cc, rows, k = tri_pack.shape
+    kern = functools.partial(_group_kernel, c=c)
+    outs = pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((blk, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cc, rows, k), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((rpad, 8), jnp.float32)],
+        interpret=interpret,
+    )(union.reshape(g, 1, 1), rays8, tri_pack)
+    return tuple(outs[0][:, j] for j in range(5))
+
+
 def make_group_intersect(tris: TrianglesSoA, *, cluster_size: int = 128,
-                         tr: int = 256, subtiles: int = 8,
+                         block: int = 2048, tr: int = None,
+                         subtiles: int = None,
                          interpret: bool = False):
     """Mask-sorted intersector for scenes with <= 30 clusters.
 
     Per ray: exact passing-cluster bitmask (u32). Rays sorted by mask
     (payloads: 6 ray components + original slot). Per ray-tile the
-    cluster list is the bit list of the tile's mask UNION — tiles are
-    mask-homogeneous after the sort, so the union IS (almost) each
-    lane's own set. Results sorted back by slot. No candidate cap:
+    cluster walk tests exactly the bits of the tile's mask UNION —
+    tiles are mask-homogeneous after the sort, so the union IS (almost)
+    each lane's own set. Results sorted back by slot. No candidate cap:
     every passing cluster is tested, so hits match brute force exactly.
+
+    tr/subtiles: accepted for compatibility; block = tr * subtiles.
     """
+    if tr is not None:
+        block = tr * (subtiles or 1)
     scene, c, k = build_clusters(tris, cluster_size, split_large=True)
     if c > 30:
         raise ValueError(
             f"{c} clusters exceed the u32 mask (use the pair intersector)"
         )
     boxes = scene.boxes
-    block = tr * subtiles
     cbits = np.arange(c, dtype=np.uint32)
 
     def intersect(rays: Rays) -> Hits:
@@ -143,24 +206,16 @@ def make_group_intersect(tris: TrianglesSoA, *, cluster_size: int = 128,
         srt = jax.lax.sort([key, *comps, slot], num_keys=1)
         key_s, comps_s, slot_s = srt[0], srt[1:7], srt[7]
 
-        # Per-tile mask union -> compacted cluster-id lists (the
-        # interface of cluster_kernel._run).
-        g = rpad // tr
+        g = rpad // block
         union = jax.lax.reduce(
-            key_s.reshape(g, tr), jnp.uint32(0), jax.lax.bitwise_or,
-            (1,),
+            key_s.reshape(g, block), jnp.uint32(0),
+            jax.lax.bitwise_or, (1,),
         )                                              # (G,)
-        bits = ((union[:, None] >> cbits[None, :])
-                & jnp.uint32(1)) == 1                  # (G, C)
-        ids = jnp.argsort(~bits, axis=1, stable=True).astype(jnp.int32)
-        cnt = jnp.sum(bits, axis=1, dtype=jnp.int32)[:, None]
-        entry = jnp.zeros((g, c), jnp.float32)
 
         zeros = jnp.zeros((rpad,), jnp.float32)
         rays8 = jnp.stack([*comps_s, zeros, zeros], axis=1)  # (Rpad, 8)
-        best_t, _i, nx, ny, nz, m = _run(
-            rays8, cnt, ids, entry, scene.tri_pack, tr, subtiles,
-            False, interpret,
+        best_t, nx, ny, nz, m = _run_group(
+            union, rays8, scene.tri_pack, block, c, interpret
         )
         back = jax.lax.sort(
             [slot_s, best_t, nx, ny, nz, m], num_keys=1
@@ -188,12 +243,57 @@ def make_group_intersect(tris: TrianglesSoA, *, cluster_size: int = 128,
 # (prog.cl:162-163) re-expressed as data-parallel sorts.
 
 
-def _pair_kernel(key_ref, ray_ref, tri_ref, out_ref):
+def _test_cluster_block(row, px, py, pz, dx, dy, dz, in_run, out_ref,
+                        lane, trp):
+    """Test all TRP pair rays against one (24, K) cluster block (the
+    prog.cl:94-112 math in m_k form) and min-update out_ref for the
+    pairs inside the current run."""
+
+    def pd(base):
+        vx, vy, vz = row(base), row(base + 1), row(base + 2)
+        return (px * vx + py * vy + pz * vz,
+                dx * vx + dy * vy + dz * vz)
+
+    pn, vn = pd(0)
+    t = (row(3) - pn) / vn
+    pm1, vm1 = pd(4)
+    pm2, vm2 = pd(8)
+    pm3, vm3 = pd(12)
+    valid = (
+        (t > 0.0)
+        & (pm1 + t * vm1 >= row(7))
+        & (pm2 + t * vm2 >= row(11))
+        & (pm3 + t * vm3 >= row(15))
+    )
+    tm = jnp.where(valid, t, BIG)
+    tmin_k = jnp.min(tm, axis=1, keepdims=True)
+    local = jnp.argmin(tm, axis=1).reshape(trp, 1)
+    onehot = (lane == local).astype(jnp.float32)
+    win_nx = jnp.sum(onehot * row(0), axis=1, keepdims=True)
+    win_ny = jnp.sum(onehot * row(1), axis=1, keepdims=True)
+    win_nz = jnp.sum(onehot * row(2), axis=1, keepdims=True)
+    win_m = jnp.sum(onehot * row(16), axis=1, keepdims=True)
+
+    better = in_run & (tmin_k < out_ref[:, 0:1])
+    out_ref[:, 0:1] = jnp.where(better, tmin_k, out_ref[:, 0:1])
+    out_ref[:, 1:2] = jnp.where(better, win_nx, out_ref[:, 1:2])
+    out_ref[:, 2:3] = jnp.where(better, win_ny, out_ref[:, 2:3])
+    out_ref[:, 3:4] = jnp.where(better, win_nz, out_ref[:, 3:4])
+    out_ref[:, 4:5] = jnp.where(better, win_m, out_ref[:, 4:5])
+
+
+def _pair_kernel(key_ref, ray_ref, tri_ref, out_ref, *scratch):
     """One tile of TRP cluster-sorted pairs; while-loop over key runs.
     ray_ref: (TRP, 8) rows [px py pz dx dy dz key 0] — the pair's
     cluster key rides in column 6 (a separate (N, 1) input would be
     lane-padded 128-wide in VMEM). out_ref: ONE (TRP, 8) block, columns
-    [t nx ny nz m 0 0 0] (same padding argument, see _kernel)."""
+    [t nx ny nz m 0 0 0] (same padding argument, see _kernel).
+
+    With scratch (tri_scr VMEM (24, K) + a DMA semaphore), tri_ref
+    lives in HBM and each run's cluster block is DMA'd on demand
+    (~100 KB per run): keeping the whole scene VMEM-resident makes
+    Mosaic re-stage ~10 MB per grid step for big scenes — measured to
+    dominate the pair kernel."""
     trp = ray_ref.shape[0]
     k = tri_ref.shape[2]
     n_clusters = tri_ref.shape[0] - 1   # last block is the dummy
@@ -213,42 +313,24 @@ def _pair_kernel(key_ref, ray_ref, tri_ref, out_ref):
 
         @pl.when(ci < n_clusters)
         def _():
-            blk = tri_ref[ci]                           # (24, K)
+            if scratch:
+                tri_scr, sem = scratch
+                dma = pltpu.make_async_copy(
+                    tri_ref.at[ci], tri_scr, sem
+                )
+                dma.start()
+                dma.wait()
 
-            def row(j):
-                return blk[j:j + 1, :]
+                def row(j):
+                    return tri_scr[j:j + 1, :]
+            else:
+                blk = tri_ref[ci]                       # (24, K)
 
-            def pd(base):
-                vx, vy, vz = row(base), row(base + 1), row(base + 2)
-                return (px * vx + py * vy + pz * vz,
-                        dx * vx + dy * vy + dz * vz)
+                def row(j):
+                    return blk[j:j + 1, :]
 
-            pn, vn = pd(0)
-            t = (row(3) - pn) / vn
-            pm1, vm1 = pd(4)
-            pm2, vm2 = pd(8)
-            pm3, vm3 = pd(12)
-            valid = (
-                (t > 0.0)
-                & (pm1 + t * vm1 >= row(7))
-                & (pm2 + t * vm2 >= row(11))
-                & (pm3 + t * vm3 >= row(15))
-            )
-            tm = jnp.where(valid, t, BIG)
-            tmin_k = jnp.min(tm, axis=1, keepdims=True)
-            local = jnp.argmin(tm, axis=1).reshape(trp, 1)
-            onehot = (lane == local).astype(jnp.float32)
-            win_nx = jnp.sum(onehot * row(0), axis=1, keepdims=True)
-            win_ny = jnp.sum(onehot * row(1), axis=1, keepdims=True)
-            win_nz = jnp.sum(onehot * row(2), axis=1, keepdims=True)
-            win_m = jnp.sum(onehot * row(16), axis=1, keepdims=True)
-
-            better = in_run & (tmin_k < out_ref[:, 0:1])
-            out_ref[:, 0:1] = jnp.where(better, tmin_k, out_ref[:, 0:1])
-            out_ref[:, 1:2] = jnp.where(better, win_nx, out_ref[:, 1:2])
-            out_ref[:, 2:3] = jnp.where(better, win_ny, out_ref[:, 2:3])
-            out_ref[:, 3:4] = jnp.where(better, win_nz, out_ref[:, 3:4])
-            out_ref[:, 4:5] = jnp.where(better, win_m, out_ref[:, 4:5])
+            _test_cluster_block(row, px, py, pz, dx, dy, dz, in_run,
+                                out_ref, lane, trp)
 
         run_len = jnp.sum(in_run.astype(jnp.int32))
         return pos + run_len
@@ -256,13 +338,27 @@ def _pair_kernel(key_ref, ray_ref, tri_ref, out_ref):
     jax.lax.while_loop(lambda pos: pos < trp, body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _run_pairs(keys, rays8p, tri_pack, trp: int, interpret: bool):
-    """keys: (P,) i32 sorted cluster ids (C = dummy); rays8p: (P, 8)."""
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _run_pairs(keys, rays8p, tri_pack, trp: int, interpret: bool,
+               resident: bool = False):
+    """keys: (P,) i32 sorted cluster ids (C = dummy); rays8p: (P, 8).
+    resident=True keeps tri_pack VMEM-resident (small scenes, and the
+    interpret path, which has no DMA emulation); otherwise it stays in
+    HBM and the kernel DMAs per-run cluster blocks."""
     p = keys.shape[0]
     g = p // trp
     keys3 = keys.reshape(g, 1, trp)
     c1, rows, k = tri_pack.shape
+    if resident:
+        tri_spec = pl.BlockSpec((c1, rows, k), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        scratch_shapes = []
+    else:
+        tri_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        scratch_shapes = [
+            pltpu.VMEM((rows, k), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     outs = pl.pallas_call(
         _pair_kernel,
         grid=(g,),
@@ -271,17 +367,125 @@ def _run_pairs(keys, rays8p, tri_pack, trp: int, interpret: bool):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((trp, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c1, rows, k), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tri_spec,
         ],
         out_specs=[
             pl.BlockSpec((trp, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((p, 8), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(keys3, rays8p, tri_pack)
     return tuple(outs[0][:, j] for j in range(5))
+
+
+def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int):
+    """Fused slab + L-nearest selection for one ray tile.
+
+    ray_ref: (TRB, 8) rows [p d 0 0]; box_ref: (8, Cp) rows
+    [lox loy loz hix hiy hiz 0 0], clusters on lanes (Cp >= c, lane-
+    padded). Outputs: ids_ref (TRB, 16) f32 — the l nearest passing
+    cluster ids (missing -> c); ent_ref (TRB, 16) — their entry
+    distances, with the CERTIFICATE bound (entry of rank l, the first
+    untested candidate) in column l.
+
+    Replaces the XLA slab + top_k pipeline (measured 85 ms at 2M x 195
+    on v5e; top_k alone ~22 ms) with one VMEM-resident pass.
+    """
+    trb = ray_ref.shape[0]
+    cp = box_ref.shape[1]
+    rays = ray_ref[:]
+    lanec = jax.lax.broadcasted_iota(jnp.int32, (trb, cp), 1)
+
+    tmin = jnp.full((trb, cp), -BIG, jnp.float32)
+    tmax = jnp.full((trb, cp), BIG, jnp.float32)
+    for ax in range(3):
+        bl = box_ref[ax:ax + 1, :]
+        bh = box_ref[ax + 3:ax + 4, :]
+        p = rays[:, ax:ax + 1]
+        d = rays[:, 3 + ax:4 + ax]
+        d0 = d == 0.0
+        inv = 1.0 / jnp.where(d0, 1.0, d)
+        t1 = (bl - p) * inv
+        t2 = (bh - p) * inv
+        lo_ax = jnp.minimum(t1, t2)
+        hi_ax = jnp.maximum(t1, t2)
+        inside = (p >= bl) & (p <= bh)
+        lo_ax = jnp.where(d0, jnp.where(inside, -BIG, BIG), lo_ax)
+        hi_ax = jnp.where(d0, jnp.where(inside, BIG, -BIG), hi_ax)
+        tmin = jnp.maximum(tmin, lo_ax)
+        tmax = jnp.minimum(tmax, hi_ax)
+    ok = (tmax >= tmin) & (tmax >= 0.0) & (lanec < c)
+    entry = jnp.where(ok, jnp.maximum(tmin, 0.0), BIG)
+
+    ids_ref[:] = jnp.full((trb, 16), float(c), jnp.float32)
+    ent_ref[:] = jnp.full((trb, 16), BIG, jnp.float32)
+    for j in range(l + 1):
+        m = jnp.min(entry, axis=1, keepdims=True)          # (TRB, 1)
+        idx = jnp.argmin(entry, axis=1).reshape(trb, 1)
+        if j < l:
+            ids_ref[:, j:j + 1] = jnp.where(
+                m < BIG, idx.astype(jnp.float32), float(c)
+            )
+            ent_ref[:, j:j + 1] = m
+        else:
+            ent_ref[:, l:l + 1] = m      # certificate bound
+        entry = jnp.where(lanec == idx, BIG, entry)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _run_candidates(rays8, boxes_t, l: int, c: int, trb: int,
+                    interpret: bool):
+    """rays8: (Rpad, 8) rows; boxes_t: (8, Cp). Returns
+    (ids (Rpad, l) i32, entries (Rpad, l), entry_next (Rpad,))."""
+    rpad = rays8.shape[0]
+    cp = boxes_t.shape[1]
+    kern = functools.partial(_cand_kernel, l=l, c=c)
+    ids_f, ent = pl.pallas_call(
+        kern,
+        grid=(rpad // trb,),
+        in_specs=[
+            pl.BlockSpec((trb, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((trb, 16), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rpad, 16), jnp.float32)] * 2,
+        interpret=interpret,
+    )(rays8, boxes_t)
+    ids = ids_f[:, :l].astype(jnp.int32)
+    return ids, ent[:, :l], ent[:, l]
+
+
+def split_by_size(tris: TrianglesSoA, frac: float = 0.25):
+    """Partition triangles into (big, rest) by bbox diagonal vs frac x
+    scene diagonal. Scene-spanning triangles (walls, ground planes)
+    poison cluster boxes AND the nearest-first certificate (their boxes
+    contain every ray origin, pinning entry bounds at 0); they are few,
+    so testing them brute-force is ~free and the remaining cluster
+    boxes stay tight. Returns (big | None, rest | None)."""
+    r1 = np.asarray(tris.r1)
+    r2 = np.asarray(tris.r2)
+    r3 = np.asarray(tris.r3)
+    mati = np.asarray(tris.mati)
+    lo = np.minimum(np.minimum(r1, r2), r3)
+    hi = np.maximum(np.maximum(r1, r2), r3)
+    diag = np.linalg.norm(hi - lo, axis=1)
+    scene_diag = np.linalg.norm(hi.max(0) - lo.min(0))
+    big = diag > frac * scene_diag
+
+    def build(mask):
+        if not mask.any():
+            return None
+        return TrianglesSoA.build(r1[mask], r2[mask], r3[mask],
+                                  mati[mask])
+
+    return build(big), build(~big)
 
 
 def _candidates(comps, boxes, lo_rank: int, hi_rank: int, num_clusters,
@@ -322,7 +526,8 @@ def _candidates(comps, boxes, lo_rank: int, hi_rank: int, num_clusters,
     return jnp.concatenate(ids_out), jnp.concatenate(next_out)
 
 
-def _pairs_round(comps, ids, tri_pack, trp: int, interpret: bool):
+def _pairs_round(comps, ids, tri_pack, trp: int, interpret: bool,
+                 resident: bool = False):
     """Expand (R, L) candidate ids to cluster-sorted pairs, run the
     kernel, return per-ray (t, nx, ny, nz, m) via the slot sort-back
     and an L-way min."""
@@ -355,7 +560,7 @@ def _pairs_round(comps, ids, tri_pack, trp: int, interpret: bool):
         [*comps_s, keys_s.astype(jnp.float32), zeros], axis=1
     )
     t, nx, ny, nz, m = _run_pairs(keys_s, rays8p, tri_pack, trp,
-                                  interpret)
+                                  interpret, resident)
     back = jax.lax.sort([pslot_s, t, nx, ny, nz, m], num_keys=1)
     back = [a[:p] for a in back]    # drop tile padding
     t_rl = back[1].reshape(r, l)
@@ -377,32 +582,53 @@ def _merge_best(cur, new):
     return tuple(jnp.where(better, n, c) for n, c in zip(new, cur))
 
 
-def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
+def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 256,
                         l1: int = 4, l2: int = 16, trp: int = 2048,
                         u2_frac: int = 4, u3_frac: int = 16,
+                        trb: int = 1024,
                         interpret: bool = False):
     """Pair-expansion intersector for large scenes (hundreds of
     clusters, incoherent rays).
 
-    Rounds: (1) every ray x its l1 nearest passing clusters;
-    (2) unresolved rays (compacted to a rpad/u2_frac prefix) x ranks
-    l1..l2; (3) still-unresolved (rpad/u3_frac prefix) x ranks l2..C —
-    exhaustive, so results match brute force as long as the prefix
-    capacities hold (they are sized ~an order of magnitude above
-    measured unresolved fractions; tests assert).
+    Scene-spanning triangles are split out and brute-forced first
+    (split_by_size): they're few, and their hits seed best_t so the
+    nearest-first certificate has a real upper bound from the start.
+    The rest forms tight Morton clusters.
+
+    Rounds: (1) every ray x its l1 nearest passing clusters (fused
+    Pallas candidates kernel); (2) unresolved rays (compacted to a
+    rpad/u2_frac prefix) x ranks l1..l2; (3) still-unresolved
+    (rpad/u3_frac prefix) x every remaining rank — exhaustive, so
+    results match brute force as long as the prefix capacities hold
+    (sized ~an order of magnitude above measured unresolved fractions;
+    tests assert).
     """
-    scene, c, k = build_clusters(tris, cluster_size, split_large=True)
+    from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
+        make_pallas_intersect,
+    )
+
+    big, rest = split_by_size(tris)
+    if rest is None:   # degenerate: everything is scene-spanning
+        return make_pallas_intersect(tris, interpret=interpret)
+    big_isect = (make_pallas_intersect(big, interpret=interpret)
+                 if big is not None else None)
+
+    scene, c, k = build_clusters(rest, cluster_size, split_large=False)
     boxes = scene.boxes
+    cp = -(-c // 128) * 128
+    boxes_t = jnp.zeros((8, cp), jnp.float32).at[:, :c].set(boxes.T)
     # Dummy cluster C: all-zero (never-hit) triangles for invalid pairs.
     tri_pack = jnp.concatenate(
         [scene.tri_pack,
          jnp.zeros((1,) + scene.tri_pack.shape[1:], jnp.float32)]
     )
     l2 = min(l2, c)
+    l1 = min(l1, c)
+    resident = interpret  # no DMA emulation on the interpret path
 
     def intersect(rays: Rays) -> Hits:
         r = rays.p[0].shape[0]
-        rpad = -(-r // trp) * trp
+        rpad = -(-r // max(trp, trb)) * max(trp, trb)
 
         def pad(x):
             if rpad == r:
@@ -414,9 +640,29 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         ]
         slot = jnp.arange(rpad, dtype=jnp.int32)
 
-        # Round 1: l1 nearest candidates for every ray.
-        ids1, nxt1 = _candidates(comps, boxes, 0, l1, c)
-        best = _pairs_round(comps, ids1, tri_pack, trp, interpret)
+        # Seed best with the scene-spanning triangles (brute, ~free).
+        if big_isect is not None:
+            hb = big_isect(Rays(p=tuple(comps[:3]), d=tuple(comps[3:])))
+            best0 = (
+                jnp.where(hb.valid, hb.t, BIG),
+                hb.n[0], hb.n[1], hb.n[2],
+                hb.mati.astype(jnp.float32),
+            )
+        else:
+            zeros = jnp.zeros((rpad,), jnp.float32)
+            best0 = (jnp.full((rpad,), BIG, jnp.float32),
+                     zeros, zeros, zeros, zeros)
+
+        # Round 1: l1 nearest candidates for every ray (fused kernel).
+        rays8 = jnp.stack([*comps, jnp.zeros((rpad,), jnp.float32),
+                           jnp.zeros((rpad,), jnp.float32)], axis=1)
+        ids1, _ent1, nxt1 = _run_candidates(
+            rays8, boxes_t, l1, c, trb, interpret
+        )
+        best = _merge_best(
+            best0, _pairs_round(comps, ids1, tri_pack, trp, interpret,
+                                resident)
+        )
         resolved = ((best[0] <= nxt1) | (nxt1 >= BIG))
 
         def escalation(comps, slot, best, resolved, u, lo, hi):
@@ -431,7 +677,8 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             best2 = tuple(srt[8:13])
             sub = [x[:u] for x in comps2]
             ids, nxt = _candidates(sub, boxes, lo, hi, c)
-            new_sub = _pairs_round(sub, ids, tri_pack, trp, interpret)
+            new_sub = _pairs_round(sub, ids, tri_pack, trp, interpret,
+                                   resident)
             merged = _merge_best(tuple(b[:u] for b in best2), new_sub)
             best3 = tuple(
                 jnp.concatenate([m, b[u:]])

@@ -39,7 +39,12 @@ def timeit(fn, *args, n=3, reps=8):
     def run(*a):
         acc = jnp.float32(0)
         for i in range(reps):
-            a0 = a[0] + jnp.asarray(i % 3, a[0].dtype)
+            # Every rep gets a DISTINCT perturbation: with a repeating
+            # (i % 3) pattern XLA CSEs identical pure subgraphs (sorts,
+            # elementwise chains) and the measurement comes out up to
+            # reps/3 too fast (round-2 finding; end-to-end numbers
+            # exposed it).
+            a0 = a[0] + jnp.asarray(i + 1, a[0].dtype)
             acc = acc + scalarize(fn(a0, *a[1:]))
         return acc
 
