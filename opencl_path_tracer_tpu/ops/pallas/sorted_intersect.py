@@ -46,6 +46,10 @@ from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
 )
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _perray_slab(comps, boxes, need_entry: bool = False):
     """Exact per-ray slab test against every cluster box.
 
@@ -385,15 +389,16 @@ def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int):
 
     ray_ref: (TRB, 8) rows [p d 0 0]; box_ref: (8, Cp) rows
     [lox loy loz hix hiy hiz 0 0], clusters on lanes (Cp >= c, lane-
-    padded). Outputs: ids_ref (TRB, 16) f32 — the l nearest passing
-    cluster ids (missing -> c); ent_ref (TRB, 16) — their entry
+    padded). Outputs: ids_ref (TRB, LW) f32 — the l nearest passing
+    cluster ids (missing -> c); ent_ref (TRB, LW) — their entry
     distances, with the CERTIFICATE bound (entry of rank l, the first
-    untested candidate) in column l.
+    untested candidate) in column l (LW = output width >= l + 1).
 
     Replaces the XLA slab + top_k pipeline (measured 85 ms at 2M x 195
     on v5e; top_k alone ~22 ms) with one VMEM-resident pass.
     """
     trb = ray_ref.shape[0]
+    lw = ids_ref.shape[1]
     cp = box_ref.shape[1]
     rays = ray_ref[:]
     lanec = jax.lax.broadcasted_iota(jnp.int32, (trb, cp), 1)
@@ -419,8 +424,8 @@ def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int):
     ok = (tmax >= tmin) & (tmax >= 0.0) & (lanec < c)
     entry = jnp.where(ok, jnp.maximum(tmin, 0.0), BIG)
 
-    ids_ref[:] = jnp.full((trb, 16), float(c), jnp.float32)
-    ent_ref[:] = jnp.full((trb, 16), BIG, jnp.float32)
+    ids_ref[:] = jnp.full((trb, lw), float(c), jnp.float32)
+    ent_ref[:] = jnp.full((trb, lw), BIG, jnp.float32)
     for j in range(l + 1):
         m = jnp.min(entry, axis=1, keepdims=True)          # (TRB, 1)
         idx = jnp.argmin(entry, axis=1).reshape(trb, 1)
@@ -441,6 +446,7 @@ def _run_candidates(rays8, boxes_t, l: int, c: int, trb: int,
     (ids (Rpad, l) i32, entries (Rpad, l), entry_next (Rpad,))."""
     rpad = rays8.shape[0]
     cp = boxes_t.shape[1]
+    lw = max(16, _round_up(l + 1, 8))
     kern = functools.partial(_cand_kernel, l=l, c=c)
     ids_f, ent = pl.pallas_call(
         kern,
@@ -452,10 +458,10 @@ def _run_candidates(rays8, boxes_t, l: int, c: int, trb: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((trb, 16), lambda i: (i, 0),
+            pl.BlockSpec((trb, lw), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ] * 2,
-        out_shape=[jax.ShapeDtypeStruct((rpad, 16), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rpad, lw), jnp.float32)] * 2,
         interpret=interpret,
     )(rays8, boxes_t)
     ids = ids_f[:, :l].astype(jnp.int32)
@@ -486,44 +492,6 @@ def split_by_size(tris: TrianglesSoA, frac: float = 0.25):
                                   mati[mask])
 
     return build(big), build(~big)
-
-
-def _candidates(comps, boxes, lo_rank: int, hi_rank: int, num_clusters,
-                chunk: int = 1 << 18):
-    """Each ray's passing clusters ranked lo_rank..hi_rank-1 by entry
-    distance, plus the entry of rank hi_rank (the certificate bound).
-    Returns (ids (R, hi-lo) i32 with misses = num_clusters,
-    entry_next (R,)). Row-chunked so the (chunk, C) slab temporaries
-    stay bounded."""
-    r = comps[0].shape[0]
-    l = hi_rank - lo_rank
-    ids_out, next_out = [], []
-    for s in range(0, r, chunk):
-        e = min(s + chunk, r)
-        sub = [x[s:e] for x in comps]
-        hit, entry = _perray_slab(sub, boxes, need_entry=True)
-        keyd = jnp.where(hit, entry, BIG)
-        kk = min(hi_rank + 1, keyd.shape[1])
-        negv, idx = jax.lax.top_k(-keyd, kk)
-        vals = -negv                                   # ascending entries
-        if lo_rank >= kk:
-            ids = jnp.full((e - s, l), num_clusters, jnp.int32)
-            nxt = jnp.full((e - s,), BIG, jnp.float32)
-        else:
-            take_hi = min(hi_rank, kk)
-            ids = jnp.where(
-                vals[:, lo_rank:take_hi] < BIG,
-                idx[:, lo_rank:take_hi], num_clusters
-            ).astype(jnp.int32)
-            if ids.shape[1] < l:
-                ids = jnp.concatenate([
-                    ids, jnp.full((e - s, l - ids.shape[1]),
-                                  num_clusters, jnp.int32)], axis=1)
-            nxt = (vals[:, hi_rank] if hi_rank < kk
-                   else jnp.full((e - s,), BIG, jnp.float32))
-        ids_out.append(ids)
-        next_out.append(nxt)
-    return jnp.concatenate(ids_out), jnp.concatenate(next_out)
 
 
 def _pairs_round(comps, ids, tri_pack, trp: int, interpret: bool,
@@ -582,10 +550,11 @@ def _merge_best(cur, new):
     return tuple(jnp.where(better, n, c) for n, c in zip(new, cur))
 
 
-def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 256,
-                        l1: int = 4, l2: int = 16, trp: int = 2048,
+def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
+                        l1: int = 2, l2: int = 8, l3: int = 32,
+                        trp: int = 512, trb: int = 512,
                         u2_frac: int = 4, u3_frac: int = 16,
-                        trb: int = 1024,
+                        tail: int = 4096,
                         interpret: bool = False):
     """Pair-expansion intersector for large scenes (hundreds of
     clusters, incoherent rays).
@@ -595,13 +564,24 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 256,
     nearest-first certificate has a real upper bound from the start.
     The rest forms tight Morton clusters.
 
-    Rounds: (1) every ray x its l1 nearest passing clusters (fused
-    Pallas candidates kernel); (2) unresolved rays (compacted to a
-    rpad/u2_frac prefix) x ranks l1..l2; (3) still-unresolved
-    (rpad/u3_frac prefix) x every remaining rank — exhaustive, so
-    results match brute force as long as the prefix capacities hold
+    Rounds (all candidate selection via the fused Pallas kernel — the
+    XLA top_k formulation both measured 85 ms at 2M rays AND produced a
+    program the TPU compiler dies on once the exhaustive round is
+    inlined):
+      1. every ray x its l1 nearest passing clusters;
+      2. unresolved rays (compacted to a rpad/u2_frac prefix) x ranks
+         l1..l2;
+      3. still-unresolved (rpad/u3_frac prefix) x ranks l2..l3;
+      4. rays STILL unresolved after l3 ranks (geometrically rare: l3
+         nearer cluster boxes all missed) are compacted to a `tail`
+         prefix and brute-forced against the whole scene with the dense
+         kernel — exact, fixed cost.
+    Results match brute force as long as the prefix capacities hold
     (sized ~an order of magnitude above measured unresolved fractions;
-    tests assert).
+    tests assert). Defaults favor FEW LARGE clusters (512 tris): pair
+    counts — and the two 8-payload pair sorts, the measured cost
+    center — scale with l1, while the streaming tri tests they buy run
+    at dense-kernel efficiency.
     """
     from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
         make_pallas_intersect,
@@ -622,9 +602,12 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 256,
         [scene.tri_pack,
          jnp.zeros((1,) + scene.tri_pack.shape[1:], jnp.float32)]
     )
-    l2 = min(l2, c)
     l1 = min(l1, c)
+    l2 = min(l2, c)
+    l3 = min(l3, c)
     resident = interpret  # no DMA emulation on the interpret path
+    tail_isect = (make_pallas_intersect(tris, interpret=interpret)
+                  if c > l3 else None)
 
     def intersect(rays: Rays) -> Hits:
         r = rays.p[0].shape[0]
@@ -666,9 +649,11 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 256,
         resolved = ((best[0] <= nxt1) | (nxt1 >= BIG))
 
         def escalation(comps, slot, best, resolved, u, lo, hi):
-            """Compact unresolved rays to a u-prefix; test ranks
-            lo..hi; merge. Returns updated (comps, slot, best,
-            resolved) in the new (sorted) lane order."""
+            """Compact unresolved rays to a u-prefix; test candidate
+            ranks lo..hi (fused kernel re-selects from rank 0 — the
+            prefix is small, the re-slab is noise); merge. Returns
+            updated (comps, slot, best, resolved) in the new (sorted)
+            lane order."""
             srt = jax.lax.sort(
                 [resolved.astype(jnp.int32), *comps, slot, *best],
                 num_keys=1,
@@ -676,7 +661,12 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 256,
             comps2, slot2 = list(srt[1:7]), srt[7]
             best2 = tuple(srt[8:13])
             sub = [x[:u] for x in comps2]
-            ids, nxt = _candidates(sub, boxes, lo, hi, c)
+            sub8 = jnp.stack([*sub, jnp.zeros((u,), jnp.float32),
+                              jnp.zeros((u,), jnp.float32)], axis=1)
+            ids_all, _ents, nxt = _run_candidates(
+                sub8, boxes_t, hi, c, trb, interpret
+            )
+            ids = ids_all[:, lo:hi]
             new_sub = _pairs_round(sub, ids, tri_pack, trp, interpret,
                                    resident)
             merged = _merge_best(tuple(b[:u] for b in best2), new_sub)
@@ -692,16 +682,38 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 256,
             return comps2, slot2, best3, resolved3
 
         # Round 2: unresolved prefix x ranks l1..l2.
+        unit = max(trp, trb)
         if l2 > l1:
-            u2 = max(trp, (rpad // u2_frac // trp) * trp)
+            u2 = max(unit, (rpad // u2_frac // unit) * unit)
             comps, slot, best, resolved = escalation(
                 comps, slot, best, resolved, u2, l1, l2
             )
-        # Round 3: still-unresolved prefix x every remaining rank.
-        if c > l2:
-            u3 = max(trp // l1, (rpad // u3_frac // trp) * trp)
+        # Round 3: still-unresolved prefix x ranks l2..l3.
+        if l3 > l2:
+            u3 = max(unit, (rpad // u3_frac // unit) * unit)
             comps, slot, best, resolved = escalation(
-                comps, slot, best, resolved, u3, l2, c
+                comps, slot, best, resolved, u3, l2, l3
+            )
+        # Tail: exhaustive dense test for the (rare) rays whose best hit
+        # is still not certified by the l3 nearest cluster entries.
+        if tail_isect is not None:
+            u4 = min(tail, rpad)
+            srt = jax.lax.sort(
+                [resolved.astype(jnp.int32), *comps, slot, *best],
+                num_keys=1,
+            )
+            comps, slot = list(srt[1:7]), srt[7]
+            best = tuple(srt[8:13])
+            subrays = Rays(p=tuple(x[:u4] for x in comps[:3]),
+                           d=tuple(x[:u4] for x in comps[3:]))
+            ht = tail_isect(subrays)
+            new_sub = (jnp.where(ht.valid, ht.t, BIG),
+                       ht.n[0], ht.n[1], ht.n[2],
+                       ht.mati.astype(jnp.float32))
+            merged = _merge_best(tuple(b[:u4] for b in best), new_sub)
+            best = tuple(
+                jnp.concatenate([m, b[u4:]])
+                for m, b in zip(merged, best)
             )
 
         back = jax.lax.sort([slot, *best], num_keys=1)

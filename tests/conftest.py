@@ -1,8 +1,9 @@
 """Test env: force CPU with an 8-device virtual mesh so sharding tests run
 anywhere (the standard JAX pattern for testing multi-chip code without a
-real cluster). Must run before jax is imported."""
+real cluster). Must run before any jax BACKEND is created."""
 
 import os
+import sys
 
 # Force CPU even if the ambient environment points JAX at a TPU platform
 # (the test suite must run hermetically and fast; sharding tests use the
@@ -13,6 +14,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Some environments preimport jax via sitecustomize (with JAX_PLATFORMS
+# pointing at a TPU plugin) before this file runs — then the env var
+# above is read too late. The config update works as long as no backend
+# has been initialized yet, which is the case at collection time.
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

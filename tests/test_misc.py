@@ -27,11 +27,14 @@ def test_inverse_permutation():
 
 
 def test_parity_report_script(tmp_path):
+    import os
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # don't claim a TPU grant
     out = subprocess.run(
         [sys.executable, "scripts/parity_report.py",
          "--scene", "cornell", "--size", "16x16", "--iters", "2",
          "--spp", "2", "--outdir", str(tmp_path)],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=300, env=env,
     )
     assert out.returncode == 0, out.stderr[-500:]
     rec = json.loads(out.stdout.strip().splitlines()[-1])
