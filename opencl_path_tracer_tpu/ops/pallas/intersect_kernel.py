@@ -49,78 +49,102 @@ def pack_rays(p, d, pad_to: int) -> jnp.ndarray:
 
 
 def _kernel(ray_ref, tri_ref, t_ref, i_ref, nx_ref, ny_ref, nz_ref,
-            m_ref):
+            m_ref, *, chunk: int):
+    """One (8, TR) ray block vs one (TT, 24) triangle block.
+
+    The triangle block is walked in STATIC sub-chunks of `chunk` rows
+    inside the kernel. Measured on v5e: plain grid steps are well
+    pipelined by Mosaic (an inner grid dimension costs little), but
+    in-kernel chunks do NOT get their stack slots reused — every
+    unrolled chunk's (chunk, TR) temporaries stay live, so tt/chunk
+    must stay small (~4) or scoped VMEM blows up (32 chunks measured
+    41 MB vs the 16 MB limit). tt=1024/chunk=256 measured a few
+    percent faster than tt=chunk=128-per-grid-step."""
     tt_idx = pl.program_id(1)
     tt = tri_ref.shape[0]
 
     rays = ray_ref[:]             # (8, TR)
-    tri = tri_ref[:]              # (TT, 24)
     px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
 
-    def col(k):
-        return tri[:, k:k + 1]    # (TT, 1)
+    for c0 in range(0, tt, chunk):
+        cc = min(chunk, tt - c0)
+        tri = tri_ref[c0:c0 + cc, :]   # (CC, 24)
 
-    def pd_dots(base):
-        vx, vy, vz = col(base), col(base + 1), col(base + 2)
-        pdot = vx * px + vy * py + vz * pz    # (TT, TR)
-        vdot = vx * dx + vy * dy + vz * dz
-        return pdot, vdot
+        def col(k, tri=tri):
+            return tri[:, k:k + 1]     # (CC, 1)
 
-    pn, vn = pd_dots(0)
-    t = (col(3) - pn) / vn
+        def pd_dots(base):
+            vx, vy, vz = col(base), col(base + 1), col(base + 2)
+            pdot = vx * px + vy * py + vz * pz    # (CC, TR)
+            vdot = vx * dx + vy * dy + vz * dz
+            return pdot, vdot
 
-    pm1, vm1 = pd_dots(4)
-    pm2, vm2 = pd_dots(8)
-    pm3, vm3 = pd_dots(12)
-    valid = (
-        (t > 0.0)
-        & (pm1 + t * vm1 >= col(7))
-        & (pm2 + t * vm2 >= col(11))
-        & (pm3 + t * vm3 >= col(15))
-    )
-    tm = jnp.where(valid, t, BIG)
+        pn, vn = pd_dots(0)
+        t = (col(3) - pn) / vn
 
-    local = jnp.argmin(tm, axis=0)                     # (TR,)
-    tmin = jnp.min(tm, axis=0)                         # (TR,)
-    gidx = (tt_idx * tt + local).astype(jnp.float32)
+        pm1, vm1 = pd_dots(4)
+        pm2, vm2 = pd_dots(8)
+        pm3, vm3 = pd_dots(12)
+        valid = (
+            (t > 0.0)
+            & (pm1 + t * vm1 >= col(7))
+            & (pm2 + t * vm2 >= col(11))
+            & (pm3 + t * vm3 >= col(15))
+        )
+        tm = jnp.where(valid, t, BIG)
 
-    # Winner attributes via sublane one-hot (no post-kernel gathers).
-    sub = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
-    onehot = (sub == local[None, :]).astype(jnp.float32)  # (TT, TR)
-    win_nx = jnp.sum(onehot * col(0), axis=0)
-    win_ny = jnp.sum(onehot * col(1), axis=0)
-    win_nz = jnp.sum(onehot * col(2), axis=0)
-    win_m = jnp.sum(onehot * col(16), axis=0)
+        local = jnp.argmin(tm, axis=0)                     # (TR,)
+        tmin = jnp.min(tm, axis=0)                         # (TR,)
+        gidx = (tt_idx * tt + c0 + local).astype(jnp.float32)
 
-    @pl.when(tt_idx == 0)
-    def _():
-        t_ref[0, :] = tmin
-        i_ref[0, :] = gidx
-        nx_ref[0, :] = win_nx
-        ny_ref[0, :] = win_ny
-        nz_ref[0, :] = win_nz
-        m_ref[0, :] = win_m
+        # Winner attributes via sublane one-hot (no post-kernel gathers).
+        sub = jax.lax.broadcasted_iota(jnp.int32, (cc, 1), 0)
+        onehot = (sub == local[None, :]).astype(jnp.float32)  # (CC, TR)
+        win_nx = jnp.sum(onehot * col(0), axis=0)
+        win_ny = jnp.sum(onehot * col(1), axis=0)
+        win_nz = jnp.sum(onehot * col(2), axis=0)
+        win_m = jnp.sum(onehot * col(16), axis=0)
 
-    @pl.when(tt_idx != 0)
-    def _():
-        better = tmin < t_ref[0, :]
-        t_ref[0, :] = jnp.where(better, tmin, t_ref[0, :])
-        i_ref[0, :] = jnp.where(better, gidx, i_ref[0, :])
-        nx_ref[0, :] = jnp.where(better, win_nx, nx_ref[0, :])
-        ny_ref[0, :] = jnp.where(better, win_ny, ny_ref[0, :])
-        nz_ref[0, :] = jnp.where(better, win_nz, nz_ref[0, :])
-        m_ref[0, :] = jnp.where(better, win_m, m_ref[0, :])
+        if c0 == 0:
+            @pl.when(tt_idx == 0)
+            def _():
+                t_ref[0, :] = tmin
+                i_ref[0, :] = gidx
+                nx_ref[0, :] = win_nx
+                ny_ref[0, :] = win_ny
+                nz_ref[0, :] = win_nz
+                m_ref[0, :] = win_m
+
+            @pl.when(tt_idx != 0)
+            def _(tmin=tmin, gidx=gidx, win_nx=win_nx, win_ny=win_ny,
+                  win_nz=win_nz, win_m=win_m):
+                _min_update(t_ref, i_ref, nx_ref, ny_ref, nz_ref, m_ref,
+                            tmin, gidx, win_nx, win_ny, win_nz, win_m)
+        else:
+            _min_update(t_ref, i_ref, nx_ref, ny_ref, nz_ref, m_ref,
+                        tmin, gidx, win_nx, win_ny, win_nz, win_m)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _min_update(t_ref, i_ref, nx_ref, ny_ref, nz_ref, m_ref,
+                tmin, gidx, win_nx, win_ny, win_nz, win_m):
+    better = tmin < t_ref[0, :]
+    t_ref[0, :] = jnp.where(better, tmin, t_ref[0, :])
+    i_ref[0, :] = jnp.where(better, gidx, i_ref[0, :])
+    nx_ref[0, :] = jnp.where(better, win_nx, nx_ref[0, :])
+    ny_ref[0, :] = jnp.where(better, win_ny, ny_ref[0, :])
+    nz_ref[0, :] = jnp.where(better, win_nz, nz_ref[0, :])
+    m_ref[0, :] = jnp.where(better, win_m, m_ref[0, :])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _run(rays8: jnp.ndarray, tri_pack: jnp.ndarray, tr: int, tt: int,
-         interpret: bool):
+         interpret: bool, chunk: int = 128):
     rpad = rays8.shape[1]
     tpad = tri_pack.shape[0]
     grid = (rpad // tr, tpad // tt)
     outs = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, chunk=chunk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, tr), lambda rt, ttg: (0, rt),
@@ -147,10 +171,15 @@ def _run(rays8: jnp.ndarray, tri_pack: jnp.ndarray, tr: int, tt: int,
 
 def pallas_first_intersect(rays: Rays, tris: TrianglesSoA, *,
                            tri_pack: jnp.ndarray | None = None,
-                           tr: int = 256, tt: int = 512,
+                           tr: int = 1024, tt: int = 1024,
+                           chunk: int = 256,
                            interpret: bool = False) -> Hits:
     """Closest hit via the fused kernel. Matches
-    ops.intersect.first_intersect results."""
+    ops.intersect.first_intersect results.
+
+    tt is the per-grid-step triangle BLOCK (large — one VMEM-resident
+    block per grid step); chunk is the in-kernel sub-chunk that bounds
+    the (chunk, tr) temporaries."""
     r = rays.p[0].shape[0]
     t_count = tris.count
 
@@ -161,7 +190,8 @@ def pallas_first_intersect(rays: Rays, tris: TrianglesSoA, *,
 
     rpad = _round_up(r, tr)
     rays8 = pack_rays(rays.p, rays.d, rpad)
-    best_t, _bi, nx, ny, nz, m = _run(rays8, tri_pack, tr, tt, interpret)
+    best_t, _bi, nx, ny, nz, m = _run(rays8, tri_pack, tr, tt, interpret,
+                                      chunk)
     best_t = best_t[:r]
 
     any_hit = best_t < BIG
@@ -207,8 +237,9 @@ def build_tri_pack(tris: TrianglesSoA, tt: int = 512) -> jnp.ndarray:
     return pack
 
 
-def make_pallas_intersect(tris: TrianglesSoA, *, tr: int = 256,
-                          tt: int = 512, interpret: bool = False):
+def make_pallas_intersect(tris: TrianglesSoA, *, tr: int = 1024,
+                          tt: int = 1024, chunk: int = 256,
+                          interpret: bool = False):
     """Precompute the padded pack once; returns intersect(rays) -> Hits."""
     tri_pack = build_tri_pack(tris, tt)
     tt_eff = min(tt, tri_pack.shape[0])
@@ -216,7 +247,7 @@ def make_pallas_intersect(tris: TrianglesSoA, *, tr: int = 256,
     def intersect(rays: Rays) -> Hits:
         return pallas_first_intersect(
             rays, tris, tri_pack=tri_pack, tr=tr, tt=tt_eff,
-            interpret=interpret,
+            chunk=chunk, interpret=interpret,
         )
 
     return intersect

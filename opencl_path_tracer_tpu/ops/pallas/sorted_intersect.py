@@ -44,6 +44,7 @@ from opencl_path_tracer_tpu.core.types import Hits, Rays
 from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
     BIG, build_clusters,
 )
+from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import pack_rays
 
 
 def _round_up(x: int, m: int) -> int:
@@ -286,27 +287,29 @@ def _test_cluster_block(row, px, py, pz, dx, dy, dz, in_run, out_ref,
     out_ref[:, 4:5] = jnp.where(better, win_m, out_ref[:, 4:5])
 
 
-def _pair_kernel(key_ref, ray_ref, tri_ref, out_ref, *scratch):
+def _pair_kernel(key_ref, ray_ref, tri_ref, out_ref, acc_ref, *scratch):
     """One tile of TRP cluster-sorted pairs; while-loop over key runs.
-    ray_ref: (TRP, 8) rows [px py pz dx dy dz key 0] — the pair's
-    cluster key rides in column 6 (a separate (N, 1) input would be
-    lane-padded 128-wide in VMEM). out_ref: ONE (TRP, 8) block, columns
-    [t nx ny nz m 0 0 0] (same padding argument, see _kernel).
+    ray_ref: (8, TRP) rows [px py pz dx dy dz key 0] — pairs on LANES:
+    a (TRP, 8) HBM layout tiles as T(8,128) and pads the minor dim
+    16x (measured 7.4 GB of padding at a 16M-pair list — HBM OOM).
+    The kernel transposes the block once and accumulates into a
+    (TRP, 8) VMEM scratch, writing out_ref (8, TRP) transposed at the
+    end. out rows: [t nx ny nz m 0 0 0].
 
     With scratch (tri_scr VMEM (24, K) + a DMA semaphore), tri_ref
     lives in HBM and each run's cluster block is DMA'd on demand
     (~100 KB per run): keeping the whole scene VMEM-resident makes
     Mosaic re-stage ~10 MB per grid step for big scenes — measured to
     dominate the pair kernel."""
-    trp = ray_ref.shape[0]
+    trp = ray_ref.shape[1]
     k = tri_ref.shape[2]
     n_clusters = tri_ref.shape[0] - 1   # last block is the dummy
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     col8 = jax.lax.broadcasted_iota(jnp.int32, (trp, 8), 1)
-    out_ref[:] = jnp.where(col8 == 0, BIG, 0.0).astype(jnp.float32)
+    acc_ref[:] = jnp.where(col8 == 0, BIG, 0.0).astype(jnp.float32)
 
-    rays = ray_ref[:]                                   # (TRP, 8)
+    rays = jnp.transpose(ray_ref[:])                    # (TRP, 8)
     px, py, pz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
     dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
     kf = rays[:, 6:7]                                   # (TRP, 1) f32
@@ -333,19 +336,25 @@ def _pair_kernel(key_ref, ray_ref, tri_ref, out_ref, *scratch):
                 def row(j):
                     return blk[j:j + 1, :]
 
+            # NOTE: no in-kernel column chunking — Mosaic does not
+            # reuse stack slots across statically unrolled chunks, so
+            # chunking multiplies live (TRP, chunk) temporaries instead
+            # of bounding them (measured scoped-VMEM OOM). TRP x K is
+            # bounded by the trp default instead.
             _test_cluster_block(row, px, py, pz, dx, dy, dz, in_run,
-                                out_ref, lane, trp)
+                                acc_ref, lane, trp)
 
         run_len = jnp.sum(in_run.astype(jnp.int32))
         return pos + run_len
 
     jax.lax.while_loop(lambda pos: pos < trp, body, jnp.int32(0))
+    out_ref[:] = jnp.transpose(acc_ref[:])
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _run_pairs(keys, rays8p, tri_pack, trp: int, interpret: bool,
                resident: bool = False):
-    """keys: (P,) i32 sorted cluster ids (C = dummy); rays8p: (P, 8).
+    """keys: (P,) i32 sorted cluster ids (C = dummy); rays8p: (8, P).
     resident=True keeps tri_pack VMEM-resident (small scenes, and the
     interpret path, which has no DMA emulation); otherwise it stays in
     HBM and the kernel DMAs per-run cluster blocks."""
@@ -356,10 +365,11 @@ def _run_pairs(keys, rays8p, tri_pack, trp: int, interpret: bool,
     if resident:
         tri_spec = pl.BlockSpec((c1, rows, k), lambda i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        scratch_shapes = []
+        scratch_shapes = [pltpu.VMEM((trp, 8), jnp.float32)]
     else:
         tri_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         scratch_shapes = [
+            pltpu.VMEM((trp, 8), jnp.float32),
             pltpu.VMEM((rows, k), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
@@ -369,50 +379,52 @@ def _run_pairs(keys, rays8p, tri_pack, trp: int, interpret: bool,
         in_specs=[
             pl.BlockSpec((1, 1, trp), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((trp, 8), lambda i: (i, 0),
+            pl.BlockSpec((8, trp), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             tri_spec,
         ],
         out_specs=[
-            pl.BlockSpec((trp, 8), lambda i: (i, 0),
+            pl.BlockSpec((8, trp), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((p, 8), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((8, p), jnp.float32)],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(keys3, rays8p, tri_pack)
-    return tuple(outs[0][:, j] for j in range(5))
+    return tuple(outs[0][j] for j in range(5))
 
 
 def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int):
     """Fused slab + L-nearest selection for one ray tile.
 
-    ray_ref: (TRB, 8) rows [p d 0 0]; box_ref: (8, Cp) rows
-    [lox loy loz hix hiy hiz 0 0], clusters on lanes (Cp >= c, lane-
-    padded). Outputs: ids_ref (TRB, LW) f32 — the l nearest passing
-    cluster ids (missing -> c); ent_ref (TRB, LW) — their entry
+    ray_ref: (8, TRB) rows [px py pz dx dy dz 0 0] — RAYS ON LANES,
+    clusters on sublanes, matching the brute kernel's orientation (the
+    rays-on-sublanes layout measured ~5x below VPU streaming rate).
+    box_ref: (CP, 8) rows [lox loy loz hix hiy hiz 0 0].
+    Outputs: ids_ref (LW, TRB) f32 — row j = each ray's rank-j nearest
+    passing cluster id (missing -> c); ent_ref (LW, TRB) — the entry
     distances, with the CERTIFICATE bound (entry of rank l, the first
-    untested candidate) in column l (LW = output width >= l + 1).
+    untested candidate) in row l (LW = output height >= l + 1).
 
     Replaces the XLA slab + top_k pipeline (measured 85 ms at 2M x 195
     on v5e; top_k alone ~22 ms) with one VMEM-resident pass.
     """
-    trb = ray_ref.shape[0]
-    lw = ids_ref.shape[1]
-    cp = box_ref.shape[1]
+    trb = ray_ref.shape[1]
+    lw = ids_ref.shape[0]
+    cp = box_ref.shape[0]
     rays = ray_ref[:]
-    lanec = jax.lax.broadcasted_iota(jnp.int32, (trb, cp), 1)
+    subc = jax.lax.broadcasted_iota(jnp.int32, (cp, trb), 0)
 
-    tmin = jnp.full((trb, cp), -BIG, jnp.float32)
-    tmax = jnp.full((trb, cp), BIG, jnp.float32)
+    tmin = jnp.full((cp, trb), -BIG, jnp.float32)
+    tmax = jnp.full((cp, trb), BIG, jnp.float32)
     for ax in range(3):
-        bl = box_ref[ax:ax + 1, :]
-        bh = box_ref[ax + 3:ax + 4, :]
-        p = rays[:, ax:ax + 1]
-        d = rays[:, 3 + ax:4 + ax]
+        bl = box_ref[:, ax:ax + 1]           # (CP, 1)
+        bh = box_ref[:, ax + 3:ax + 4]
+        p = rays[ax:ax + 1, :]               # (1, TRB)
+        d = rays[3 + ax:4 + ax, :]
         d0 = d == 0.0
         inv = 1.0 / jnp.where(d0, 1.0, d)
-        t1 = (bl - p) * inv
+        t1 = (bl - p) * inv                  # (CP, TRB)
         t2 = (bh - p) * inv
         lo_ax = jnp.minimum(t1, t2)
         hi_ax = jnp.maximum(t1, t2)
@@ -421,60 +433,72 @@ def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int):
         hi_ax = jnp.where(d0, jnp.where(inside, BIG, -BIG), hi_ax)
         tmin = jnp.maximum(tmin, lo_ax)
         tmax = jnp.minimum(tmax, hi_ax)
-    ok = (tmax >= tmin) & (tmax >= 0.0) & (lanec < c)
+    ok = (tmax >= tmin) & (tmax >= 0.0) & (subc < c)
     entry = jnp.where(ok, jnp.maximum(tmin, 0.0), BIG)
 
-    ids_ref[:] = jnp.full((trb, lw), float(c), jnp.float32)
-    ent_ref[:] = jnp.full((trb, lw), BIG, jnp.float32)
+    ids_ref[:] = jnp.full((lw, trb), float(c), jnp.float32)
+    ent_ref[:] = jnp.full((lw, trb), BIG, jnp.float32)
     for j in range(l + 1):
-        m = jnp.min(entry, axis=1, keepdims=True)          # (TRB, 1)
-        idx = jnp.argmin(entry, axis=1).reshape(trb, 1)
+        m = jnp.min(entry, axis=0)                       # (TRB,)
+        idx = jnp.argmin(entry, axis=0)
         if j < l:
-            ids_ref[:, j:j + 1] = jnp.where(
+            ids_ref[j, :] = jnp.where(
                 m < BIG, idx.astype(jnp.float32), float(c)
             )
-            ent_ref[:, j:j + 1] = m
+            ent_ref[j, :] = m
         else:
-            ent_ref[:, l:l + 1] = m      # certificate bound
-        entry = jnp.where(lanec == idx, BIG, entry)
+            ent_ref[l, :] = m      # certificate bound
+        entry = jnp.where(subc == idx[None, :], BIG, entry)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _run_candidates(rays8, boxes_t, l: int, c: int, trb: int,
+def _run_candidates(rays8t, boxes_r, l: int, c: int, trb: int,
                     interpret: bool):
-    """rays8: (Rpad, 8) rows; boxes_t: (8, Cp). Returns
+    """rays8t: (8, Rpad) packed rays; boxes_r: (Cp, 8). Returns
     (ids (Rpad, l) i32, entries (Rpad, l), entry_next (Rpad,))."""
-    rpad = rays8.shape[0]
-    cp = boxes_t.shape[1]
+    rpad = rays8t.shape[1]
+    cp = boxes_r.shape[0]
     lw = max(16, _round_up(l + 1, 8))
     kern = functools.partial(_cand_kernel, l=l, c=c)
     ids_f, ent = pl.pallas_call(
         kern,
         grid=(rpad // trb,),
         in_specs=[
-            pl.BlockSpec((trb, 8), lambda i: (i, 0),
+            pl.BlockSpec((8, trb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, cp), lambda i: (0, 0),
+            pl.BlockSpec((cp, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((trb, lw), lambda i: (i, 0),
+            pl.BlockSpec((lw, trb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ] * 2,
-        out_shape=[jax.ShapeDtypeStruct((rpad, lw), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((lw, rpad), jnp.float32)] * 2,
         interpret=interpret,
-    )(rays8, boxes_t)
-    ids = ids_f[:, :l].astype(jnp.int32)
-    return ids, ent[:, :l], ent[:, l]
+    )(rays8t, boxes_r)
+    ids = ids_f[:l].T.astype(jnp.int32)
+    return ids, ent[:l].T, ent[l]
 
 
-def split_by_size(tris: TrianglesSoA, frac: float = 0.25):
-    """Partition triangles into (big, rest) by bbox diagonal vs frac x
-    scene diagonal. Scene-spanning triangles (walls, ground planes)
-    poison cluster boxes AND the nearest-first certificate (their boxes
-    contain every ray origin, pinning entry bounds at 0); they are few,
-    so testing them brute-force is ~free and the remaining cluster
-    boxes stay tight. Returns (big | None, rest | None)."""
+def split_by_size(tris: TrianglesSoA, frac: float = 0.25,
+                  median_mult: float = 50.0, max_big: int = 64):
+    """Partition triangles into (big, rest) by bbox diagonal. Large
+    triangles (walls, ground planes, room shells) poison cluster boxes
+    AND the nearest-first certificate (their boxes contain every ray
+    origin, pinning entry bounds at 0); they are few, so testing them
+    brute-force is ~free, the remaining cluster boxes stay tight, and —
+    critically — an ENCLOSURE in the big set seeds every ray's best_t
+    with a real hit, which is what lets the certificate terminate the
+    nearest-first march at the corridor exit.
+
+    Threshold: diag > min(frac x scene_diag, median_mult x median
+    diag). The second term matters when one giant outlier (a +/-10000
+    ground plane) inflates the scene diagonal so room-sized walls no
+    longer qualify — measured on the stress scene this left the shell
+    in the Morton clusters and collapsed round-1 certification to 1%.
+    At most max_big triangles are split (largest first); beyond that
+    the brute seed pass stops being free. Returns
+    (big | None, rest | None)."""
     r1 = np.asarray(tris.r1)
     r2 = np.asarray(tris.r2)
     r3 = np.asarray(tris.r3)
@@ -483,7 +507,12 @@ def split_by_size(tris: TrianglesSoA, frac: float = 0.25):
     hi = np.maximum(np.maximum(r1, r2), r3)
     diag = np.linalg.norm(hi - lo, axis=1)
     scene_diag = np.linalg.norm(hi.max(0) - lo.min(0))
-    big = diag > frac * scene_diag
+    thresh = min(frac * scene_diag,
+                 median_mult * float(np.median(diag)))
+    big = diag > thresh
+    if int(big.sum()) > max_big:
+        cutoff = np.sort(diag)[-max_big - 1]
+        big = diag > cutoff
 
     def build(mask):
         if not mask.any():
@@ -525,8 +554,8 @@ def _pairs_round(comps, ids, tri_pack, trp: int, interpret: bool,
     keys_s, comps_s, pslot_s = srt[0], srt[1:7], srt[7]
     zeros = jnp.zeros(keys_s.shape, jnp.float32)
     rays8p = jnp.stack(
-        [*comps_s, keys_s.astype(jnp.float32), zeros], axis=1
-    )
+        [*comps_s, keys_s.astype(jnp.float32), zeros], axis=0
+    )  # (8, Ppad): pairs on the minor axis — see _pair_kernel
     t, nx, ny, nz, m = _run_pairs(keys_s, rays8p, tri_pack, trp,
                                   interpret, resident)
     back = jax.lax.sort([pslot_s, t, nx, ny, nz, m], num_keys=1)
@@ -551,10 +580,10 @@ def _merge_best(cur, new):
 
 
 def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
-                        l1: int = 2, l2: int = 8, l3: int = 32,
-                        trp: int = 512, trb: int = 512,
-                        u2_frac: int = 4, u3_frac: int = 16,
-                        tail: int = 4096,
+                        l1: int = 8, l2: int = 8, l3: int = 48,
+                        trp: int = 1024, trb: int = 512,
+                        u2_frac: int = 2, u3_frac: int = 32,
+                        tail: int = 8192,
                         interpret: bool = False):
     """Pair-expansion intersector for large scenes (hundreds of
     clusters, incoherent rays).
@@ -568,20 +597,30 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
     XLA top_k formulation both measured 85 ms at 2M rays AND produced a
     program the TPU compiler dies on once the exhaustive round is
     inlined):
-      1. every ray x its l1 nearest passing clusters;
-      2. unresolved rays (compacted to a rpad/u2_frac prefix) x ranks
-         l1..l2;
-      3. still-unresolved (rpad/u3_frac prefix) x ranks l2..l3;
-      4. rays STILL unresolved after l3 ranks (geometrically rare: l3
-         nearer cluster boxes all missed) are compacted to a `tail`
-         prefix and brute-forced against the whole scene with the dense
-         kernel — exact, fixed cost.
-    Results match brute force as long as the prefix capacities hold
-    (sized ~an order of magnitude above measured unresolved fractions;
-    tests assert). Defaults favor FEW LARGE clusters (512 tris): pair
-    counts — and the two 8-payload pair sorts, the measured cost
-    center — scale with l1, while the streaming tri tests they buy run
-    at dense-kernel efficiency.
+      1. every ray x its l1 nearest passing clusters, certified by the
+         entry of rank l1 (the first untested candidate);
+      2. one catch-all escalation: unresolved rays (compacted to a
+         rpad/(4*u2_frac) prefix) x ALL remaining ranks up to l3, with
+         per-ray progress tracking (`done`);
+      3. a small-capacity while loop repeating (2) for capacity
+         overflow;
+      4. a dense brute-force tail loop that runs to completion —
+         unconditional progress, so the result is EXACT for every
+         workload (the tail absorbs rays needing rank > l3 and any
+         capacity overflow; its iteration count, not correctness,
+         depends on the workload).
+    Hit results equal the dense kernel's for all inputs; capacities
+    and schedule only trade time. Defaults (v5e-measured, 100k-tri
+    stress scene): l1=8 certifies 86% of real wavefront rays in round
+    1 (cert ranks: p50=2, p90=11, misses ~ their npass <= 45); the
+    escalation infrastructure (compaction sort, prefix gather/scatter,
+    selection) costs ~100+ ms per call at 1M-prefix scale, so ONE wide
+    catch-all beats any multi-round march schedule. End-to-end on the
+    steady-state stress wavefront: ~720 ms for 2M rays (~2.9 Mrays/s)
+    with 0 hit flips vs the dense kernel — the honest cost of
+    guaranteed-exact incoherent-ray traversal on this architecture
+    (round-1's per-tile culling was 5+ s AND the earlier capacity-
+    trusting variant produced half-wrong hits on this workload).
     """
     from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
         make_pallas_intersect,
@@ -596,7 +635,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
     scene, c, k = build_clusters(rest, cluster_size, split_large=False)
     boxes = scene.boxes
     cp = -(-c // 128) * 128
-    boxes_t = jnp.zeros((8, cp), jnp.float32).at[:, :c].set(boxes.T)
+    boxes_r = jnp.zeros((cp, 8), jnp.float32).at[:c, :].set(boxes)
     # Dummy cluster C: all-zero (never-hit) triangles for invalid pairs.
     tri_pack = jnp.concatenate(
         [scene.tri_pack,
@@ -606,8 +645,10 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
     l2 = min(l2, c)
     l3 = min(l3, c)
     resident = interpret  # no DMA emulation on the interpret path
-    tail_isect = (make_pallas_intersect(tris, interpret=interpret)
-                  if c > l3 else None)
+    # Unconditional: also the safety net for rays that overflow the
+    # escalation prefix capacities (without it they'd silently keep
+    # their round-1 best — a latent wrong-hit, not just a slow path).
+    tail_isect = make_pallas_intersect(tris, interpret=interpret)
 
     def intersect(rays: Rays) -> Hits:
         r = rays.p[0].shape[0]
@@ -621,7 +662,6 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         comps = [pad(rays.p[i]) for i in range(3)] + [
             pad(rays.d[i]) for i in range(3)
         ]
-        slot = jnp.arange(rpad, dtype=jnp.int32)
 
         # Seed best with the scene-spanning triangles (brute, ~free).
         if big_isect is not None:
@@ -637,10 +677,9 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                      zeros, zeros, zeros, zeros)
 
         # Round 1: l1 nearest candidates for every ray (fused kernel).
-        rays8 = jnp.stack([*comps, jnp.zeros((rpad,), jnp.float32),
-                           jnp.zeros((rpad,), jnp.float32)], axis=1)
+        rays8t = pack_rays(tuple(comps[:3]), tuple(comps[3:]), rpad)
         ids1, _ent1, nxt1 = _run_candidates(
-            rays8, boxes_t, l1, c, trb, interpret
+            rays8t, boxes_r, l1, c, trb, interpret
         )
         best = _merge_best(
             best0, _pairs_round(comps, ids1, tri_pack, trp, interpret,
@@ -648,75 +687,143 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         )
         resolved = ((best[0] <= nxt1) | (nxt1 >= BIG))
 
-        def escalation(comps, slot, best, resolved, u, lo, hi):
-            """Compact unresolved rays to a u-prefix; test candidate
-            ranks lo..hi (fused kernel re-selects from rank 0 — the
-            prefix is small, the re-slab is noise); merge. Returns
-            updated (comps, slot, best, resolved) in the new (sorted)
-            lane order."""
+        # Escalations never permute the per-ray arrays: unresolved rays
+        # are COMPACTED via a 2-array (flag, iota) sort + u-row gathers,
+        # results merge back with u-row scatters. (v1 co-sorted all 13
+        # arrays per round — ~27 ms per compaction at 2M rays, paid
+        # even when <2% of rays were unresolved — plus a 6-array final
+        # un-permute sort. Gather/scatter costs scale with u instead.)
+        slot = jnp.arange(rpad, dtype=jnp.int32)
+
+        def unresolved_prefix(resolved, u):
+            # (flag, slot) sort: 12.2 ms at 2M — measured CHEAPER than
+            # the jnp.nonzero(size=u) compaction (23.2 ms).
             srt = jax.lax.sort(
-                [resolved.astype(jnp.int32), *comps, slot, *best],
-                num_keys=1,
+                [resolved.astype(jnp.int32), slot], num_keys=1
             )
-            comps2, slot2 = list(srt[1:7]), srt[7]
-            best2 = tuple(srt[8:13])
-            sub = [x[:u] for x in comps2]
-            sub8 = jnp.stack([*sub, jnp.zeros((u,), jnp.float32),
-                              jnp.zeros((u,), jnp.float32)], axis=1)
-            ids_all, _ents, nxt = _run_candidates(
-                sub8, boxes_t, hi, c, trb, interpret
+            return srt[1][:u]
+
+        # Per-ray march progress: done[i] = candidate ranks of ray i
+        # already tested. Escalations test each ray's NEXT W untested
+        # ranks (take_along_axis windows into the rank-ordered
+        # candidate matrix) instead of a fixed global 0..hi window:
+        # measured on the stress wavefront, cert ranks are p50=2 /
+        # p90=11 / miss rays ~npass<=45, so global windows re-test up
+        # to 10x the useful pairs and the step collapsed to ~1.2 s.
+        done = jnp.full((rpad,), l1, jnp.int32)
+        maxrank = min(l3, c)
+
+        def escalation(best, resolved, done, u, w, sel):
+            """Gather the first u unresolved rays; test each one's next
+            w untested candidate ranks; scatter-merge. `sel` is the
+            static candidate-selection depth for this call — every ray
+            in the call satisfies done + w <= sel, so early passes run
+            a shallow (cheap) selection instead of the full maxrank one
+            (the selection loop is serial: 49 passes measured 30 ms at
+            1M rays where 9 would do). A ray whose march passes sel
+            stays unresolved (later, deeper passes or the tail handle
+            it); rays beyond the u-capacity stay unresolved so the next
+            iteration sees them."""
+            idx = unresolved_prefix(resolved, u)
+            sub = [x[idx] for x in comps]
+            sub8t = pack_rays(tuple(sub[:3]), tuple(sub[3:]), u)
+            ids_all, ents_all, nxt = _run_candidates(
+                sub8t, boxes_r, sel, c, trb, interpret
             )
-            ids = ids_all[:, lo:hi]
+            d0 = done[idx]                                   # (u,)
+            cols = d0[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+            in_rank = cols < sel
+            ids = jnp.where(
+                in_rank,
+                jnp.take_along_axis(
+                    ids_all, jnp.clip(cols, 0, sel - 1), axis=1
+                ),
+                c,                                           # dummy
+            )
             new_sub = _pairs_round(sub, ids, tri_pack, trp, interpret,
                                    resident)
-            merged = _merge_best(tuple(b[:u] for b in best2), new_sub)
-            best3 = tuple(
-                jnp.concatenate([m, b[u:]])
-                for m, b in zip(merged, best2)
+            merged = _merge_best(tuple(b[idx] for b in best), new_sub)
+            best2 = tuple(
+                b.at[idx].set(m) for b, m in zip(best, merged)
             )
-            res_sub = (merged[0] <= nxt) | (nxt >= BIG)
-            # The suffix keeps its sorted resolved flags: if unresolved
-            # rays overflow the u-prefix (capacity exceeded), they stay
-            # marked unresolved so the next escalation still sees them.
-            resolved3 = jnp.concatenate([res_sub, srt[0][u:] == 1])
-            return comps2, slot2, best3, resolved3
+            d1 = jnp.minimum(d0 + w, sel)
+            # Certificate bound = entry of the first still-untested
+            # rank (nxt covers d1 == sel).
+            bound = jnp.where(
+                d1 < sel,
+                jnp.take_along_axis(
+                    ents_all, jnp.clip(d1, 0, sel - 1)[:, None],
+                    axis=1,
+                )[:, 0],
+                nxt,
+            )
+            res_sub = (merged[0] <= bound) | (bound >= BIG)
+            # Guard already-resolved rays in the (padded) prefix: keep
+            # their True flag.
+            res2 = resolved.at[idx].set(resolved[idx] | res_sub)
+            return best2, res2, done.at[idx].set(d1)
 
-        # Round 2: unresolved prefix x ranks l1..l2.
+        # Round 2: one wide pass over a large unresolved prefix.
         unit = max(trp, trb)
         if l2 > l1:
             u2 = max(unit, (rpad // u2_frac // unit) * unit)
-            comps, slot, best, resolved = escalation(
-                comps, slot, best, resolved, u2, l1, l2
+            best, resolved, done = escalation(
+                best, resolved, done, u2, l2 - l1, min(maxrank, l2)
             )
-        # Round 3: still-unresolved prefix x ranks l2..l3.
-        if l3 > l2:
+        # Round 3: ONE catch-all escalation testing every remaining
+        # rank (window = maxrank - l2), then a small-capacity while
+        # loop for capacity overflow. Measured: every escalation call
+        # carries ~200 ms of infrastructure at 1M-prefix scale (the
+        # prefix gathers and scatter-merges do NOT fuse inside the real
+        # graph the way isolated microbenchmarks suggested), so one
+        # wide call beats any multi-round march schedule even though
+        # its pair list is dummy-heavy.
+        if maxrank > l2:
+            w3 = maxrank - l2
+            u3a = max(unit, (rpad // u2_frac // 4 // unit) * unit)
+            best, resolved, done = escalation(
+                best, resolved, done, u3a, w3, maxrank
+            )
             u3 = max(unit, (rpad // u3_frac // unit) * unit)
-            comps, slot, best, resolved = escalation(
-                comps, slot, best, resolved, u3, l2, l3
+
+            def body3(carry):
+                best, resolved, done, it = carry
+                best, resolved, done = escalation(
+                    best, resolved, done, u3, w3, maxrank
+                )
+                return (best, resolved, done, it + 1)
+
+            best, resolved, done, _ = jax.lax.while_loop(
+                lambda ca: (ca[3] < 4) & jnp.any(~ca[1]),
+                body3, (best, resolved, done, jnp.int32(0)),
             )
-        # Tail: exhaustive dense test for the (rare) rays whose best hit
-        # is still not certified by the l3 nearest cluster entries.
-        if tail_isect is not None:
-            u4 = min(tail, rpad)
-            srt = jax.lax.sort(
-                [resolved.astype(jnp.int32), *comps, slot, *best],
-                num_keys=1,
-            )
-            comps, slot = list(srt[1:7]), srt[7]
-            best = tuple(srt[8:13])
-            subrays = Rays(p=tuple(x[:u4] for x in comps[:3]),
-                           d=tuple(x[:u4] for x in comps[3:]))
+
+        # Tail: exhaustive dense test, looped to completion. Unlike the
+        # windowed rounds this resolves every processed ray
+        # unconditionally, so progress (u4 rays/iteration) and
+        # termination are guaranteed — it is both the certifier of
+        # last resort and the capacity-overflow safety net.
+        u4 = min(tail, rpad)
+
+        def body4(carry):
+            best, resolved = carry
+            idx = unresolved_prefix(resolved, u4)
+            subrays = Rays(p=tuple(x[idx] for x in comps[:3]),
+                           d=tuple(x[idx] for x in comps[3:]))
             ht = tail_isect(subrays)
             new_sub = (jnp.where(ht.valid, ht.t, BIG),
                        ht.n[0], ht.n[1], ht.n[2],
                        ht.mati.astype(jnp.float32))
-            merged = _merge_best(tuple(b[:u4] for b in best), new_sub)
+            merged = _merge_best(tuple(b[idx] for b in best), new_sub)
             best = tuple(
-                jnp.concatenate([m, b[u4:]])
-                for m, b in zip(merged, best)
+                b.at[idx].set(m) for b, m in zip(best, merged)
             )
+            return (best, resolved.at[idx].set(True))
 
-        back = jax.lax.sort([slot, *best], num_keys=1)
-        return _hits_from_raw(rays, back[1], back[2:5], back[5], r)
+        best, resolved = jax.lax.while_loop(
+            lambda ca: jnp.any(~ca[1]), body4, (best, resolved)
+        )
+
+        return _hits_from_raw(rays, best[0], best[1:4], best[4], r)
 
     return intersect
