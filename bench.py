@@ -60,9 +60,7 @@ def make_isect(scene, accel: str, on_cpu: bool):
         )
     if accel == "pallas":
         from opencl_path_tracer_tpu.ops.pallas import make_pallas_intersect
-        return make_pallas_intersect(
-            scene.tris, tr=1024, tt=128, interpret=on_cpu
-        )
+        return make_pallas_intersect(scene.tris, interpret=on_cpu)
     if accel == "bvh":
         from opencl_path_tracer_tpu.accel import (
             build_lbvh, make_bvh_intersect,
