@@ -175,6 +175,13 @@ def make_group_intersect(tris: TrianglesSoA, *, cluster_size: int = 128,
     each lane's own set. Results sorted back by slot. No candidate cap:
     every passing cluster is tested, so hits match brute force exactly.
 
+    STATUS: measured SLOWER than the fused brute kernel on v5e for the
+    scenes it targets (Cornell bounce rays: 96 ms vs 39 ms at 2M rays)
+    — the two grouping sorts (~25 ms) eat the 2.5x culling win, and
+    some block sizes wedged the device session. Kept as the exact
+    per-ray-culling reference implementation; `accel='auto'` never
+    selects it (docs/BENCHMARKS.md).
+
     tr/subtiles: accepted for compatibility; block = tr * subtiles.
     """
     if tr is not None:

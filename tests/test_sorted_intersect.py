@@ -137,3 +137,39 @@ def test_pair_intersect_nondivisible_pair_tiles():
                              trp=512, u2_frac=2, u3_frac=32,
                              interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
+
+
+def test_pair_intersect_corridor_rays_deep_march():
+    """The adversarial workload that broke v3 on TPU: rays starting
+    OUTSIDE the populated region marching a long corridor of cluster
+    boxes before their (far) hit — most rays uncertified after round 1
+    and far beyond any one prefix capacity. v4's progress march + dense
+    tail must still match brute force exactly (the failure mode was
+    SILENT wrong hits, measured on half the rays at 2M scale)."""
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    scene = library.stress_scene(6000)
+    rs = np.random.default_rng(21)
+    r = 1024
+    # Camera-like corridor rays: origins on a plane outside the field,
+    # directions funneled through it.
+    p = np.stack([
+        rs.uniform(-100, 1100, r),
+        rs.uniform(-100, 1100, r),
+        np.full(r, -1500.0),
+    ], axis=1).astype(np.float32)
+    target = np.stack([
+        rs.uniform(100, 900, r),
+        rs.uniform(100, 900, r),
+        rs.uniform(200, 900, r),
+    ], axis=1).astype(np.float32)
+    d = target - p
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays.make(jnp.asarray(p), jnp.asarray(d.astype(np.float32)))
+    # Deliberately tiny capacities: everything must funnel through the
+    # while-loops and the dense tail, still exactly.
+    pi = make_pair_intersect(scene.tris, cluster_size=256, l1=1, l2=1,
+                             trp=256, trb=256, u2_frac=64, u3_frac=64,
+                             tail=256, interpret=True)
+    _check(pi(rays), intersect.first_intersect(rays, scene.tris))
