@@ -70,7 +70,8 @@ def make_isect(scene, accel: str, on_cpu: bool):
     return functools.partial(intersect.first_intersect, tris=scene.tris)
 
 
-def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk):
+def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk,
+                  lanes: int = 1):
     from opencl_path_tracer_tpu.models import wavefront
     from opencl_path_tracer_tpu.ops import raygen
 
@@ -83,6 +84,11 @@ def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk):
         ids = raygen.tile_major_ids(w, h, 16, 8)
     else:
         ids = raygen.pixel_ids_like(n)
+    if lanes > 1:
+        # Several samples in flight per pixel: amortizes the step's
+        # fixed costs (colors_by_pixel merges lanes sample-weighted).
+        ids = jnp.tile(ids, lanes)
+        n = n * lanes
     state = wavefront.init_wavefront(cam, n, mode="fast", key=key,
                                      ids=ids)
 
@@ -180,7 +186,7 @@ def bench_scene(scene_name: str, args) -> dict:
     if args.model == "wavefront":
         mrays, dt, spp = run_wavefront(
             scene, cam, n, isect, iters=args.iters, steps=args.steps,
-            chunk=args.chunk,
+            chunk=args.chunk, lanes=args.lanes,
         )
     else:
         mrays, dt, spp = run_megakernel(
@@ -211,6 +217,8 @@ def main() -> int:
                              "bruteforce", "pallas"])
     ap.add_argument("--chunk", type=int, default=8,
                     help="wavefront steps per device program")
+    ap.add_argument("--lanes", type=int, default=1,
+                    help="samples in flight per pixel (lane multiplier)")
     args = ap.parse_args()
 
     dev = jax.devices()[0]

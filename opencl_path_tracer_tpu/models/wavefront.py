@@ -293,12 +293,32 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
     return state
 
 
-def colors_by_pixel(state: WavefrontState):
-    """(N, 3) color array indexed by pixel id (undoes any lane
-    reordering from tile-major init or sorting)."""
+def colors_by_pixel(state: WavefrontState, num_pixels: int | None = None):
+    """(num_pixels, 3) color array indexed by pixel id.
+
+    Undoes any lane reordering (tile-major init, sorting). With MORE
+    lanes than pixels (several samples in flight per pixel — pass
+    ids=jnp.tile(...) to init_wavefront), each pixel's lanes hold
+    independent running averages; the correct combined mean weights
+    each lane by its completed sample count (a lane mid-path
+    contributes its finished samples only, matching the reference's
+    progressive average semantics, prog.cl:379)."""
     import numpy as np
     pix = np.asarray(state.pixel)
-    out = np.zeros((pix.shape[0], 3), np.float32)
+    n = int(num_pixels) if num_pixels is not None else (
+        int(pix.max()) + 1 if pix.size else 0
+    )
+    if pix.shape[0] == n and np.unique(pix).shape[0] == n:
+        out = np.zeros((n, 3), np.float32)
+        for k in range(3):
+            out[pix, k] = np.asarray(state.colors[k])
+        return out
+    w = np.asarray(state.samples, np.float64)
+    den = np.zeros((n,), np.float64)
+    np.add.at(den, pix, w)
+    out = np.zeros((n, 3), np.float32)
     for k in range(3):
-        out[pix, k] = np.asarray(state.colors[k])
+        num = np.zeros((n,), np.float64)
+        np.add.at(num, pix, w * np.asarray(state.colors[k], np.float64))
+        out[:, k] = (num / np.maximum(den, 1.0)).astype(np.float32)
     return out

@@ -48,3 +48,37 @@ def test_sorted_wavefront_matches_unsorted_statistically():
     # Unbiased estimators of the same image: means agree loosely.
     assert abs(img_a.mean() - img_b.mean()) / img_a.mean() < 0.2
     assert np.asarray(srt.samples).min() >= 1
+
+
+def test_colors_by_pixel_merges_multi_lane_sample_weighted():
+    """More lanes than pixels: per-pixel color = sample-weighted mean
+    of the lanes' running averages."""
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
+    from opencl_path_tracer_tpu.models import wavefront
+    from opencl_path_tracer_tpu.scene import library
+
+    scene = library.cornell_box(with_spheres=False)
+    cam = library.cornell_camera(8, 8)
+    n_pix = 64
+    ids = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), 2)
+    st = wavefront.init_wavefront(cam, n_pix * 2, mode="fast",
+                                  key=jax.random.key(0), ids=ids)
+    # Lane i of pixel p holds mean c with s samples; lane n_pix+i holds
+    # mean 2c with 3s samples -> merged mean = (c*s + 2c*3s)/(4s).
+    base = jnp.arange(n_pix, dtype=jnp.float32) + 1.0
+    colors = tuple(
+        jnp.concatenate([base * (k + 1), 2.0 * base * (k + 1)])
+        for k in range(3)
+    )
+    samples = jnp.concatenate([
+        jnp.full((n_pix,), 2, jnp.int32), jnp.full((n_pix,), 6, jnp.int32)
+    ])
+    st = dataclasses.replace(st, colors=colors, samples=samples)
+    out = wavefront.colors_by_pixel(st, n_pix)
+    expect = np.stack([
+        (np.arange(n_pix) + 1.0) * (k + 1) * (2 + 2 * 6) / 8.0
+        for k in range(3)
+    ], axis=1).astype(np.float32)
+    np.testing.assert_allclose(out, expect, rtol=1e-6)
