@@ -462,7 +462,9 @@ def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int):
 def _run_candidates(rays8t, boxes_r, l: int, c: int, trb: int,
                     interpret: bool):
     """rays8t: (8, Rpad) packed rays; boxes_r: (Cp, 8). Returns
-    (ids (Rpad, l) i32, entries (Rpad, l), entry_next (Rpad,))."""
+    RANK-MAJOR (ids (l, Rpad) i32, entries (l, Rpad),
+    entry_next (Rpad,)) — ray-major (Rpad, l) arrays tile T(8,128)
+    with a 16x-padded minor dim."""
     rpad = rays8t.shape[1]
     cp = boxes_r.shape[0]
     lw = max(16, _round_up(l + 1, 8))
@@ -483,8 +485,7 @@ def _run_candidates(rays8t, boxes_r, l: int, c: int, trb: int,
         out_shape=[jax.ShapeDtypeStruct((lw, rpad), jnp.float32)] * 2,
         interpret=interpret,
     )(rays8t, boxes_r)
-    ids = ids_f[:l].T.astype(jnp.int32)
-    return ids, ent[:l].T, ent[l]
+    return ids_f[:l].astype(jnp.int32), ent[:l], ent[l]
 
 
 def split_by_size(tris: TrianglesSoA, frac: float = 0.25,
@@ -532,15 +533,19 @@ def split_by_size(tris: TrianglesSoA, frac: float = 0.25,
 
 def _pairs_round(comps, ids, tri_pack, trp: int, interpret: bool,
                  resident: bool = False):
-    """Expand (R, L) candidate ids to cluster-sorted pairs, run the
-    kernel, return per-ray (t, nx, ny, nz, m) via the slot sort-back
-    and an L-way min."""
-    r, l = ids.shape
+    """Expand (L, R) candidate ids (RANK-MAJOR: row j = every ray's
+    rank-j candidate) to cluster-sorted pairs, run the kernel, return
+    per-ray (t, nx, ny, nz, m) via the slot sort-back and an L-way min.
+
+    Rank-major layout throughout: pair p = j*R + r, so per-rank views
+    are (R,)-contiguous and the L-way min runs on an (L, R) array —
+    an (R, L) layout tiles T(8,128) with the minor dim padded 16x and
+    the pick stage alone materialized ~10 such arrays (~200 ms at
+    2M x 8 on v5e)."""
+    l, r = ids.shape
     p = r * l
     keys = ids.reshape(-1)
-    expand = [
-        jnp.broadcast_to(x[:, None], (r, l)).reshape(-1) for x in comps
-    ]
+    expand = [jnp.tile(x, l) for x in comps]
     pslot = jnp.arange(p, dtype=jnp.int32)
     # Pad the pair list to a whole number of kernel tiles with
     # dummy-cluster pairs (they sort last and do no work).
@@ -567,14 +572,14 @@ def _pairs_round(comps, ids, tri_pack, trp: int, interpret: bool,
                                   interpret, resident)
     back = jax.lax.sort([pslot_s, t, nx, ny, nz, m], num_keys=1)
     back = [a[:p] for a in back]    # drop tile padding
-    t_rl = back[1].reshape(r, l)
-    best = jnp.min(t_rl, axis=1)
-    which = jnp.argmin(t_rl, axis=1)
-    onehot = (jnp.arange(l, dtype=jnp.int32)[None, :]
-              == which[:, None]).astype(jnp.float32)
+    t_lr = back[1].reshape(l, r)
+    best = jnp.min(t_lr, axis=0)
+    which = jnp.argmin(t_lr, axis=0)
+    onehot = (jnp.arange(l, dtype=jnp.int32)[:, None]
+              == which[None, :]).astype(jnp.float32)
 
     def pick(a):
-        return jnp.sum(a.reshape(r, l) * onehot, axis=1)
+        return jnp.sum(a.reshape(l, r) * onehot, axis=0)
 
     return best, pick(back[2]), pick(back[3]), pick(back[4]), \
         pick(back[5])
@@ -736,14 +741,15 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             sub8t = pack_rays(tuple(sub[:3]), tuple(sub[3:]), u)
             ids_all, ents_all, nxt = _run_candidates(
                 sub8t, boxes_r, sel, c, trb, interpret
-            )
+            )                       # rank-major: (sel, u), (sel, u)
             d0 = done[idx]                                   # (u,)
-            cols = d0[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
-            in_rank = cols < sel
+            rows = (d0[None, :]
+                    + jnp.arange(w, dtype=jnp.int32)[:, None])  # (w, u)
+            in_rank = rows < sel
             ids = jnp.where(
                 in_rank,
                 jnp.take_along_axis(
-                    ids_all, jnp.clip(cols, 0, sel - 1), axis=1
+                    ids_all, jnp.clip(rows, 0, sel - 1), axis=0
                 ),
                 c,                                           # dummy
             )
@@ -759,9 +765,9 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             bound = jnp.where(
                 d1 < sel,
                 jnp.take_along_axis(
-                    ents_all, jnp.clip(d1, 0, sel - 1)[:, None],
-                    axis=1,
-                )[:, 0],
+                    ents_all, jnp.clip(d1, 0, sel - 1)[None, :],
+                    axis=0,
+                )[0],
                 nxt,
             )
             res_sub = (merged[0] <= bound) | (bound >= BIG)
