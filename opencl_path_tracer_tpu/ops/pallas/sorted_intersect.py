@@ -793,9 +793,18 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         # its pair list is dummy-heavy.
         if maxrank > l2:
             w3 = maxrank - l2
+            # Tier A: most uncertified rays need only a few more ranks
+            # (cert p90 = 11 on the stress wavefront) — wide capacity,
+            # narrow window. Tier B: the deep tail (corridors, misses)
+            # — small capacity, window to maxrank. Splitting the
+            # catch-all this way halves its dummy-pair sort volume.
             u3a = max(unit, (rpad // u2_frac // 4 // unit) * unit)
             best, resolved, done = escalation(
-                best, resolved, done, u3a, w3, maxrank
+                best, resolved, done, u3a, 8, min(maxrank, l2 + 8)
+            )
+            u3b = max(unit, (rpad // u2_frac // 16 // unit) * unit)
+            best, resolved, done = escalation(
+                best, resolved, done, u3b, w3, maxrank
             )
             u3 = max(unit, (rpad // u3_frac // unit) * unit)
 
