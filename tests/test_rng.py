@@ -96,6 +96,7 @@ def test_lehmer_uniformity():
 
 def test_fast_uniforms_deterministic_and_bounded():
     import jax
+    import jax
     key = jax.random.key(7)
     a = rng.fast_uniforms(key, 3, 1, (64,), 2)
     assert a.shape == (2, 64)
@@ -104,3 +105,25 @@ def test_fast_uniforms_deterministic_and_bounded():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.array_equal(np.asarray(a), np.asarray(c))
     assert np.all((np.asarray(a) >= 0) & (np.asarray(a) < 1))
+
+
+def test_fast_uniforms_statistical_quality():
+    """The murmur3-finalizer fast engine must be statistically sound:
+    uniform marginals and no lane/draw/step correlations (it replaced
+    threefry for speed, not quality — chi2 and correlation bounds are
+    generous but would catch a broken mixer)."""
+    import jax
+    key = jax.random.key(7)
+    n = 1 << 18
+    u = np.asarray(rng.fast_uniforms(key, 5, 1, (n,), 2))
+    assert 0.49 < u.mean() < 0.51
+    assert 0.080 < u.var() < 0.087          # 1/12 ~ 0.0833
+    assert u.min() >= 0.0 and u.max() < 1.0
+    assert abs(np.corrcoef(u[0, :-1], u[0, 1:])[0, 1]) < 0.02
+    assert abs(np.corrcoef(u[0], u[1])[0, 1]) < 0.02
+    v = np.asarray(rng.fast_uniforms(key, 6, 1, (n,), 2))
+    assert abs(np.corrcoef(u[0], v[0])[0, 1]) < 0.02
+    h, _ = np.histogram(u, bins=256, range=(0.0, 1.0))
+    e = u.size / 256
+    chi2 = float(((h - e) ** 2 / e).sum())
+    assert chi2 < 400.0                      # 255 dof; ~255 expected
