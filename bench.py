@@ -126,7 +126,10 @@ def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk,
         done += k
     float(chk)  # dependent fetch = real sync
     dt = time.time() - t0
-    return float(n) * steps / dt / 1e6, dt, float(jnp.mean(state.samples))
+    # Per-PIXEL spp: with lanes > 1 each pixel accumulates across
+    # `lanes` lanes, so the per-lane mean understates it by that factor.
+    return (float(n) * steps / dt / 1e6, dt,
+            float(jnp.mean(state.samples)) * lanes)
 
 
 def run_megakernel(scene, cam, n, isect, *, iters, steps):

@@ -64,7 +64,7 @@ def cmd_render(args) -> int:
         cfg = RenderConfig(
             width=w, height=h, iterations=args.iters, spp=args.spp,
             mode=args.mode, seed=args.seed, tonemap=args.tonemap,
-            accel=args.accel,
+            accel=args.accel, accel_force=args.accel_force,
             camera=_camera_preset(args.scene, w, h, args),
         )
     eng = RenderEngine(scene, cfg)
@@ -113,7 +113,8 @@ def cmd_view(args) -> int:
     scene = _build_scene(args.scene, args.models_dir)
     cfg = RenderConfig(
         width=w, height=h, iterations=args.iters, mode=args.mode,
-        accel=args.accel, camera=_camera_preset(args.scene, w, h, args),
+        accel=args.accel, accel_force=args.accel_force,
+        camera=_camera_preset(args.scene, w, h, args),
     )
     eng = RenderEngine(scene, cfg)
     last = time.time()
@@ -136,7 +137,8 @@ def cmd_serve(args) -> int:
     scene = _build_scene(args.scene, args.models_dir)
     cfg = RenderConfig(
         width=w, height=h, iterations=args.iters, mode=args.mode,
-        accel=args.accel, camera=_camera_preset(args.scene, w, h, args),
+        accel=args.accel, accel_force=args.accel_force,
+        camera=_camera_preset(args.scene, w, h, args),
     )
     ViewerServer(RenderEngine(scene, cfg), port=args.port).serve()
     return 0
@@ -171,6 +173,10 @@ def main(argv=None) -> int:
         p.add_argument("--accel", default="auto",
                        choices=["auto", "bvh", "median", "bruteforce",
                                 "pallas", "cluster", "group", "pair"])
+        p.add_argument("--accel-force", action="store_true",
+                       help="override the TPU backend gate (run "
+                            "measured-dominated or device-unsafe "
+                            "backends anyway)")
         p.add_argument("--seed", type=int, default=1)
         p.add_argument("--fov", type=float, default=None)
         p.add_argument("--yaw", type=float, default=None)

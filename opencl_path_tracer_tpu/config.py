@@ -56,6 +56,9 @@ class RenderConfig:
     #   for large on TPU; bruteforce/BVH on CPU), or force one of
     #   'bruteforce' | 'bvh' | 'pallas' | 'cluster'.
     accel: str = "auto"
+    # Override the TPU footgun gate (engine.make_intersect_fn): run
+    # measured-dominated or device-unsafe backends anyway.
+    accel_force: bool = False
 
     def validate(self) -> "RenderConfig":
         if self.width <= 0 or self.height <= 0:

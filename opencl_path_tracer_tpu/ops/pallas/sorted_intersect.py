@@ -774,7 +774,10 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             # Guard already-resolved rays in the (padded) prefix: keep
             # their True flag.
             res2 = resolved.at[idx].set(resolved[idx] | res_sub)
-            return best2, res2, done.at[idx].set(d1)
+            # Monotone march progress: already-resolved rays gathered as
+            # prefix padding may be handed a shallower sel than ranks
+            # they already tested — never lower their done.
+            return best2, res2, done.at[idx].set(jnp.maximum(d0, d1))
 
         # Round 2: one wide pass over a large unresolved prefix.
         unit = max(trp, trb)
@@ -815,8 +818,12 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                 )
                 return (best, resolved, done, it + 1)
 
+            # Exit once no unresolved ray can still make rank progress
+            # (done == maxrank rays are dense-tail work, not escalation
+            # work — extra passes would test only dummy pairs).
             best, resolved, done, _ = jax.lax.while_loop(
-                lambda ca: (ca[3] < 4) & jnp.any(~ca[1]),
+                lambda ca: (ca[3] < 4) & jnp.any(~ca[1]
+                                                 & (ca[2] < maxrank)),
                 body3, (best, resolved, done, jnp.int32(0)),
             )
 

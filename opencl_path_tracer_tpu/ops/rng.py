@@ -76,17 +76,6 @@ def lehmer_step(state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return new, new.astype(jnp.float32) / INV_M31_DEN
 
 
-def lehmer_jump_mult(k: int, a: int = int(LEHMER_A)) -> np.uint32:
-    """a^k mod (2^31-1), host-side: the multiplier that advances a Lehmer
-    stream by k steps at once (for sharding parity streams across chips)."""
-    return np.uint32(pow(int(a), int(k), int(M31)))
-
-
-def lehmer_advance(state: jnp.ndarray, mult: np.uint32) -> jnp.ndarray:
-    """Jump a stream forward: state * (a^k mod m) mod m."""
-    return modmul31(state, jnp.uint32(mult))
-
-
 def minstd_rand0_raw(n: int, seed: int = 1) -> np.ndarray:
     """First n outputs of std::minstd_rand0(seed): x_{i+1} = 16807 x_i mod
     (2^31-1), returning successive states (host-side, used to seed the

@@ -90,6 +90,70 @@ def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
     return jax.jit(fn)
 
 
+def shard_wavefront_state(state, mesh: Mesh):
+    """Place a WavefrontState with its lane axis sharded over the mesh.
+
+    Every per-lane array (colors, rng, ray, factors, pixel binding) is
+    split; the scalar step counter is replicated."""
+    sh = NamedSharding(mesh, P(RENDER_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        return jax.device_put(x, rep if x.ndim == 0 else sh)
+
+    return jax.tree.map(place, state)
+
+
+def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
+                              mesh: Mesh, *, intersect_fn,
+                              iterations: int, mode: str = "parity",
+                              key=None, max_samples: int | None = None):
+    """One wavefront step (the flagship perf model), lane axis tiled
+    across the mesh.
+
+    The wavefront state is lane-local by construction — every lane
+    carries its own pixel binding (state.pixel), RNG stream, and
+    accumulators (models/wavefront.py) — so sharding needs NO
+    communication in the step itself: each chip regenerates and traces
+    only its own lanes, exactly the reference's one-work-item-per-pixel
+    dispatch (main.cpp:674,678) scaled out chip-wise. A psum'd
+    mean-luminance scalar rides along as the cross-chip render meter.
+
+    Returns step(state) -> (state, mean_luminance); state sharded as by
+    shard_wavefront_state. Per-lane results are bit-identical to the
+    single-device wavefront_step (test_parallel.py)."""
+    from opencl_path_tracer_tpu.models import wavefront
+
+    n_dev = mesh.devices.size
+
+    def per_shard(state):
+        new = wavefront.wavefront_step(
+            cam, mats, state, intersect_fn=intersect_fn,
+            iterations=iterations, mode=mode, key=key,
+            max_samples=max_samples,
+        )
+        lum = jax.lax.psum(
+            sum(jnp.sum(c) for c in new.colors), RENDER_AXIS
+        )
+        total = jnp.float32(new.samples.shape[0] * n_dev * 3)
+        return new, lum / total
+
+    lane = P(RENDER_AXIS)
+    v3 = (lane,) * 3
+    state_spec = wavefront.WavefrontState(
+        colors=v3, samples=lane, pixel=lane, rng_state=lane,
+        ray_p=v3, ray_d=v3, f_l=v3, f_b=v3, f_s=v3, f_r=v3,
+        cur_color=v3, inside=lane, bounce=lane, step=P(),
+    )
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(state_spec,),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_sample_sharded_render(cam: Camera, mats: MaterialsSoA,
                                mesh: Mesh, *, intersect_fn,
                                iterations: int, num_pixels: int,

@@ -22,6 +22,7 @@ iterations kernel arg).
 from __future__ import annotations
 
 import functools
+import sys
 
 import numpy as np
 import jax
@@ -39,13 +40,54 @@ from opencl_path_tracer_tpu.runtime.meter import PerfMeter
 from opencl_path_tracer_tpu.scene.builder import Scene
 
 
-def make_intersect_fn(scene: Scene, accel: str):
+def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
+    """Build the intersector for `accel`.
+
+    Footgun gating (measured, docs/BENCHMARKS.md): on TPU some backends
+    are strictly dominated ('group', 'cluster'), device-unsafe ('bvh',
+    'median' — the gather-per-iteration walker faulted the device
+    session on the 100k-tri scene), or carry a surprising compile cost
+    ('pair': ~2 min warmup at 2M rays). `force=True` (CLI
+    --accel-force) overrides the dominated/unsafe refusals for
+    measurement work; 'auto' never selects a gated backend.
+    """
+    on_tpu = jax.default_backend() != "cpu"
     if accel == "auto":
-        if jax.default_backend() == "cpu":
+        if not on_tpu:
             accel = "bvh" if scene.num_triangles > 4096 else "bruteforce"
         else:
             accel = (
                 "pallas" if scene.num_triangles <= 4096 else "pair"
+            )
+            if accel == "pair":
+                print(
+                    f"# accel auto -> pair ({scene.num_triangles} tris):"
+                    " expect a ~2 min first-use compile on TPU"
+                    " (docs/BENCHMARKS.md)",
+                    file=sys.stderr,
+                )
+    if on_tpu and not force:
+        dominated = {
+            "group": "measured slower than 'pallas'/'pair' on every "
+                     "target scene (sorted_intersect.py docstring)",
+            "cluster": "strictly dominated by 'pair' "
+                       "(docs/BENCHMARKS.md)",
+        }
+        unsafe = {
+            "bvh": "gather-per-iteration walker faulted the TPU device "
+                   "session on large scenes (accel/traverse.py)",
+            "median": "same device-session risk as 'bvh' on TPU",
+        }
+        if accel in unsafe:
+            raise ValueError(
+                f"accel={accel!r} is refused on TPU: {unsafe[accel]}. "
+                "Pass force=True (CLI: --accel-force) to override."
+            )
+        if accel in dominated:
+            print(
+                f"# WARNING: accel={accel!r} on TPU is {dominated[accel]}"
+                " — use 'pair' or 'pallas'; --accel-force silences this",
+                file=sys.stderr,
             )
     if accel == "group":
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
@@ -103,7 +145,7 @@ class RenderEngine:
         self.controller = CameraController(config)
         self.meter = PerfMeter()
         self.intersect_fn = intersect_fn or make_intersect_fn(
-            scene, config.accel
+            scene, config.accel, force=config.accel_force
         )
         self.num_pixels = config.width * config.height
         self.state = megakernel.init_state(self.num_pixels, config.seed)

@@ -31,3 +31,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy interpret-mode Pallas / oracle tests"
+    )
+    config.addinivalue_line(
+        "markers", "quick: fast default CI loop (auto-added when not slow)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not marked slow is quick: `pytest -m quick` is the
+    <90 s default loop, the full suite stays the release gate."""
+    import pytest
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

@@ -4,6 +4,7 @@ and a golden statistical regression at fixed seed."""
 import functools
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ def test_preview_mode_shapes_and_values():
     assert left[..., 0].mean() > 0.0
 
 
+@pytest.mark.slow
 def test_progressive_average_accumulates():
     scene, cam, isect = _cornell_setup()
     s1 = megakernel.render(cam, scene.mats, intersect_fn=isect,
@@ -58,6 +60,7 @@ def test_progressive_average_accumulates():
     assert abs(m1 - m4) / max(m4, 1e-9) < 0.6
 
 
+@pytest.mark.slow
 def test_rng_stream_advances_only_for_consuming_lanes():
     """A lane that misses everything must keep its RNG state frozen after
     gen_ray's two draws (the reference work-item breaks, prog.cl:375)."""
@@ -74,6 +77,7 @@ def test_rng_stream_advances_only_for_consuming_lanes():
     )
 
 
+@pytest.mark.slow
 def test_parity_mode_deterministic():
     scene, cam, isect = _cornell_setup()
     a = megakernel.render(cam, scene.mats, intersect_fn=isect,
@@ -88,6 +92,7 @@ def test_parity_mode_deterministic():
                                   np.asarray(b.rng_state))
 
 
+@pytest.mark.slow
 def test_fast_mode_runs_and_converges_similarly():
     scene, cam, isect = _cornell_setup()
     par = megakernel.render(cam, scene.mats, intersect_fn=isect,

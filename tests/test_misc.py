@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from opencl_path_tracer_tpu.ops import raygen
 
@@ -26,6 +27,7 @@ def test_inverse_permutation():
     )
 
 
+@pytest.mark.slow
 def test_parity_report_script(tmp_path):
     import os
     env = {**os.environ, "JAX_PLATFORMS": "cpu"}
@@ -43,6 +45,7 @@ def test_parity_report_script(tmp_path):
     assert (tmp_path / "parity_cornell_16x16_i2_s2.png").exists()
 
 
+@pytest.mark.slow
 def test_engine_cluster_backend_cpu():
     from opencl_path_tracer_tpu.config import CameraConfig, RenderConfig
     from opencl_path_tracer_tpu.runtime.engine import RenderEngine

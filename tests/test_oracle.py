@@ -21,6 +21,8 @@ from opencl_path_tracer_tpu.ops import intersect
 from opencl_path_tracer_tpu.scene import library
 from opencl_path_tracer_tpu.utils import oracle
 
+pytestmark = pytest.mark.slow
+
 
 def _render_both(scene, cam, w, h, iterations, spp):
     isect = functools.partial(intersect.first_intersect, tris=scene.tris)

@@ -13,6 +13,8 @@ from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (
     build_clusters, make_cluster_intersect,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _scene(t, seed=0):
     rs = np.random.default_rng(seed)

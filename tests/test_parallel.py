@@ -5,6 +5,7 @@ progressive steps must equal the single-device render bit-for-bit
 import functools
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ def test_mesh_has_8_virtual_devices():
     assert len(rows) == 8
 
 
+@pytest.mark.slow
 def test_tiled_step_matches_single_device_parity():
     w = h = 32
     scene, cam, isect = _setup(w, h)
@@ -69,6 +71,7 @@ def test_tiled_step_matches_single_device_parity():
     )
 
 
+@pytest.mark.slow
 def test_sample_sharded_render_converges():
     w = h = 24
     scene, cam, isect = _setup(w, h)
@@ -104,3 +107,50 @@ def test_tiled_step_on_subset_mesh():
     state, lum = step(state)
     assert int(state.sample) == 1
     assert np.isfinite(float(lum))
+
+
+@pytest.mark.slow
+def test_tiled_wavefront_matches_single_device():
+    """The flagship wavefront model sharded over the mesh (VERDICT r2
+    #3): per-lane state after k steps must be bit-identical to the
+    single-device wavefront."""
+    from opencl_path_tracer_tpu.models import wavefront
+    from opencl_path_tracer_tpu.parallel import make_tiled_wavefront_step
+    from opencl_path_tracer_tpu.parallel.shard import (
+        shard_wavefront_state,
+    )
+
+    w = h = 32
+    scene, cam, isect = _setup(w, h)
+    mesh = make_render_mesh()
+    n = w * h
+
+    ref = wavefront.init_wavefront(cam, n, seed=1, mode="parity")
+    step1 = jax.jit(lambda st: wavefront.wavefront_step(
+        cam, scene.mats, st, intersect_fn=isect, iterations=3,
+        mode="parity",
+    ))
+    for _ in range(5):
+        ref = step1(ref)
+
+    st = shard_wavefront_state(
+        wavefront.init_wavefront(cam, n, seed=1, mode="parity"), mesh
+    )
+    step8 = make_tiled_wavefront_step(
+        cam, scene.mats, mesh, intersect_fn=isect, iterations=3,
+        mode="parity",
+    )
+    for _ in range(5):
+        st, lum = step8(st)
+
+    for name in ("colors", "ray_p", "ray_d", "cur_color"):
+        for a, b in zip(getattr(ref, name), getattr(st, name)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for name in ("samples", "pixel", "rng_state", "inside", "bounce"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(st, name)),
+        )
+    np.testing.assert_allclose(
+        float(lum), float(_c(st).mean()), rtol=1e-5
+    )

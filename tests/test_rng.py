@@ -72,17 +72,6 @@ def test_seed_pixel_streams_matches_host_loop():
     np.testing.assert_array_equal(got, np.asarray(want, np.uint32))
 
 
-def test_lehmer_jump_equals_stepping():
-    state = jnp.asarray([99991], dtype=jnp.uint32)
-    k = 137
-    mult = rng.lehmer_jump_mult(k)
-    jumped = rng.lehmer_advance(state, mult)
-    stepped = state
-    for _ in range(k):
-        stepped, _ = rng.lehmer_step(stepped)
-    assert int(jumped[0]) == int(stepped[0])
-
-
 def test_lehmer_uniformity():
     state = rng.seed_pixel_streams(4096, seed=1)
     us = []
@@ -95,7 +84,6 @@ def test_lehmer_uniformity():
 
 
 def test_fast_uniforms_deterministic_and_bounded():
-    import jax
     import jax
     key = jax.random.key(7)
     a = rng.fast_uniforms(key, 3, 1, (64,), 2)

@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from opencl_path_tracer_tpu.config import RenderConfig, CameraConfig
 from opencl_path_tracer_tpu.ops.median_filter import median3x3
@@ -31,6 +32,7 @@ def _cfg(**kw):
     return RenderConfig(**base)
 
 
+@pytest.mark.slow
 def test_engine_offline_render_and_png(tmp_path):
     scene = library.cornell_box(with_spheres=False)
     eng = RenderEngine(scene, _cfg())
@@ -43,6 +45,7 @@ def test_engine_offline_render_and_png(tmp_path):
     assert out.exists()
 
 
+@pytest.mark.slow
 def test_engine_checkpoint_roundtrip(tmp_path):
     scene = library.cornell_box(with_spheres=False)
     eng = RenderEngine(scene, _cfg())
@@ -58,6 +61,7 @@ def test_engine_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(_c(eng.state), _c(eng2.state))
 
 
+@pytest.mark.slow
 def test_engine_interactive_frame_and_reset():
     scene = library.cornell_box(with_spheres=False)
     eng = RenderEngine(scene, _cfg())
@@ -164,6 +168,7 @@ def test_cli_info(capsys):
     assert "backend" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_engine_autosave(tmp_path):
     scene = library.cornell_box(with_spheres=False)
     eng = RenderEngine(scene, _cfg())
@@ -176,6 +181,7 @@ def test_engine_autosave(tmp_path):
     assert int(eng2.state.sample) == 4
 
 
+@pytest.mark.slow
 def test_cli_config_json(tmp_path):
     from opencl_path_tracer_tpu.cli import main
     from opencl_path_tracer_tpu.config import RenderConfig, CameraConfig
@@ -191,6 +197,7 @@ def test_cli_config_json(tmp_path):
     assert rc == 0 and out.exists()
 
 
+@pytest.mark.slow
 def test_determinism_checker():
     import functools
     import jax
@@ -234,3 +241,20 @@ def test_controller_esc_and_space():
     assert not ctl.state.quit_requested
     ctl.key_down("Escape")
     assert ctl.state.quit_requested
+
+
+def test_accel_gate_on_tpu(monkeypatch):
+    """Footgun gate (VERDICT r2 #6): on TPU, 'bvh'/'median' refuse
+    (device-session faults), 'group'/'cluster' warn, force overrides."""
+    import pytest
+
+    from opencl_path_tracer_tpu.runtime import engine
+    from opencl_path_tracer_tpu.scene import library
+
+    scene = library.cornell_box(with_spheres=True)
+    monkeypatch.setattr(engine.jax, "default_backend", lambda: "tpu")
+    for accel in ("bvh", "median"):
+        with pytest.raises(ValueError, match="refused on TPU"):
+            engine.make_intersect_fn(scene, accel)
+    # force=True builds them (host-side build work only, no device use).
+    assert engine.make_intersect_fn(scene, "bvh", force=True) is not None

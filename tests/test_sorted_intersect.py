@@ -14,6 +14,10 @@ from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
 )
 from opencl_path_tracer_tpu.scene import library
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _rand_rays(r, seed=1, lo=-90.0, hi=990.0):
     rs = np.random.default_rng(seed)

@@ -8,8 +8,10 @@ from opencl_path_tracer_tpu.config import CameraConfig, RenderConfig
 from opencl_path_tracer_tpu.runtime.engine import RenderEngine
 from opencl_path_tracer_tpu.runtime.viewer import ViewerServer
 from opencl_path_tracer_tpu.scene import library
+import pytest
 
 
+@pytest.mark.slow
 def test_viewer_endpoints():
     scene = library.cornell_box(with_spheres=False)
     cfg = RenderConfig(
@@ -61,6 +63,7 @@ def test_viewer_endpoints():
         httpd.shutdown()
 
 
+@pytest.mark.slow
 def test_viewer_surfaces_render_error_and_esc_quits():
     """A render-thread exception lands in /stats['error'] instead of
     killing the thread silently; ESC shuts the server down."""

@@ -4,6 +4,7 @@ bit-for-bit in parity mode at equal per-pixel spp."""
 import functools
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from opencl_path_tracer_tpu.models import megakernel, wavefront
@@ -24,6 +25,7 @@ def _setup(w=24, h=24):
     return scene, cam, isect
 
 
+@pytest.mark.slow
 def test_wavefront_matches_megakernel_parity():
     w = h = 24
     scene, cam, isect = _setup(w, h)
@@ -50,6 +52,7 @@ def test_wavefront_matches_megakernel_parity():
     # drawn the NEXT sample's gen_ray jitter when it hit the spp cap.
 
 
+@pytest.mark.slow
 def test_wavefront_free_running_unbiased():
     w = h = 16
     scene, cam, isect = _setup(w, h)
@@ -68,6 +71,7 @@ def test_wavefront_free_running_unbiased():
     assert abs(a - b) / max(b, 1e-9) < 0.2
 
 
+@pytest.mark.slow
 def test_wavefront_every_step_full_occupancy():
     """Regeneration means no idle lanes: after any number of steps with
     no cap, bounce counts stay within [0, iterations)."""

@@ -3,6 +3,7 @@
 import functools
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,7 @@ from opencl_path_tracer_tpu.ops import intersect, raygen
 from opencl_path_tracer_tpu.scene import library
 
 
+@pytest.mark.slow
 def test_sorted_wavefront_matches_unsorted_statistically():
     w = h = 16
     scene = library.cornell_box(with_spheres=False)
