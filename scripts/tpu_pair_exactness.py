@@ -71,18 +71,24 @@ def main(n_rays: int = 1 << 20, warm_steps: int = 12) -> int:
 
     flips = 0
     fields = {}
+    hit = np.asarray(hd.t) >= 0.0
     for name in ("t", "mati"):
         a = np.asarray(getattr(hd, name))
         b = np.asarray(getattr(hp, name))
         bad = int((a != b).sum())
         fields[name] = bad
         flips += bad
+    # Normals are compared on HIT lanes only: on misses both kernels
+    # leave whatever their argmin machinery last latched (measured
+    # 2026-08-17: dense latches (0,-1,0), pair (0,0,-1) — same junk
+    # class, different junk; t/mati were 0-flip everywhere).
     for k in range(3):
-        a = np.asarray(hd.n[k])
-        b = np.asarray(hp.n[k])
+        a = np.asarray(hd.n[k])[hit]
+        b = np.asarray(hp.n[k])[hit]
         bad = int((a != b).sum())
-        fields[f"n{k}"] = bad
+        fields[f"n{k}_on_hits"] = bad
         flips += bad
+    fields["hits"] = int(hit.sum())
 
     sha = "unknown"
     try:
