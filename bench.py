@@ -132,6 +132,24 @@ def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk,
             float(jnp.mean(state.samples)) * lanes)
 
 
+def run_fused(scene, cam, n, *, iters, steps, chunk, lanes: int = 1):
+    """Flagship fast pipeline: Plucker-MXU intersect + rotating exact
+    slice + one-kernel shade (models/pipeline.py). Small scenes only
+    (refine needs the tri table VMEM-resident)."""
+    from opencl_path_tracer_tpu.models import pipeline
+
+    w, h = int(cam.xm), int(cam.ym)
+    key = jax.random.key(1)
+    interpret = jax.devices()[0].platform == "cpu"
+    state, dt = pipeline.render_fast(
+        scene, cam, width=w, height=h, iterations=iters, steps=steps,
+        key=key, lanes=lanes, interpret=interpret, chunk=chunk,
+    )
+    n_lanes = state.samples.shape[0]
+    spp = float(jnp.sum(state.samples)) / float(n)
+    return float(n_lanes) * steps / dt / 1e6, dt, spp
+
+
 def run_megakernel(scene, cam, n, isect, *, iters, steps):
     from opencl_path_tracer_tpu.models import megakernel
 
@@ -185,6 +203,18 @@ def bench_scene(scene_name: str, args) -> dict:
     on_cpu = jax.devices()[0].platform == "cpu"
     print(f"# scene {scene_name}: {scene.num_triangles} tris @ {w}x{h}",
           file=sys.stderr)
+    if args.model == "fused":
+        mrays, dt, spp = run_fused(
+            scene, cam, n, iters=args.iters, steps=args.steps,
+            chunk=args.chunk, lanes=args.lanes,
+        )
+        print(
+            f"# {scene_name}: {dt:.3f}s for {args.steps} steps @ "
+            f"{w}x{h} iters={args.iters} (mean spp {spp:.1f}) -> "
+            f"{mrays:.1f} Mrays/s", file=sys.stderr,
+        )
+        return {"scene": scene_name, "w": w, "h": h,
+                "mrays": round(mrays, 2)}
     isect = make_isect(scene, args.accel, on_cpu)
     if args.model == "wavefront":
         mrays, dt, spp = run_wavefront(
@@ -214,7 +244,7 @@ def main() -> int:
                     choices=["cornell", "stress", "ref-workload"],
                     help="default: cornell AND stress in one run")
     ap.add_argument("--model", default="wavefront",
-                    choices=["wavefront", "megakernel"])
+                    choices=["wavefront", "megakernel", "fused"])
     ap.add_argument("--accel", default="auto",
                     choices=["auto", "pair", "group", "cluster", "bvh",
                              "bruteforce", "pallas"])

@@ -186,9 +186,13 @@ def _step_kernel(F_ref, I_ref, H_ref, step_ref, Fo_ref, Io_ref, *,
         for draw in range(2):
             hh = base ^ (jnp.uint32(draw) * _GOLD) ^ jnp.uint32(k1)
             hh = _fmix32(_fmix32(hh))
+            # Mosaic has no u32->f32 cast; >>8 leaves 24 bits, which
+            # are non-negative in i32, so bitcast-then-convert is exact.
+            h24 = jax.lax.bitcast_convert_type(
+                hh >> np.uint32(8), jnp.int32
+            )
             us.append(
-                (hh >> np.uint32(8)).astype(jnp.float32)
-                * np.float32(1.0 / (1 << 24))
+                h24.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
             )
         return us[0], us[1]
 
@@ -258,7 +262,8 @@ def _step_kernel(F_ref, I_ref, H_ref, step_ref, Fo_ref, Io_ref, *,
     frz = f0z + (1.0 - f0z) * p5
 
     # --- refractive bounce (prog.cl:228-245, 346-357).
-    inside = i(_INSIDE) != 0
+    inside_i = i(_INSIDE)
+    inside = inside_i != 0
     mat_n = mat("n")
     n_eff = jnp.where(inside, 1.0 / mat_n, mat_n)
     cosa_r = -(dx * nx + dy * ny + dz * nz)
@@ -279,7 +284,9 @@ def _step_kernel(F_ref, I_ref, H_ref, step_ref, Fo_ref, Io_ref, *,
     refr_dx = jnp.where(refracted, rdx, sdx)
     refr_dy = jnp.where(refracted, rdy, sdy)
     refr_dz = jnp.where(refracted, rdz, sdz)
-    new_inside = jnp.where(is_refr & refracted, ~inside, inside)
+    # int32 select (Mosaic rejects i1-valued select_n lowering).
+    new_inside_i = jnp.where(is_refr & refracted, 1 - inside_i,
+                             inside_i)
     inv_1mp = 1.0 / (1.0 - prob)
     inv_p = 1.0 / prob
     rfx = jnp.where(refracted, (1.0 - frx) * inv_1mp, frx * inv_p)
@@ -398,8 +405,7 @@ def _step_kernel(F_ref, I_ref, H_ref, step_ref, Fo_ref, Io_ref, *,
     ], axis=0)
     Io = jnp.concatenate([
         samples, i(_PIX), i(_RNG),
-        jnp.where(terminated, 0,
-                  new_inside.astype(jnp.int32)),
+        jnp.where(terminated, 0, new_inside_i),
         jnp.where(terminated, 0, bounce),
         I[5:8, :],
     ], axis=0)

@@ -73,10 +73,12 @@ from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
 # Conservative accept loosening, relative to the per-triangle magnitude
 # bound (see build_plucker_packs): 2^-16 covers the hi/lo representation
 # residual + dropped lo*lo + f32 accumulation; 2^-19-scale covers the
-# production expression's own f32 evaluation noise; 2^-14 leaves ~4x
-# headroom over the sum. Larger eps widens the spurious-accept band
-# (more refine work / pending lanes), never breaks exactness.
-EPS_SCALE = 2.0 ** -14
+# production expression's own f32 evaluation noise; 2^-15 with the 2x
+# Pmax margin leaves ~3-4x headroom over the sum. Larger eps widens the
+# spurious-accept band (measured: silhouette-graze lanes whose top-2
+# are both spurious go PENDING — eps sets the stall rate), never
+# breaks exactness.
+EPS_SCALE = 2.0 ** -15
 
 
 def plucker_feat(rays8: jnp.ndarray) -> jnp.ndarray:
@@ -112,7 +114,7 @@ def build_plucker_packs(tris: TrianglesSoA, *, chunk: int = 256,
     eps_k = eps_scale * |w_k| . Phi, with Phi the per-feature magnitude
     bound over every legal ray: |D| <= 1 and |P x D| <= Pmax, where ray
     origins P lie in the scene AABB or at the camera eye (wavefront
-    rays originate on surfaces or at the eye). Pmax uses a 4x margin
+    rays originate on surfaces or at the eye). Pmax uses a 2x margin
     over the AABB corner norm so any reasonable eye position is
     covered. Padding triangles have w = 0, n = 0: E = 0 passes the
     loosened sign test but t = 0/0 = NaN fails t > 0, so they are
@@ -132,7 +134,7 @@ def build_plucker_packs(tris: TrianglesSoA, *, chunk: int = 256,
     # Ray-feature magnitude bounds.
     pts = np.concatenate([np.asarray(tris.r1), np.asarray(tris.r2),
                           np.asarray(tris.r3)], axis=0)
-    pmax = 4.0 * float(np.linalg.norm(pts, axis=1).max()) + 1.0
+    pmax = 2.0 * float(np.linalg.norm(pts, axis=1).max()) + 1.0
     phi_bound = np.array([pmax] * 3 + [1.01] * 3)
 
     trig = np.zeros((3 * tpad, 32), np.float32)
@@ -252,23 +254,35 @@ def _refine_kernel(ray_ref, t1_ref, g1_ref, t2_ref, g2_ref,
                    p_ref):
     """Exact f32 re-test of the top-2 candidates per lane.
 
-    tabt: (24, Tpad) f32 transposed tri_pack. Constants are fetched
-    bit-exactly: onehot (0/1, f32) x table with Precision.HIGHEST —
-    each output element is a plain product-with-1 selection."""
+    tabt: (64, Tpad) bf16 — the 17 tri_pack constants split THREE ways
+    (hi/mid/lo, 8 mantissa bits each: hi+mid+lo == the f32 constant
+    EXACTLY, asserted at build time) at rows [k], [17+k], [34+k].
+    Constants are fetched bit-exactly with ONE bf16 matmul per
+    candidate: the one-hot weights are exact 0/1 in bf16, each product
+    is a plain selection, and the f32 accumulation of three
+    disjoint-exponent-range components is exact. A single-pass bf16
+    matmul here is ~6x the 6-pass Precision.HIGHEST f32 form that cost
+    ~12 ms/step at 2M lanes."""
     rays = ray_ref[:]
     px, py, pz = rays[0:1], rays[1:2], rays[2:3]
     dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
     tpad = tabt_ref.shape[1]
-    tiota = jax.lax.broadcasted_iota(jnp.float32, (tpad, 1), 0)
+    # Mosaic iota must be integer-typed; candidates' g rows are f32
+    # (exact small ints), so compare in i32.
+    tiota = jax.lax.broadcasted_iota(jnp.int32, (tpad, 1), 0)
 
     def exact_valid(g, t_cand):
-        onehot = (tiota == g[0:1, :]).astype(jnp.float32)  # (Tpad, TR)
-        rows = jax.lax.dot_general(
+        gi = g[0:1, :].astype(jnp.int32)
+        # f32 select then cast: an i1-masked bf16 select trips a Mosaic
+        # relayout bug ((8,128) mask vs (16,128) bf16 tiling); 0/1 are
+        # exact in both dtypes so the cast is free of rounding.
+        onehot = jnp.where(tiota == gi, 1.0, 0.0).astype(jnp.bfloat16)
+        rows3 = jax.lax.dot_general(
             tabt_ref[:], onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                  # (24, TR)
+        )                                               # (64, TR) f32
+        rows = rows3[0:17] + rows3[17:34] + rows3[34:51]
 
         def c(k):
             return rows[k:k + 1, :]
@@ -309,7 +323,9 @@ def _refine_kernel(ray_ref, t1_ref, g1_ref, t2_ref, g2_ref,
     def pick(k):
         return jnp.where(use2, rows2[k, :], rows1[k, :])
 
-    t_ref[0, :] = jnp.where(miss | pend, BIG,
+    # Miss/pending emit t = -1 (the Hits convention downstream; every
+    # real hit has t > 0 because acceptance required it).
+    t_ref[0, :] = jnp.where(miss | pend, -1.0,
                             jnp.where(use2, t2, t1))
     nx_ref[0, :] = pick(0)
     ny_ref[0, :] = pick(1)
@@ -364,7 +380,7 @@ def _run_refine(rays8, t1, g1, t2, g2, tabt, tr: int, interpret: bool):
             pl.BlockSpec((1, tr), lambda rt: (0, rt),
                          memory_space=pltpu.VMEM),
         ] * 4 + [
-            pl.BlockSpec((24, tpad), lambda rt: (0, 0),
+            pl.BlockSpec((64, tpad), lambda rt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((1, tr), lambda rt: (0, rt),
@@ -387,27 +403,50 @@ def make_plucker_intersect(tris: TrianglesSoA, *, tr: int = 1024,
     rotating exact slice covers them."""
     trig, tric, tpad = build_plucker_packs(tris, chunk=chunk, tt=tt)
     tt_eff = min(tt, tpad)
-    tab = build_tri_pack(tris, tt)
+    tab = np.asarray(build_tri_pack(tris, tt))
     if tab.shape[0] < tpad:
-        tab = jnp.concatenate(
-            [tab, jnp.zeros((tpad - tab.shape[0], 24), tab.dtype)]
+        tab = np.concatenate(
+            [tab, np.zeros((tpad - tab.shape[0], 24), np.float32)]
         )
-    tabt = jnp.asarray(tab).T.copy()                  # (24, Tpad)
+    # Exact 3-way bf16 bit-split of the 17 used constants (see
+    # _refine_kernel): hi+mid+lo reconstructs the f32 table bit-exactly.
+    t17 = tab[:, :17].T                               # (17, Tpad) f32
+    hi = np.asarray(jnp.asarray(t17).astype(jnp.bfloat16))
+    r1_ = t17 - hi.astype(np.float32)
+    mid = np.asarray(jnp.asarray(r1_).astype(jnp.bfloat16))
+    r2_ = r1_ - mid.astype(np.float32)
+    lo = np.asarray(jnp.asarray(r2_).astype(jnp.bfloat16))
+    assert (hi.astype(np.float64) + mid.astype(np.float64)
+            + lo.astype(np.float64) == t17.astype(np.float64)).all(), (
+        "bf16 3-way split failed to reconstruct the f32 table exactly"
+    )
+    tabt = jnp.zeros((64, tpad), jnp.bfloat16)
+    tabt = tabt.at[0:17].set(jnp.asarray(hi))
+    tabt = tabt.at[17:34].set(jnp.asarray(mid))
+    tabt = tabt.at[34:51].set(jnp.asarray(lo))
+
+    def intersect_rows(rays8: jnp.ndarray):
+        """(8, Rpad) packed rays -> six (1, Rpad) rows
+        [t(-1=miss/pending), nx, ny, nz, mati, pending] — the fused
+        pipeline's H-pack rows, no Hits unpacking."""
+        feat = plucker_feat(rays8)
+        t1, g1, t2, g2 = _run_candidates(
+            rays8, trig, tric, feat, tr, tt_eff, chunk, interpret
+        )
+        return _run_refine(
+            rays8, t1, g1, t2, g2, tabt, tr, interpret
+        )
+
+    intersect_rows.tr = tr
 
     def intersect(rays: Rays):
         r = rays.p[0].shape[0]
         rpad = _round_up(r, tr)
         rays8 = pack_rays(rays.p, rays.d, rpad)
-        feat = plucker_feat(rays8)
-        t1, g1, t2, g2 = _run_candidates(
-            rays8, trig, tric, feat, tr, tt_eff, chunk, interpret
-        )
-        t_, nx, ny, nz, m, pend = _run_refine(
-            rays8, t1, g1, t2, g2, tabt, tr, interpret
-        )
+        t_, nx, ny, nz, m, pend = intersect_rows(rays8)
         best_t = t_[0, :r]
         pending = pend[0, :r] > 0.0
-        any_hit = best_t < BIG
+        any_hit = best_t > 0.0
         z = jnp.zeros_like(best_t)
         safe_t = jnp.where(any_hit, best_t, 0.0)
         hit_p = tuple(
@@ -415,11 +454,12 @@ def make_plucker_intersect(tris: TrianglesSoA, *, tr: int = 1024,
             for k in range(3)
         )
         hits = Hits(
-            t=jnp.where(any_hit, best_t, -1.0),
+            t=best_t,
             p=hit_p,
             n=(nx[0, :r], ny[0, :r], nz[0, :r]),
             mati=jnp.where(any_hit, m[0, :r], 0.0).astype(jnp.int32),
         )
         return hits, pending
 
+    intersect.rows = intersect_rows
     return intersect
