@@ -1,0 +1,582 @@
+"""Block-march intersector for large scenes: sorted ray blocks walk
+per-block nearest-first cluster lists with MXU Plucker tests.
+
+Round-2's pair-v4 pipeline is exact but spends ~50% of its step in
+per-escalation infrastructure (prefix sorts, gathers, scatter-merges
+that cost ~100 ms per call at 1M scale and do not fuse) and its
+per-ray certificate march still tests mean 8.7 clusters x 512 tris
+per ray (docs/BENCHMARKS.md forensics) on the 47-60 Gt/s VPU kernel.
+This module replaces the per-RAY march with a per-BLOCK march:
+
+ 1. Lanes are sorted once per step by (direction octant, origin
+    morton) — measured on the real steady-state wavefront this makes
+    block-level cluster unions ~4x the per-lane optimum instead of
+    ~35x (tile-major order mixes bounce depths; see
+    docs/BENCHMARKS.md round-3 forensics).
+ 2. A slab pass ranks, per TR-lane block, the clusters any lane still
+    needs (entry < the lane's current-best t), nearest block-entry
+    first.
+ 3. The march kernel runs a flat (B, K) work-list grid: visit u of
+    block b DMAs cluster clist[b,K+u]'s constant packs (via
+    scalar-prefetch-driven BlockSpec index maps — the block-sparse
+    matmul pattern) and tests all TR lanes against its cs triangles
+    with the Plucker-MXU form (bf16 hi/lo edge tests + exact f32 t,
+    plucker_kernel.py). Winner candidates are exact-validated
+    IN-VISIT via a cluster-local one-hot constant fetch; if any lane's
+    top-2 are both spurious, a pl.when fallback re-runs the whole
+    (cluster x block) with the fused kernel's EXACT f32 expression —
+    so every visit's merged result is bit-identical to what the dense
+    kernel would produce for those triangles. Degraded cost on
+    silhouette-band visits, never degraded correctness.
+ 4. Lanes whose needed clusters were not all visited (the capped
+    round-1 misses deep/mixed blocks) are compacted and re-marched
+    (round 2); any residue falls to an exhaustive dense tail loop —
+    the same unconditional-progress net as pair v4.
+
+Exactness reference: the fused f32 kernel over the CLUSTER-ORDERED
+triangle array (this module's canonical order; a permutation of the
+scene changes only tie-breaking among bitwise-equal hits).
+Reference anchor: prog.cl:144-184 — the kd-traversal exists to make
+big scenes interactive; this is its TPU-shaped equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
+from opencl_path_tracer_tpu.core.types import Hits, Rays
+from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
+    BIG, _round_up, build_tri_pack, make_pallas_intersect, pack_rays,
+)
+from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+    EPS_SCALE, plucker_feat,
+)
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields,
+                                     meta_fields=[])
+    return cls
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class MarchScene:
+    """Cluster-ordered scene constants for the march kernel."""
+
+    trig: jnp.ndarray      # (3*T', 32) bf16 plucker rows, cluster-major
+    tric: jnp.ndarray      # (T', 24) f32 tri_pack + eps in cols 17..19
+    tab3: jnp.ndarray      # (64, T') bf16 3-split constants (refine)
+    boxes_lo: jnp.ndarray  # (C, 3) f32
+    boxes_hi: jnp.ndarray  # (C, 3) f32
+    scene_lo: jnp.ndarray  # (3,) f32 scene AABB for morton keys
+    scene_inv: jnp.ndarray  # (3,) f32 1/extent
+
+
+def build_march_scene(tris: TrianglesSoA, cs: int = 512
+                      ) -> tuple[MarchScene, TrianglesSoA, int]:
+    """Morton-cluster the triangles (large ones quarantined into the
+    leading clusters, cluster_kernel.build_clusters policy) and build
+    every constant pack in CLUSTER-MAJOR triangle order.
+
+    Returns (scene, reordered_tris, C). reordered_tris is the
+    canonical order for exactness comparisons."""
+    t_count = int(tris.count)
+    C = max(1, -(-t_count // cs))
+    total = C * cs
+
+    r1 = np.asarray(tris.r1)
+    r2 = np.asarray(tris.r2)
+    r3 = np.asarray(tris.r3)
+    lo = np.minimum(np.minimum(r1, r2), r3)
+    hi = np.maximum(np.maximum(r1, r2), r3)
+    mid = (r1 + r2 + r3) / 3.0
+    scene_lo = lo.min(0)
+    extent = np.maximum(hi.max(0) - scene_lo, 1e-9)
+
+    from opencl_path_tracer_tpu.accel.lbvh import morton3
+    codes = np.asarray(morton3(jnp.asarray(
+        (mid - scene_lo) / extent, jnp.float32)))
+    diag = np.linalg.norm(hi - lo, axis=1)
+    scene_diag = float(np.linalg.norm(hi.max(0) - lo.min(0)))
+    codes = np.where(diag > 0.25 * scene_diag,
+                     np.uint32(0), codes | np.uint32(1 << 30))
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+
+    # Padding triangles: repeat index 0 but mark degenerate later via
+    # n = 0 rows in the packs (build_tri_pack pads with zeros itself).
+    rt = TrianglesSoA.build(
+        r1[order], r2[order], r3[order],
+        np.asarray(tris.mati)[order],
+        n=np.asarray(tris.n)[order],
+    )
+
+    # Plucker packs, chunk = cs so cluster c's rows are contiguous.
+    from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+        build_plucker_packs,
+    )
+    trig, tric8, tpad = build_plucker_packs(rt, chunk=cs, tt=cs)
+    assert tpad == total or tpad >= total, (tpad, total)
+
+    # Full production constants (+ eps cols) in the same order.
+    tab = np.asarray(build_tri_pack(rt, cs))
+    if tab.shape[0] < tpad:
+        tab = np.concatenate(
+            [tab, np.zeros((tpad - tab.shape[0], 24), np.float32)]
+        )
+    tric = tab.copy()
+    tric[:, 17:20] = np.asarray(tric8)[:, 4:7]  # eps1..eps3
+    # 3-split refine table (17 constants).
+    t17 = tab[:, :17].T
+    hi_ = np.asarray(jnp.asarray(t17).astype(jnp.bfloat16))
+    m_ = np.asarray(
+        jnp.asarray(t17 - hi_.astype(np.float32)).astype(jnp.bfloat16)
+    )
+    lo_ = np.asarray(jnp.asarray(
+        t17 - hi_.astype(np.float32) - m_.astype(np.float32)
+    ).astype(jnp.bfloat16))
+    assert (hi_.astype(np.float64) + m_.astype(np.float64)
+            + lo_.astype(np.float64) == t17.astype(np.float64)).all()
+    tab3 = np.zeros((64, tpad), np.float32)
+    tab3[0:17] = hi_.astype(np.float32)
+    tab3[17:34] = m_.astype(np.float32)
+    tab3[34:51] = lo_.astype(np.float32)
+
+    # Cluster AABBs over the reordered triangles (pad rows huge-empty).
+    r1o, r2o, r3o = r1[order], r2[order], r3[order]
+    tlo = np.minimum(np.minimum(r1o, r2o), r3o)
+    thi = np.maximum(np.maximum(r1o, r2o), r3o)
+    pad = total - t_count
+    if pad:
+        tlo = np.concatenate([tlo, np.full((pad, 3), np.inf)])
+        thi = np.concatenate([thi, np.full((pad, 3), -np.inf)])
+    blo = tlo.reshape(C, cs, 3).min(1)
+    bhi = thi.reshape(C, cs, 3).max(1)
+
+    scene = MarchScene(
+        trig=jnp.asarray(trig),
+        tric=jnp.asarray(tric),
+        tab3=jnp.asarray(tab3).astype(jnp.bfloat16),
+        boxes_lo=jnp.asarray(blo, jnp.float32),
+        boxes_hi=jnp.asarray(bhi, jnp.float32),
+        scene_lo=jnp.asarray(scene_lo, jnp.float32),
+        scene_inv=jnp.asarray(1.0 / extent, jnp.float32),
+    )
+    return scene, rt, C
+
+
+def _march_kernel(clist_ref, rays_ref, feat_ref, trig_ref, tric_ref,
+                  tab3_ref, t_ref, nx_ref, ny_ref, nz_ref, m_ref,
+                  g_ref, *, cs: int, K: int, tr: int):
+    """One (block b, visit u) grid step; outputs accumulate over u."""
+    u = pl.program_id(1)
+    b = pl.program_id(0)
+    cid = clist_ref[b * K + u]
+
+    @pl.when(u == 0)
+    def _():
+        t_ref[0, :] = jnp.full((tr,), BIG, jnp.float32)
+        nx_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+        ny_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+        nz_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+        m_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+        g_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+
+    @pl.when(cid >= 0)
+    def _():
+        rays = rays_ref[:]
+        px, py, pz = rays[0:1], rays[1:2], rays[2:3]
+        dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
+        feat = feat_ref[:]
+        trig = trig_ref[:]                      # (3cs, 32) bf16
+        tric = tric_ref[:]                      # (cs, 24) f32
+        tab3 = tab3_ref[:]                      # (64, cs) bf16
+
+        def col(k):
+            return tric[:, k:k + 1]
+
+        dots = jax.lax.dot_general(
+            trig, feat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        e1d = dots[0:cs]
+        e2d = dots[cs:2 * cs]
+        e3d = dots[2 * cs:3 * cs]
+        vn = col(0) * dx + col(1) * dy + col(2) * dz
+        tnum = col(3) - (col(0) * px + col(1) * py + col(2) * pz)
+        t = tnum / vn
+        pos = vn > 0.0
+        va = ((e1d >= -col(17)) & (e2d >= -col(18))
+              & (e3d >= -col(19)))
+        vb = ((e1d <= col(17)) & (e2d <= col(18))
+              & (e3d <= col(19)))
+        valid = ((pos & va) | (~pos & vb)) & (t > 0.0)
+        tm = jnp.where(valid, t, BIG)
+
+        m1 = jnp.min(tm, axis=0)
+        a1 = jnp.argmin(tm, axis=0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+        tm2 = jnp.where(sub == a1[None, :], BIG, tm)
+        m2 = jnp.min(tm2, axis=0)
+        a2 = jnp.argmin(tm2, axis=0)
+
+        tiota = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+
+        def exact_rows(a):
+            onehot = jnp.where(
+                tiota == a[None, :], 1.0, 0.0
+            ).astype(jnp.bfloat16)              # (cs, TR)
+            rows3 = jax.lax.dot_general(
+                tab3, onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rows = rows3[0:17] + rows3[17:34] + rows3[34:51]
+
+            def c(k):
+                return rows[k:k + 1, :]
+
+            pn_ = c(0) * px + c(1) * py + c(2) * pz
+            vn_ = c(0) * dx + c(1) * dy + c(2) * dz
+            t_ = (c(3) - pn_) / vn_
+            pm1 = c(4) * px + c(5) * py + c(6) * pz
+            vm1 = c(4) * dx + c(5) * dy + c(6) * dz
+            pm2 = c(8) * px + c(9) * py + c(10) * pz
+            vm2 = c(8) * dx + c(9) * dy + c(10) * dz
+            pm3 = c(12) * px + c(13) * py + c(14) * pz
+            vm3 = c(12) * dx + c(13) * dy + c(14) * dz
+            ok = (
+                (t_ > 0.0)
+                & (pm1 + t_ * vm1 >= c(7))
+                & (pm2 + t_ * vm2 >= c(11))
+                & (pm3 + t_ * vm3 >= c(15))
+            )
+            return ok[0, :], rows
+
+        v1, rows1 = exact_rows(a1)
+        v2, rows2 = exact_rows(a2)
+        has1 = m1 < BIG
+        has2 = m2 < BIG
+        v1 = v1 & has1
+        v2 = v2 & has2
+        use2 = (~v1) & v2
+        found = v1 | use2
+        pend = (~v1) & (~v2) & has2
+
+        ct = jnp.where(use2, m2, m1)
+        ca = jnp.where(use2, a2, a1)
+
+        def pick(k):
+            return jnp.where(use2, rows2[k, :], rows1[k, :])
+
+        cnx, cny, cnz, cm = pick(0), pick(1), pick(2), pick(16)
+
+        any_pend = jnp.any(pend)
+
+        @pl.when(any_pend)
+        def _():
+            # Exact f32 full test of this cluster for ALL lanes — the
+            # fused kernel's expression, bit for bit (tric holds the
+            # production tri_pack columns). Rare: only silhouette-band
+            # visits where both bf16 top-2 were spurious.
+            def pd(base):
+                vx, vy, vz = col(base), col(base + 1), col(base + 2)
+                return (vx * px + vy * py + vz * pz,
+                        vx * dx + vy * dy + vz * dz)
+
+            pn_, vn_ = pd(0)
+            tt_ = (col(3) - pn_) / vn_
+            pm1, vm1 = pd(4)
+            pm2, vm2 = pd(8)
+            pm3, vm3 = pd(12)
+            okk = (
+                (tt_ > 0.0)
+                & (pm1 + tt_ * vm1 >= col(7))
+                & (pm2 + tt_ * vm2 >= col(11))
+                & (pm3 + tt_ * vm3 >= col(15))
+            )
+            tmx = jnp.where(okk, tt_, BIG)
+            em1 = jnp.min(tmx, axis=0)
+            ea1 = jnp.argmin(tmx, axis=0)
+            onehot = (sub == ea1[None, :]).astype(jnp.float32)
+            enx = jnp.sum(onehot * col(0), axis=0)
+            eny = jnp.sum(onehot * col(1), axis=0)
+            enz = jnp.sum(onehot * col(2), axis=0)
+            em = jnp.sum(onehot * col(16), axis=0)
+            _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
+                   em1, enx, eny, enz, em,
+                   (cid * cs + ea1).astype(jnp.float32),
+                   em1 < BIG)
+
+        @pl.when(~any_pend)
+        def _():
+            _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
+                   ct, cnx, cny, cnz, cm,
+                   (cid * cs + ca).astype(jnp.float32), found)
+
+
+def _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
+           ct, cnx, cny, cnz, cm, cg, found):
+    ot = t_ref[0, :]
+    og = g_ref[0, :]
+    bet = found & ((ct < ot) | ((ct == ot) & (cg < og)))
+    t_ref[0, :] = jnp.where(bet, ct, ot)
+    nx_ref[0, :] = jnp.where(bet, cnx, nx_ref[0, :])
+    ny_ref[0, :] = jnp.where(bet, cny, ny_ref[0, :])
+    nz_ref[0, :] = jnp.where(bet, cnz, nz_ref[0, :])
+    m_ref[0, :] = jnp.where(bet, cm, m_ref[0, :])
+    g_ref[0, :] = jnp.where(bet, cg, og)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _run_march(clist, rays8s, feat, scene: MarchScene, cs: int,
+               K: int, tr: int, interpret: bool):
+    """clist: (B*K,) i32 (-1 = dummy); rays8s/feat sorted, (8|32, N)."""
+    n = rays8s.shape[1]
+    B = n // tr
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, K),
+        in_specs=[
+            pl.BlockSpec((8, tr), lambda b, u, s: (0, b)),
+            pl.BlockSpec((32, tr), lambda b, u, s: (0, b)),
+            pl.BlockSpec(
+                (3 * cs, 32),
+                lambda b, u, s: (jnp.maximum(s[b * K + u], 0), 0),
+            ),
+            pl.BlockSpec(
+                (cs, 24),
+                lambda b, u, s: (jnp.maximum(s[b * K + u], 0), 0),
+            ),
+            pl.BlockSpec(
+                (64, cs),
+                lambda b, u, s: (0, jnp.maximum(s[b * K + u], 0)),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda b, u, s: (0, b)),
+        ] * 6,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_march_kernel, cs=cs, K=K, tr=tr),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 6,
+        interpret=interpret,
+    )(clist, rays8s, feat, scene.trig, scene.tric, scene.tab3)
+    return outs
+
+
+def _slab_entries(rays8s, scene: MarchScene, best_t):
+    """(C, N) entry distances (BIG when the slab test fails) and the
+    per-lane NEED mask (passes and could still beat best_t)."""
+    px, py, pz = rays8s[0], rays8s[1], rays8s[2]
+    dx, dy, dz = rays8s[3], rays8s[4], rays8s[5]
+    lo = scene.boxes_lo
+    hi = scene.boxes_hi
+
+    def ax(lc, hc, p, d):
+        t0 = (lc[:, None] - p[None, :]) / d[None, :]
+        t1 = (hc[:, None] - p[None, :]) / d[None, :]
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    tnx, tmx = ax(lo[:, 0], hi[:, 0], px, dx)
+    tny, tmy = ax(lo[:, 1], hi[:, 1], py, dy)
+    tnz, tmz = ax(lo[:, 2], hi[:, 2], pz, dz)
+    tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+    tm = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
+    ok = (tm >= tn) & (tm >= 0)
+    ent = jnp.where(ok, jnp.maximum(tn, 0.0), BIG)
+    need = ok & (ent < best_t[None, :])
+    return ent, need
+
+
+def _block_lists(ent, need, tr: int, K: int):
+    """Per-TR-block nearest-first cluster list, capped at K.
+
+    Returns clist (B*K,) i32 with -1 dummies + visited (C, B) bool."""
+    C, n = ent.shape
+    B = n // tr
+    entb = ent.reshape(C, B, tr)
+    needb = need.reshape(C, B, tr)
+    block_any = needb.any(axis=2)
+    block_ent = jnp.where(block_any, entb.min(axis=2), BIG)
+    order = jnp.argsort(block_ent, axis=0)          # (C, B)
+    k = min(K, C)
+    topk = order[:k]                                 # (k, B)
+    ranked_any = jnp.take_along_axis(block_any, topk, axis=0)
+    clist = jnp.where(ranked_any, topk, -1).astype(jnp.int32)
+    if k < K:
+        clist = jnp.concatenate(
+            [clist, jnp.full((K - k, B), -1, jnp.int32)], axis=0
+        )
+    visited = jnp.zeros((C, B), bool)
+    visited = visited.at[
+        jnp.where(clist >= 0, clist[:K], 0),
+        jnp.arange(B)[None, :].repeat(K, 0),
+    ].max(clist[:K] >= 0)
+    return clist.T.reshape(-1), visited
+
+
+def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
+                         tr: int = 512, K1: int = 16, K2: int = 64,
+                         tail: int = 2048, interpret: bool = False):
+    """Returns (intersect(rays) -> Hits, reordered_tris).
+
+    Hits equal `pallas_first_intersect` over reordered_tris bit for
+    bit (tie-break order follows the cluster-major triangle order).
+    Rounds: capped block march (K1) -> compacted re-march (K2) ->
+    exhaustive dense tail (unconditional-progress net)."""
+    scene, rt, C = build_march_scene(tris, cs)
+    tail_isect = make_pallas_intersect(rt, interpret=interpret)
+
+    def intersect(rays: Rays) -> Hits:
+        r = rays.p[0].shape[0]
+        rpad = _round_up(r, tr)
+        rays8 = pack_rays(rays.p, rays.d, rpad)
+
+        # ---- sort lanes by (octant, origin morton) ----
+        from opencl_path_tracer_tpu.models.wavefront import (
+            morton3_components,
+        )
+        q = tuple(
+            jnp.clip((rays8[k] - scene.scene_lo[k])
+                     * scene.scene_inv[k], 0.0, 1.0)
+            for k in range(3)
+        )
+        cell = morton3_components(q)
+        octant = (
+            (rays8[3] >= 0).astype(jnp.uint32) * 4
+            + (rays8[4] >= 0).astype(jnp.uint32) * 2
+            + (rays8[5] >= 0).astype(jnp.uint32)
+        )
+        skey = (octant << jnp.uint32(27)) | (cell >> jnp.uint32(3))
+        iota = jnp.arange(rpad, dtype=jnp.int32)
+        srt = jax.lax.sort([skey, iota] + [rays8[k] for k in range(6)],
+                           num_keys=1)
+        order_l = srt[1]
+        rays8s = jnp.stack(
+            list(srt[2:]) + [jnp.zeros((rpad,), jnp.float32)] * 2
+        )
+        feat = plucker_feat(rays8s)
+
+        best = (
+            jnp.full((rpad,), BIG, jnp.float32),    # t
+            jnp.zeros((rpad,), jnp.float32),        # nx
+            jnp.zeros((rpad,), jnp.float32),        # ny
+            jnp.zeros((rpad,), jnp.float32),        # nz
+            jnp.zeros((rpad,), jnp.float32),        # mati
+            jnp.zeros((rpad,), jnp.float32),        # g (tie-break)
+        )
+
+        def merge(best, outs):
+            t, nx, ny, nz, m, g = (o[0] for o in outs)
+            ot, og = best[0], best[5]
+            bet = (t < ot) | ((t == ot) & (g < og))
+            return tuple(
+                jnp.where(bet, new, old)
+                for new, old in zip((t, nx, ny, nz, m, g), best)
+            )
+
+        # ---- round 1: capped block march ----
+        ent, need = _slab_entries(rays8s, scene, best[0])
+        clist, visited = _block_lists(ent, need, tr, K1)
+        outs = _run_march(clist, rays8s, feat, scene, cs, K1, tr,
+                          interpret)
+        best = merge(best, outs)
+
+        # ---- certification: a lane is resolved iff every cluster
+        # that could still beat its best t was in its block's visited
+        # set. (need alone is NOT enough: visited clusters with
+        # entry < best_t are fine — they were tested.)
+        B = rpad // tr
+        _, need = _slab_entries(rays8s, scene, best[0])
+        unc1 = (need.reshape(C, B, tr)
+                & ~visited.reshape(C, B, 1)).any(axis=0).reshape(-1)
+        res = ~unc1
+
+        # ---- round 2: compacted re-march of the uncertified ----
+        u2 = min(max(tr, _round_up(rpad // 8, tr)), rpad)
+        srt2 = jax.lax.sort([res.astype(jnp.int32), iota], num_keys=1)
+        idx2 = srt2[1][:u2]
+        rays2 = jnp.stack([rays8s[k][idx2] for k in range(6)]
+                          + [jnp.zeros((u2,), jnp.float32)] * 2)
+        feat2 = plucker_feat(rays2)
+        ent2, need2 = _slab_entries(rays2, scene, best[0][idx2])
+        clist2, visited2 = _block_lists(ent2, need2, tr, K2)
+        outs2 = _run_march(clist2, rays2, feat2, scene, cs, K2, tr,
+                           interpret)
+        sub = tuple(o[0] for o in outs2)
+        old = tuple(b[idx2] for b in best)
+        bet = (sub[0] < old[0]) | ((sub[0] == old[0])
+                                   & (sub[5] < old[5]))
+        merged = tuple(jnp.where(bet, s, o) for s, o in zip(sub, old))
+        best = tuple(b.at[idx2].set(m) for b, m in zip(best, merged))
+
+        B2 = u2 // tr
+        unc2 = (need2.reshape(C, B2, tr)
+                & ~visited2.reshape(C, B2, 1)).any(axis=0).reshape(-1)
+        res = res.at[idx2].set(res[idx2] | ~unc2)
+
+        # ---- unconditional dense tail (exhaustive, loops to empty:
+        # capacity overflow and K2-overflow lanes land here) ----
+        u4 = min(tail, rpad)
+
+        def cond(carry):
+            _, resolved = carry
+            return jnp.any(~resolved)
+
+        def body2(carry):
+            best, resolved = carry
+            srt3 = jax.lax.sort(
+                [resolved.astype(jnp.int32), iota], num_keys=1
+            )
+            idx = srt3[1][:u4]
+            sr = Rays(
+                p=tuple(rays8s[k][idx] for k in range(3)),
+                d=tuple(rays8s[k][idx] for k in range(3, 6)),
+            )
+            ht = tail_isect(sr)
+            newt = jnp.where(ht.valid, ht.t, BIG)
+            news = (newt, ht.n[0], ht.n[1], ht.n[2],
+                    ht.mati.astype(jnp.float32),
+                    jnp.zeros_like(newt))
+            # The dense result over ALL triangles is canonical for
+            # these lanes (march hits are a subset: dense.t <= march.t
+            # always, and on ties dense picks the canonical winner) —
+            # assign, don't merge. Prefix-padding lanes just get their
+            # canonical answer recomputed.
+            best = tuple(
+                b.at[idx].set(m) for b, m in zip(best, news)
+            )
+            return best, resolved.at[idx].set(True)
+
+        best, res = jax.lax.while_loop(cond, body2, (best, res))
+
+        # ---- unsort ----
+        inv = jnp.zeros((rpad,), jnp.int32).at[order_l].set(iota)
+        rows = tuple(b[inv][:r] for b in best)
+        bt, nx, ny, nz, m, _g = rows
+        any_hit = bt < BIG
+        z = jnp.zeros_like(bt)
+        safe_t = jnp.where(any_hit, bt, 0.0)
+        hit_p = tuple(
+            jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
+            for k in range(3)
+        )
+        return Hits(
+            t=jnp.where(any_hit, bt, -1.0),
+            p=hit_p,
+            n=(nx, ny, nz),
+            mati=jnp.where(any_hit, m, 0.0).astype(jnp.int32),
+        )
+
+    return intersect, rt
