@@ -36,10 +36,23 @@ PER_CHIP_TARGET_MRAYS = 125.0  # 1 Grays/s / 8 chips (BASELINE.md)
 
 def make_isect(scene, accel: str, on_cpu: bool):
     if accel == "auto":
-        # Small scenes: the fused brute kernel (the whole scene is a
-        # handful of VMEM tiles). Large scenes: per-ray pair expansion.
-        accel = "pallas" if scene.num_triangles <= 4096 else "pair"
+        # Small scenes: exact min+argmin kernel + one-hot attribute
+        # fetch (measured 23.8 vs 30.6 ms/2M-ray batch for the
+        # attribute-extracting kernel). Large scenes: per-ray pair
+        # expansion (or the march intersector via --accel march).
+        accel = "minarg" if scene.num_triangles <= 4096 else "pair"
         print(f"# accel auto -> {accel}", file=sys.stderr)
+    if accel == "minarg":
+        from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+            make_minarg_intersect,
+        )
+        return make_minarg_intersect(scene.tris, interpret=on_cpu)
+    if accel == "march":
+        from opencl_path_tracer_tpu.ops.pallas.march_kernel import (
+            make_march_intersect,
+        )
+        isect, _rt = make_march_intersect(scene.tris, interpret=on_cpu)
+        return isect
     if accel == "pair":
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
             make_pair_intersect,
@@ -247,7 +260,8 @@ def main() -> int:
                     choices=["wavefront", "megakernel", "fused"])
     ap.add_argument("--accel", default="auto",
                     choices=["auto", "pair", "group", "cluster", "bvh",
-                             "bruteforce", "pallas"])
+                             "bruteforce", "pallas", "minarg",
+                             "march"])
     ap.add_argument("--chunk", type=int, default=8,
                     help="wavefront steps per device program")
     ap.add_argument("--lanes", type=int, default=1,

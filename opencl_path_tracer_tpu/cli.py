@@ -172,7 +172,8 @@ def main(argv=None) -> int:
                        choices=["fast", "parity"])
         p.add_argument("--accel", default="auto",
                        choices=["auto", "bvh", "median", "bruteforce",
-                                "pallas", "cluster", "group", "pair"])
+                                "pallas", "cluster", "group", "pair",
+                                "minarg", "march"])
         p.add_argument("--accel-force", action="store_true",
                        help="override the TPU backend gate (run "
                             "measured-dominated or device-unsafe "

@@ -72,7 +72,8 @@ class RenderConfig:
         if self.tonemap not in ("reinhard", "filmic", "none"):
             raise ValueError(f"unknown tonemap {self.tonemap!r}")
         if self.accel not in ("auto", "bruteforce", "bvh", "median",
-                              "pallas", "cluster", "group", "pair"):
+                              "pallas", "cluster", "group", "pair",
+                              "minarg", "march"):
             raise ValueError(f"unknown accel {self.accel!r}")
         return self
 

@@ -134,7 +134,26 @@ def build_march_scene(tris: TrianglesSoA, cs: int = 512
             [tab, np.zeros((tpad - tab.shape[0], 24), np.float32)]
         )
     tric = tab.copy()
-    tric[:, 17:20] = np.asarray(tric8)[:, 4:7]  # eps1..eps3
+    # Two-part conservative eps per edge: accept iff
+    #   E_k >= -(epsA_k * m_lane + epsB_k),
+    # m_lane = max |(P x D)_i| of the lane (computed in-kernel).
+    # A global Pmax bound is inflated ~10x by far scene corners (the
+    # stress floor spans +-10000 while real ray origins stay in the
+    # sealed box), which widened the spurious band enough to trigger
+    # the exact fallback on a third of visits; the per-lane bound
+    # tracks each ray's true feature magnitude instead.
+    n64 = tab[:, 0:3].astype(np.float64)
+    c064 = tab[:, 3].astype(np.float64)
+    for k in range(3):
+        m64 = tab[:, 4 + 4 * k:7 + 4 * k].astype(np.float64)
+        d64 = tab[:, 7 + 4 * k].astype(np.float64)
+        wc = np.cross(m64, n64)
+        wd = c064[:, None] * m64 - d64[:, None] * n64
+        live = np.abs(n64).sum(1) > 0
+        epsA = EPS_SCALE * np.abs(wc).sum(1) * 1.01
+        epsB = EPS_SCALE * np.abs(wd).sum(1) * 1.01
+        tric[:, 17 + k] = np.where(live, epsA, 1e-30)
+        tric[:, 20 + k] = np.where(live, epsB, 1e-30)
     # 3-split refine table (17 constants).
     t17 = tab[:, :17].T
     hi_ = np.asarray(jnp.asarray(t17).astype(jnp.bfloat16))
@@ -215,10 +234,16 @@ def _march_kernel(clist_ref, rays_ref, feat_ref, trig_ref, tric_ref,
         tnum = col(3) - (col(0) * px + col(1) * py + col(2) * pz)
         t = tnum / vn
         pos = vn > 0.0
-        va = ((e1d >= -col(17)) & (e2d >= -col(18))
-              & (e3d >= -col(19)))
-        vb = ((e1d <= col(17)) & (e2d <= col(18))
-              & (e3d <= col(19)))
+        # Per-lane adaptive eps: m = max |(P x D)_i| for this lane.
+        cxa = jnp.abs(py * dz - pz * dy)
+        cya = jnp.abs(pz * dx - px * dz)
+        cza = jnp.abs(px * dy - py * dx)
+        ml = jnp.maximum(jnp.maximum(cxa, cya), cza)    # (1, TR)
+        ep1 = col(17) * ml + col(20)
+        ep2 = col(18) * ml + col(21)
+        ep3 = col(19) * ml + col(22)
+        va = (e1d >= -ep1) & (e2d >= -ep2) & (e3d >= -ep3)
+        vb = (e1d <= ep1) & (e2d <= ep2) & (e3d <= ep3)
         valid = ((pos & va) | (~pos & vb)) & (t > 0.0)
         tm = jnp.where(valid, t, BIG)
 
@@ -263,65 +288,80 @@ def _march_kernel(clist_ref, rays_ref, feat_ref, trig_ref, tric_ref,
             return ok[0, :], rows
 
         v1, rows1 = exact_rows(a1)
-        v2, rows2 = exact_rows(a2)
         has1 = m1 < BIG
         has2 = m2 < BIG
         v1 = v1 & has1
-        v2 = v2 & has2
-        use2 = (~v1) & v2
-        found = v1 | use2
-        pend = (~v1) & (~v2) & has2
+        any_fail = jnp.any((~v1) & has1)
 
-        ct = jnp.where(use2, m2, m1)
-        ca = jnp.where(use2, a2, a1)
+        def slow_merge():
+            """Some lane's top-1 was a spurious accept: validate the
+            top-2; if any lane strikes out twice, fall back to the
+            exact f32 full test of the whole cluster (the fused
+            kernel's expression, bit for bit — tric holds the
+            production tri_pack columns)."""
+            v2, rows2 = exact_rows(a2)
+            v2ok = v2 & has2
+            use2 = (~v1) & v2ok
+            found = v1 | use2
+            pend = (~v1) & (~v2ok) & has2
 
-        def pick(k):
-            return jnp.where(use2, rows2[k, :], rows1[k, :])
+            ct = jnp.where(use2, m2, m1)
+            ca = jnp.where(use2, a2, a1)
 
-        cnx, cny, cnz, cm = pick(0), pick(1), pick(2), pick(16)
+            def pick(k):
+                return jnp.where(use2, rows2[k, :], rows1[k, :])
 
-        any_pend = jnp.any(pend)
+            cnx, cny, cnz, cm = pick(0), pick(1), pick(2), pick(16)
+            any_pend = jnp.any(pend)
 
-        @pl.when(any_pend)
+            @pl.when(any_pend)
+            def _():
+                def pd(base):
+                    vx, vy, vz = col(base), col(base + 1), col(base + 2)
+                    return (vx * px + vy * py + vz * pz,
+                            vx * dx + vy * dy + vz * dz)
+
+                pn_, vn_ = pd(0)
+                tt_ = (col(3) - pn_) / vn_
+                pm1, vm1 = pd(4)
+                pm2, vm2 = pd(8)
+                pm3, vm3 = pd(12)
+                okk = (
+                    (tt_ > 0.0)
+                    & (pm1 + tt_ * vm1 >= col(7))
+                    & (pm2 + tt_ * vm2 >= col(11))
+                    & (pm3 + tt_ * vm3 >= col(15))
+                )
+                tmx = jnp.where(okk, tt_, BIG)
+                em1 = jnp.min(tmx, axis=0)
+                ea1 = jnp.argmin(tmx, axis=0)
+                onehot = (sub == ea1[None, :]).astype(jnp.float32)
+                enx = jnp.sum(onehot * col(0), axis=0)
+                eny = jnp.sum(onehot * col(1), axis=0)
+                enz = jnp.sum(onehot * col(2), axis=0)
+                em = jnp.sum(onehot * col(16), axis=0)
+                _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
+                       em1, enx, eny, enz, em,
+                       (cid * cs + ea1).astype(jnp.float32),
+                       em1 < BIG)
+
+            @pl.when(~any_pend)
+            def _():
+                _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
+                       ct, cnx, cny, cnz, cm,
+                       (cid * cs + ca).astype(jnp.float32), found)
+
+        @pl.when(~any_fail)
         def _():
-            # Exact f32 full test of this cluster for ALL lanes — the
-            # fused kernel's expression, bit for bit (tric holds the
-            # production tri_pack columns). Rare: only silhouette-band
-            # visits where both bf16 top-2 were spurious.
-            def pd(base):
-                vx, vy, vz = col(base), col(base + 1), col(base + 2)
-                return (vx * px + vy * py + vz * pz,
-                        vx * dx + vy * dy + vz * dz)
-
-            pn_, vn_ = pd(0)
-            tt_ = (col(3) - pn_) / vn_
-            pm1, vm1 = pd(4)
-            pm2, vm2 = pd(8)
-            pm3, vm3 = pd(12)
-            okk = (
-                (tt_ > 0.0)
-                & (pm1 + tt_ * vm1 >= col(7))
-                & (pm2 + tt_ * vm2 >= col(11))
-                & (pm3 + tt_ * vm3 >= col(15))
-            )
-            tmx = jnp.where(okk, tt_, BIG)
-            em1 = jnp.min(tmx, axis=0)
-            ea1 = jnp.argmin(tmx, axis=0)
-            onehot = (sub == ea1[None, :]).astype(jnp.float32)
-            enx = jnp.sum(onehot * col(0), axis=0)
-            eny = jnp.sum(onehot * col(1), axis=0)
-            enz = jnp.sum(onehot * col(2), axis=0)
-            em = jnp.sum(onehot * col(16), axis=0)
+            # Fast path: every lane's top-1 is exact-valid (or empty).
             _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
-                   em1, enx, eny, enz, em,
-                   (cid * cs + ea1).astype(jnp.float32),
-                   em1 < BIG)
+                   m1, rows1[0, :], rows1[1, :], rows1[2, :],
+                   rows1[16, :],
+                   (cid * cs + a1).astype(jnp.float32), v1)
 
-        @pl.when(~any_pend)
+        @pl.when(any_fail)
         def _():
-            _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
-                   ct, cnx, cny, cnz, cm,
-                   (cid * cs + ca).astype(jnp.float32), found)
+            slow_merge()
 
 
 def _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
@@ -402,7 +442,11 @@ def _slab_entries(rays8s, scene: MarchScene, best_t):
 def _block_lists(ent, need, tr: int, K: int):
     """Per-TR-block nearest-first cluster list, capped at K.
 
-    Returns clist (B*K,) i32 with -1 dummies + visited (C, B) bool."""
+    Returns clist (B*K,) i32 with -1 dummies + visited (C, B) bool.
+    visited is built from the rank permutation by comparison (a
+    bool scatter-max lowered incorrectly on TPU in round 3 — the
+    certification marked unvisited clusters visited, which produced
+    wrong final hits on ~0.1% of lanes)."""
     C, n = ent.shape
     B = n // tr
     entb = ent.reshape(C, B, tr)
@@ -410,6 +454,7 @@ def _block_lists(ent, need, tr: int, K: int):
     block_any = needb.any(axis=2)
     block_ent = jnp.where(block_any, entb.min(axis=2), BIG)
     order = jnp.argsort(block_ent, axis=0)          # (C, B)
+    ranks = jnp.argsort(order, axis=0)              # inverse perm
     k = min(K, C)
     topk = order[:k]                                 # (k, B)
     ranked_any = jnp.take_along_axis(block_any, topk, axis=0)
@@ -418,17 +463,13 @@ def _block_lists(ent, need, tr: int, K: int):
         clist = jnp.concatenate(
             [clist, jnp.full((K - k, B), -1, jnp.int32)], axis=0
         )
-    visited = jnp.zeros((C, B), bool)
-    visited = visited.at[
-        jnp.where(clist >= 0, clist[:K], 0),
-        jnp.arange(B)[None, :].repeat(K, 0),
-    ].max(clist[:K] >= 0)
+    visited = block_any & (ranks < k)
     return clist.T.reshape(-1), visited
 
 
 def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
-                         tr: int = 512, K1: int = 16, K2: int = 64,
-                         tail: int = 2048, interpret: bool = False):
+                         tr: int = 512, K1: int = 24, K2: int = 64,
+                         tail: int = 16384, interpret: bool = False):
     """Returns (intersect(rays) -> Hits, reordered_tris).
 
     Hits equal `pallas_first_intersect` over reordered_tris bit for
@@ -504,7 +545,7 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         res = ~unc1
 
         # ---- round 2: compacted re-march of the uncertified ----
-        u2 = min(max(tr, _round_up(rpad // 8, tr)), rpad)
+        u2 = min(max(tr, _round_up(rpad // 4, tr)), rpad)
         srt2 = jax.lax.sort([res.astype(jnp.int32), iota], num_keys=1)
         idx2 = srt2[1][:u2]
         rays2 = jnp.stack([rays8s[k][idx2] for k in range(6)]

@@ -463,3 +463,70 @@ def make_plucker_intersect(tris: TrianglesSoA, *, tr: int = 1024,
 
     intersect.rows = intersect_rows
     return intersect
+
+
+def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
+                          tt: int = 1024, chunk: int = 256,
+                          interpret: bool = False):
+    """Exact-f32 min+argmin kernel + one-hot attribute fetch: the
+    fastest EXACT small-scene intersector (measured round 3: 23.8 ms
+    vs 30.6 for the attribute-extracting fused kernel at cornell's
+    808 tris x 2M rays).
+
+    The hot kernel (intersect_kernel._run_minarg) computes only
+    (t, winner index) with math bit-identical to the fused kernel; the
+    winner's normal/material come from the refine kernel's bit-exact
+    3-split one-hot fetch. Because the winner passed the EXACT f32
+    test inside the kernel, the refine's re-validation always
+    succeeds: no pending, a plain drop-in intersect_fn. Returns
+    intersect(rays) -> Hits."""
+    from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
+        _run_minarg,
+    )
+
+    tri_pack = build_tri_pack(tris, tt)
+    tpad = tri_pack.shape[0]
+    tt_eff = min(tt, tpad)
+
+    tab = np.asarray(tri_pack)
+    t17 = tab[:, :17].T
+    hi = np.asarray(jnp.asarray(t17).astype(jnp.bfloat16))
+    mid = np.asarray(jnp.asarray(
+        t17 - hi.astype(np.float32)).astype(jnp.bfloat16))
+    lo = np.asarray(jnp.asarray(
+        t17 - hi.astype(np.float32) - mid.astype(np.float32)
+    ).astype(jnp.bfloat16))
+    assert (hi.astype(np.float64) + mid.astype(np.float64)
+            + lo.astype(np.float64) == t17.astype(np.float64)).all()
+    tabt = jnp.zeros((64, tpad), jnp.bfloat16)
+    tabt = tabt.at[0:17].set(jnp.asarray(hi))
+    tabt = tabt.at[17:34].set(jnp.asarray(mid))
+    tabt = tabt.at[34:51].set(jnp.asarray(lo))
+
+    def intersect(rays: Rays) -> Hits:
+        r = rays.p[0].shape[0]
+        rpad = _round_up(r, tr)
+        rays8 = pack_rays(rays.p, rays.d, rpad)
+        t1, g1 = _run_minarg(rays8, tri_pack, tr, tt_eff, interpret,
+                             chunk)
+        big = jnp.full_like(t1, BIG)
+        t_, nx, ny, nz, m, _pend = _run_refine(
+            rays8, t1, g1, big, jnp.zeros_like(g1), tabt, tr,
+            interpret,
+        )
+        best_t = t_[0, :r]
+        any_hit = best_t > 0.0
+        z = jnp.zeros_like(best_t)
+        safe_t = jnp.where(any_hit, best_t, 0.0)
+        hit_p = tuple(
+            jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
+            for k in range(3)
+        )
+        return Hits(
+            t=best_t,
+            p=hit_p,
+            n=(nx[0, :r], ny[0, :r], nz[0, :r]),
+            mati=jnp.where(any_hit, m[0, :r], 0.0).astype(jnp.int32),
+        )
+
+    return intersect

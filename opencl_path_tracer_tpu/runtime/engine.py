@@ -57,7 +57,7 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
             accel = "bvh" if scene.num_triangles > 4096 else "bruteforce"
         else:
             accel = (
-                "pallas" if scene.num_triangles <= 4096 else "pair"
+                "minarg" if scene.num_triangles <= 4096 else "pair"
             )
             if accel == "pair":
                 print(
@@ -89,6 +89,21 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
                 " — use 'pair' or 'pallas'; --accel-force silences this",
                 file=sys.stderr,
             )
+    if accel == "minarg":
+        from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+            make_minarg_intersect,
+        )
+        return make_minarg_intersect(
+            scene.tris, interpret=jax.default_backend() == "cpu"
+        )
+    if accel == "march":
+        from opencl_path_tracer_tpu.ops.pallas.march_kernel import (
+            make_march_intersect,
+        )
+        isect, _rt = make_march_intersect(
+            scene.tris, interpret=jax.default_backend() == "cpu"
+        )
+        return isect
     if accel == "group":
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
             make_group_intersect,

@@ -110,3 +110,25 @@ def test_plucker_miss_rays_confirmed():
     hits, pending = make_plucker_intersect(tris, interpret=True)(rays)
     assert not np.asarray(pending).any()
     assert (np.asarray(hits.t) == -1.0).all()
+
+
+def test_minarg_bitexact_vs_fused_kernel():
+    """min+argmin + attribute refine must equal the fused kernel on
+    EVERY lane (no pending — the winner passed the exact test)."""
+    from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+        make_minarg_intersect,
+    )
+
+    tris = _rand_scene(700)
+    rays = _rand_rays(500)
+    ref = make_pallas_intersect(tris, interpret=True)(rays)
+    got = make_minarg_intersect(tris, interpret=True)(rays)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(
+        np.asarray(got.mati), np.asarray(ref.mati)
+    )
+    hit = np.asarray(ref.t) > 0
+    for k in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(got.n[k])[hit], np.asarray(ref.n[k])[hit]
+        )
