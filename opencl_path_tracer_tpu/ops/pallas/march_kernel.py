@@ -195,8 +195,16 @@ def build_march_scene(tris: TrianglesSoA, cs: int = 512
 
 def _march_kernel(clist_ref, rays_ref, feat_ref, trig_ref, tric_ref,
                   tab3_ref, t_ref, nx_ref, ny_ref, nz_ref, m_ref,
-                  g_ref, *, cs: int, K: int, tr: int):
-    """One (block b, visit u) grid step; outputs accumulate over u."""
+                  g_ref, p_ref, *, cs: int, K: int, tr: int):
+    """One (block b, visit u) grid step; outputs accumulate over u.
+
+    Branch-free except the first-visit init: round-3 on-TPU debugging
+    showed wrong hits whenever merge writes sat under nested pl.when
+    (interpret mode was exact; Mosaic's conditional-write lowering was
+    not trustworthy here), so dummy visits (cid < 0) simply merge with
+    found=False and the both-spurious case sets a PENDING flag row that
+    the orchestrator routes to the dense tail instead of an in-kernel
+    exact fallback."""
     u = pl.program_id(1)
     b = pl.program_id(0)
     cid = clist_ref[b * K + u]
@@ -209,163 +217,101 @@ def _march_kernel(clist_ref, rays_ref, feat_ref, trig_ref, tric_ref,
         nz_ref[0, :] = jnp.zeros((tr,), jnp.float32)
         m_ref[0, :] = jnp.zeros((tr,), jnp.float32)
         g_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+        p_ref[0, :] = jnp.zeros((tr,), jnp.float32)
 
-    @pl.when(cid >= 0)
-    def _():
-        rays = rays_ref[:]
-        px, py, pz = rays[0:1], rays[1:2], rays[2:3]
-        dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
-        feat = feat_ref[:]
-        trig = trig_ref[:]                      # (3cs, 32) bf16
-        tric = tric_ref[:]                      # (cs, 24) f32
-        tab3 = tab3_ref[:]                      # (64, cs) bf16
+    live = cid >= 0
+    rays = rays_ref[:]
+    px, py, pz = rays[0:1], rays[1:2], rays[2:3]
+    dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
+    feat = feat_ref[:]
+    trig = trig_ref[:]                      # (3cs, 32) bf16
+    tric = tric_ref[:]                      # (cs, 24) f32
+    tab3 = tab3_ref[:]                      # (64, cs) bf16
 
-        def col(k):
-            return tric[:, k:k + 1]
+    def col(k):
+        return tric[:, k:k + 1]
 
-        dots = jax.lax.dot_general(
-            trig, feat, dimension_numbers=(((1,), (0,)), ((), ())),
+    dots = jax.lax.dot_general(
+        trig, feat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    e1d = dots[0:cs]
+    e2d = dots[cs:2 * cs]
+    e3d = dots[2 * cs:3 * cs]
+    vn = col(0) * dx + col(1) * dy + col(2) * dz
+    tnum = col(3) - (col(0) * px + col(1) * py + col(2) * pz)
+    t = tnum / vn
+    pos = vn > 0.0
+    # Per-lane adaptive eps: m = max |(P x D)_i| for this lane.
+    cxa = jnp.abs(py * dz - pz * dy)
+    cya = jnp.abs(pz * dx - px * dz)
+    cza = jnp.abs(px * dy - py * dx)
+    ml = jnp.maximum(jnp.maximum(cxa, cya), cza)    # (1, TR)
+    ep1 = col(17) * ml + col(20)
+    ep2 = col(18) * ml + col(21)
+    ep3 = col(19) * ml + col(22)
+    va = (e1d >= -ep1) & (e2d >= -ep2) & (e3d >= -ep3)
+    vb = (e1d <= ep1) & (e2d <= ep2) & (e3d <= ep3)
+    valid = ((pos & va) | (~pos & vb)) & (t > 0.0)
+    tm = jnp.where(valid, t, BIG)
+
+    m1 = jnp.min(tm, axis=0)
+    a1 = jnp.argmin(tm, axis=0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+    tm2 = jnp.where(sub == a1[None, :], BIG, tm)
+    m2 = jnp.min(tm2, axis=0)
+    a2 = jnp.argmin(tm2, axis=0)
+
+    def exact_rows(a):
+        onehot = jnp.where(
+            sub == a[None, :], 1.0, 0.0
+        ).astype(jnp.bfloat16)              # (cs, TR)
+        rows3 = jax.lax.dot_general(
+            tab3, onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        e1d = dots[0:cs]
-        e2d = dots[cs:2 * cs]
-        e3d = dots[2 * cs:3 * cs]
-        vn = col(0) * dx + col(1) * dy + col(2) * dz
-        tnum = col(3) - (col(0) * px + col(1) * py + col(2) * pz)
-        t = tnum / vn
-        pos = vn > 0.0
-        # Per-lane adaptive eps: m = max |(P x D)_i| for this lane.
-        cxa = jnp.abs(py * dz - pz * dy)
-        cya = jnp.abs(pz * dx - px * dz)
-        cza = jnp.abs(px * dy - py * dx)
-        ml = jnp.maximum(jnp.maximum(cxa, cya), cza)    # (1, TR)
-        ep1 = col(17) * ml + col(20)
-        ep2 = col(18) * ml + col(21)
-        ep3 = col(19) * ml + col(22)
-        va = (e1d >= -ep1) & (e2d >= -ep2) & (e3d >= -ep3)
-        vb = (e1d <= ep1) & (e2d <= ep2) & (e3d <= ep3)
-        valid = ((pos & va) | (~pos & vb)) & (t > 0.0)
-        tm = jnp.where(valid, t, BIG)
+        rows = rows3[0:17] + rows3[17:34] + rows3[34:51]
 
-        m1 = jnp.min(tm, axis=0)
-        a1 = jnp.argmin(tm, axis=0)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
-        tm2 = jnp.where(sub == a1[None, :], BIG, tm)
-        m2 = jnp.min(tm2, axis=0)
-        a2 = jnp.argmin(tm2, axis=0)
+        def c(k):
+            return rows[k:k + 1, :]
 
-        tiota = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+        pn_ = c(0) * px + c(1) * py + c(2) * pz
+        vn_ = c(0) * dx + c(1) * dy + c(2) * dz
+        t_ = (c(3) - pn_) / vn_
+        pm1 = c(4) * px + c(5) * py + c(6) * pz
+        vm1 = c(4) * dx + c(5) * dy + c(6) * dz
+        pm2 = c(8) * px + c(9) * py + c(10) * pz
+        vm2 = c(8) * dx + c(9) * dy + c(10) * dz
+        pm3 = c(12) * px + c(13) * py + c(14) * pz
+        vm3 = c(12) * dx + c(13) * dy + c(14) * dz
+        ok = (
+            (t_ > 0.0)
+            & (pm1 + t_ * vm1 >= c(7))
+            & (pm2 + t_ * vm2 >= c(11))
+            & (pm3 + t_ * vm3 >= c(15))
+        )
+        return ok[0, :], rows
 
-        def exact_rows(a):
-            onehot = jnp.where(
-                tiota == a[None, :], 1.0, 0.0
-            ).astype(jnp.bfloat16)              # (cs, TR)
-            rows3 = jax.lax.dot_general(
-                tab3, onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            rows = rows3[0:17] + rows3[17:34] + rows3[34:51]
+    v1, rows1 = exact_rows(a1)
+    v2, rows2 = exact_rows(a2)
+    has1 = m1 < BIG
+    has2 = m2 < BIG
+    v1 = v1 & has1
+    v2 = v2 & has2
+    use2 = (~v1) & v2
+    found = (v1 | use2) & live
+    pend = (~v1) & (~v2) & has2 & live
 
-            def c(k):
-                return rows[k:k + 1, :]
+    ct = jnp.where(use2, m2, m1)
+    ca = jnp.where(use2, a2, a1)
 
-            pn_ = c(0) * px + c(1) * py + c(2) * pz
-            vn_ = c(0) * dx + c(1) * dy + c(2) * dz
-            t_ = (c(3) - pn_) / vn_
-            pm1 = c(4) * px + c(5) * py + c(6) * pz
-            vm1 = c(4) * dx + c(5) * dy + c(6) * dz
-            pm2 = c(8) * px + c(9) * py + c(10) * pz
-            vm2 = c(8) * dx + c(9) * dy + c(10) * dz
-            pm3 = c(12) * px + c(13) * py + c(14) * pz
-            vm3 = c(12) * dx + c(13) * dy + c(14) * dz
-            ok = (
-                (t_ > 0.0)
-                & (pm1 + t_ * vm1 >= c(7))
-                & (pm2 + t_ * vm2 >= c(11))
-                & (pm3 + t_ * vm3 >= c(15))
-            )
-            return ok[0, :], rows
+    def pick(k):
+        return jnp.where(use2, rows2[k, :], rows1[k, :])
 
-        v1, rows1 = exact_rows(a1)
-        has1 = m1 < BIG
-        has2 = m2 < BIG
-        v1 = v1 & has1
-        any_fail = jnp.any((~v1) & has1)
+    cnx, cny, cnz, cm = pick(0), pick(1), pick(2), pick(16)
+    cg = (cid * cs + ca).astype(jnp.float32)
 
-        def slow_merge():
-            """Some lane's top-1 was a spurious accept: validate the
-            top-2; if any lane strikes out twice, fall back to the
-            exact f32 full test of the whole cluster (the fused
-            kernel's expression, bit for bit — tric holds the
-            production tri_pack columns)."""
-            v2, rows2 = exact_rows(a2)
-            v2ok = v2 & has2
-            use2 = (~v1) & v2ok
-            found = v1 | use2
-            pend = (~v1) & (~v2ok) & has2
-
-            ct = jnp.where(use2, m2, m1)
-            ca = jnp.where(use2, a2, a1)
-
-            def pick(k):
-                return jnp.where(use2, rows2[k, :], rows1[k, :])
-
-            cnx, cny, cnz, cm = pick(0), pick(1), pick(2), pick(16)
-            any_pend = jnp.any(pend)
-
-            @pl.when(any_pend)
-            def _():
-                def pd(base):
-                    vx, vy, vz = col(base), col(base + 1), col(base + 2)
-                    return (vx * px + vy * py + vz * pz,
-                            vx * dx + vy * dy + vz * dz)
-
-                pn_, vn_ = pd(0)
-                tt_ = (col(3) - pn_) / vn_
-                pm1, vm1 = pd(4)
-                pm2, vm2 = pd(8)
-                pm3, vm3 = pd(12)
-                okk = (
-                    (tt_ > 0.0)
-                    & (pm1 + tt_ * vm1 >= col(7))
-                    & (pm2 + tt_ * vm2 >= col(11))
-                    & (pm3 + tt_ * vm3 >= col(15))
-                )
-                tmx = jnp.where(okk, tt_, BIG)
-                em1 = jnp.min(tmx, axis=0)
-                ea1 = jnp.argmin(tmx, axis=0)
-                onehot = (sub == ea1[None, :]).astype(jnp.float32)
-                enx = jnp.sum(onehot * col(0), axis=0)
-                eny = jnp.sum(onehot * col(1), axis=0)
-                enz = jnp.sum(onehot * col(2), axis=0)
-                em = jnp.sum(onehot * col(16), axis=0)
-                _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
-                       em1, enx, eny, enz, em,
-                       (cid * cs + ea1).astype(jnp.float32),
-                       em1 < BIG)
-
-            @pl.when(~any_pend)
-            def _():
-                _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
-                       ct, cnx, cny, cnz, cm,
-                       (cid * cs + ca).astype(jnp.float32), found)
-
-        @pl.when(~any_fail)
-        def _():
-            # Fast path: every lane's top-1 is exact-valid (or empty).
-            _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
-                   m1, rows1[0, :], rows1[1, :], rows1[2, :],
-                   rows1[16, :],
-                   (cid * cs + a1).astype(jnp.float32), v1)
-
-        @pl.when(any_fail)
-        def _():
-            slow_merge()
-
-
-def _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
-           ct, cnx, cny, cnz, cm, cg, found):
     ot = t_ref[0, :]
     og = g_ref[0, :]
     bet = found & ((ct < ot) | ((ct == ot) & (cg < og)))
@@ -375,6 +321,8 @@ def _merge(t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref,
     nz_ref[0, :] = jnp.where(bet, cnz, nz_ref[0, :])
     m_ref[0, :] = jnp.where(bet, cm, m_ref[0, :])
     g_ref[0, :] = jnp.where(bet, cg, og)
+    p_ref[0, :] = jnp.maximum(p_ref[0, :],
+                              pend.astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
@@ -404,12 +352,12 @@ def _run_march(clist, rays8s, feat, scene: MarchScene, cs: int,
         ],
         out_specs=[
             pl.BlockSpec((1, tr), lambda b, u, s: (0, b)),
-        ] * 6,
+        ] * 7,
     )
     outs = pl.pallas_call(
         functools.partial(_march_kernel, cs=cs, K=K, tr=tr),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 7,
         interpret=interpret,
     )(clist, rays8s, feat, scene.trig, scene.tric, scene.tab3)
     return outs
@@ -417,22 +365,36 @@ def _run_march(clist, rays8s, feat, scene: MarchScene, cs: int,
 
 def _slab_entries(rays8s, scene: MarchScene, best_t):
     """(C, N) entry distances (BIG when the slab test fails) and the
-    per-lane NEED mask (passes and could still beat best_t)."""
-    px, py, pz = rays8s[0], rays8s[1], rays8s[2]
-    dx, dy, dz = rays8s[3], rays8s[4], rays8s[5]
+    per-lane NEED mask (passes and could still beat best_t).
+
+    GUARDED slab: a culling test must be conservative, and the naive
+    division form yields 0/0 = NaN when a ray's direction component is
+    exactly zero and its origin sits on the box plane — the NaN reads
+    as "miss", silently dropping clusters the ray genuinely hits
+    (round-2 rule, sorted_intersect._perray_slab). Axis handled by
+    containment when d == 0."""
     lo = scene.boxes_lo
     hi = scene.boxes_hi
-
-    def ax(lc, hc, p, d):
-        t0 = (lc[:, None] - p[None, :]) / d[None, :]
-        t1 = (hc[:, None] - p[None, :]) / d[None, :]
-        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
-
-    tnx, tmx = ax(lo[:, 0], hi[:, 0], px, dx)
-    tny, tmy = ax(lo[:, 1], hi[:, 1], py, dy)
-    tnz, tmz = ax(lo[:, 2], hi[:, 2], pz, dz)
-    tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
-    tm = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
+    C = lo.shape[0]
+    nn = rays8s.shape[1]
+    tn = jnp.full((C, nn), -BIG, jnp.float32)
+    tm = jnp.full((C, nn), BIG, jnp.float32)
+    for axi in range(3):
+        p = rays8s[axi][None, :]            # (1, N)
+        d = rays8s[3 + axi][None, :]
+        bl = lo[:, axi][:, None]            # (C, 1)
+        bh = hi[:, axi][:, None]
+        d0 = d == 0.0
+        inv = 1.0 / jnp.where(d0, 1.0, d)
+        t1 = (bl - p) * inv
+        t2 = (bh - p) * inv
+        lo_ax = jnp.minimum(t1, t2)
+        hi_ax = jnp.maximum(t1, t2)
+        inside = (p >= bl) & (p <= bh)
+        lo_ax = jnp.where(d0, jnp.where(inside, -BIG, BIG), lo_ax)
+        hi_ax = jnp.where(d0, jnp.where(inside, BIG, -BIG), hi_ax)
+        tn = jnp.maximum(tn, lo_ax)
+        tm = jnp.minimum(tm, hi_ax)
     ok = (tm >= tn) & (tm >= 0)
     ent = jnp.where(ok, jnp.maximum(tn, 0.0), BIG)
     need = ok & (ent < best_t[None, :])
@@ -532,7 +494,8 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         clist, visited = _block_lists(ent, need, tr, K1)
         outs = _run_march(clist, rays8s, feat, scene, cs, K1, tr,
                           interpret)
-        best = merge(best, outs)
+        best = merge(best, outs[:6])
+        pend1 = outs[6][0] > 0.0
 
         # ---- certification: a lane is resolved iff every cluster
         # that could still beat its best t was in its block's visited
@@ -542,7 +505,9 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         _, need = _slab_entries(rays8s, scene, best[0])
         unc1 = (need.reshape(C, B, tr)
                 & ~visited.reshape(C, B, 1)).any(axis=0).reshape(-1)
-        res = ~unc1
+        # Pending lanes (both top-2 spurious in some visit) may have
+        # missed that visit's true winner entirely: unresolved.
+        res = ~(unc1 | pend1)
 
         # ---- round 2: compacted re-march of the uncertified ----
         u2 = min(max(tr, _round_up(rpad // 4, tr)), rpad)
@@ -555,17 +520,25 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         clist2, visited2 = _block_lists(ent2, need2, tr, K2)
         outs2 = _run_march(clist2, rays2, feat2, scene, cs, K2, tr,
                            interpret)
-        sub = tuple(o[0] for o in outs2)
+        sub = tuple(o[0] for o in outs2[:6])
+        pend2 = outs2[6][0] > 0.0
         old = tuple(b[idx2] for b in best)
         bet = (sub[0] < old[0]) | ((sub[0] == old[0])
                                    & (sub[5] < old[5]))
         merged = tuple(jnp.where(bet, s, o) for s, o in zip(sub, old))
         best = tuple(b.at[idx2].set(m) for b, m in zip(best, merged))
 
+        # Coverage for round-2 lanes = round-2 visits UNION their
+        # round-1 block's visits (without the union, clusters already
+        # tested in round 1 but absent from round 2's list read as
+        # "unvisited" and ~16% of lanes leaked into the dense tail —
+        # ~20 extra tail iterations per step).
         B2 = u2 // tr
-        unc2 = (need2.reshape(C, B2, tr)
-                & ~visited2.reshape(C, B2, 1)).any(axis=0).reshape(-1)
-        res = res.at[idx2].set(res[idx2] | ~unc2)
+        b1_of = idx2 // tr                               # (u2,)
+        vis1 = jnp.take(visited, b1_of, axis=1)          # (C, u2)
+        vis2 = jnp.repeat(visited2, tr, axis=1)[:, :u2]  # (C, u2)
+        unc2 = (need2 & ~vis1 & ~vis2).any(axis=0)
+        res = res.at[idx2].set(res[idx2] | ~(unc2 | pend2))
 
         # ---- unconditional dense tail (exhaustive, loops to empty:
         # capacity overflow and K2-overflow lanes land here) ----
