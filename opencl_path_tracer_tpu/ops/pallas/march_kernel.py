@@ -38,6 +38,20 @@ triangle array (this module's canonical order; a permutation of the
 scene changes only tie-breaking among bitwise-equal hits).
 Reference anchor: prog.cl:144-184 — the kd-traversal exists to make
 big scenes interactive; this is its TPU-shaped equivalent.
+
+STATUS (round 3): EXPERIMENTAL, not the large-scene default.
+Interpret-mode tests are bit-exact, the kernel alone is bit-exact on
+real TPU hardware (r3y A/B: 0 flips vs interpret on identical
+inputs), and each round's staged execution is bit-exact at the full
+2M-ray stress workload (r4a/r4b/r4f: 0 flips among certified lanes).
+The COMPOSED single-jit program, however, produces wrong hits on a
+deterministic ~4% of lanes (march t > dense t: missed-nearer-hit
+pattern; the count is EXACTLY 83090 across every variant tried:
+input/scene optimization_barriers, clist-derived visited, cert
+changes, host-loop tail) — some XLA-composition interaction that none
+of those touch. Round-4 first move: diff `outs[0]` (round-1 kernel t)
+composed-vs-staged on identical rays to split kernel-in-context from
+glue; see NOTES_NEXT_ROUND.md. The stress default remains pair v4.
 """
 
 from __future__ import annotations
@@ -404,11 +418,16 @@ def _slab_entries(rays8s, scene: MarchScene, best_t):
 def _block_lists(ent, need, tr: int, K: int):
     """Per-TR-block nearest-first cluster list, capped at K.
 
-    Returns clist (B*K,) i32 with -1 dummies + visited (C, B) bool.
-    visited is built from the rank permutation by comparison (a
-    bool scatter-max lowered incorrectly on TPU in round 3 — the
-    certification marked unvisited clusters visited, which produced
-    wrong final hits on ~0.1% of lanes)."""
+    Returns clist (B*K,) i32 with -1 dummies. The VISITED set used
+    for certification must be derived from this exact tensor (see
+    _visited_from): the block-entry argsort has heavy ties (many
+    clusters at entry 0), and under a single surrounding jit XLA can
+    rematerialize the sort with a different tie order for a second
+    consumer — a visited matrix computed from a separate sort
+    evaluation then disagrees with the list the kernel actually
+    visited, which certified lanes whose nearest cluster was never
+    tested (round-3 forensics: exact when staged, 2-4% wrong hits
+    when composed, varying per compile)."""
     C, n = ent.shape
     B = n // tr
     entb = ent.reshape(C, B, tr)
@@ -416,7 +435,6 @@ def _block_lists(ent, need, tr: int, K: int):
     block_any = needb.any(axis=2)
     block_ent = jnp.where(block_any, entb.min(axis=2), BIG)
     order = jnp.argsort(block_ent, axis=0)          # (C, B)
-    ranks = jnp.argsort(order, axis=0)              # inverse perm
     k = min(K, C)
     topk = order[:k]                                 # (k, B)
     ranked_any = jnp.take_along_axis(block_any, topk, axis=0)
@@ -425,8 +443,7 @@ def _block_lists(ent, need, tr: int, K: int):
         clist = jnp.concatenate(
             [clist, jnp.full((K - k, B), -1, jnp.int32)], axis=0
         )
-    visited = block_any & (ranks < k)
-    return clist.T.reshape(-1), visited
+    return clist.T.reshape(-1)
 
 
 def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
@@ -442,6 +459,13 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
     tail_isect = make_pallas_intersect(rt, interpret=interpret)
 
     def intersect(rays: Rays) -> Hits:
+        # Under a surrounding jit the closed-over scene packs become
+        # PROGRAM CONSTANTS, which XLA may refold/relayout before they
+        # reach the scalar-prefetch pallas_call (staged runs — where
+        # they are plain operands — were bit-exact; the composed
+        # program was not). Barrier them into ordinary materialized
+        # operands.
+        scene_b = jax.lax.optimization_barrier(scene)
         r = rays.p[0].shape[0]
         rpad = _round_up(r, tr)
         rays8 = pack_rays(rays.p, rays.d, rpad)
@@ -451,8 +475,8 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
             morton3_components,
         )
         q = tuple(
-            jnp.clip((rays8[k] - scene.scene_lo[k])
-                     * scene.scene_inv[k], 0.0, 1.0)
+            jnp.clip((rays8[k] - scene_b.scene_lo[k])
+                     * scene_b.scene_inv[k], 0.0, 1.0)
             for k in range(3)
         )
         cell = morton3_components(q)
@@ -490,9 +514,19 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
             )
 
         # ---- round 1: capped block march ----
-        ent, need = _slab_entries(rays8s, scene, best[0])
-        clist, visited = _block_lists(ent, need, tr, K1)
-        outs = _run_march(clist, rays8s, feat, scene, cs, K1, tr,
+        ent, need = _slab_entries(rays8s, scene_b, best[0])
+        clist = _block_lists(ent, need, tr, K1)
+        # Under a single surrounding jit the composed program produced
+        # wrong hits on ~2-4% of lanes while the SAME stages run as
+        # separate jits were bit-exact (round-3 TPU forensics,
+        # deterministic per compile, varying per compile) — an XLA
+        # fusion/layout interaction with the scalar-prefetch
+        # pallas_call operands. The barrier forces plain
+        # materialization of the kernel inputs.
+        clist, rays8s_b, feat_b = jax.lax.optimization_barrier(
+            (clist, rays8s, feat))
+        visited = _visited_from(clist, C, K1)
+        outs = _run_march(clist, rays8s_b, feat_b, scene_b, cs, K1, tr,
                           interpret)
         best = merge(best, outs[:6])
         pend1 = outs[6][0] > 0.0
@@ -502,7 +536,7 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         # set. (need alone is NOT enough: visited clusters with
         # entry < best_t are fine — they were tested.)
         B = rpad // tr
-        _, need = _slab_entries(rays8s, scene, best[0])
+        _, need = _slab_entries(rays8s, scene_b, best[0])
         unc1 = (need.reshape(C, B, tr)
                 & ~visited.reshape(C, B, 1)).any(axis=0).reshape(-1)
         # Pending lanes (both top-2 spurious in some visit) may have
@@ -516,9 +550,12 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         rays2 = jnp.stack([rays8s[k][idx2] for k in range(6)]
                           + [jnp.zeros((u2,), jnp.float32)] * 2)
         feat2 = plucker_feat(rays2)
-        ent2, need2 = _slab_entries(rays2, scene, best[0][idx2])
-        clist2, visited2 = _block_lists(ent2, need2, tr, K2)
-        outs2 = _run_march(clist2, rays2, feat2, scene, cs, K2, tr,
+        ent2, need2 = _slab_entries(rays2, scene_b, best[0][idx2])
+        clist2 = _block_lists(ent2, need2, tr, K2)
+        clist2, rays2_b, feat2_b = jax.lax.optimization_barrier(
+            (clist2, rays2, feat2))
+        visited2 = _visited_from(clist2, C, K2)
+        outs2 = _run_march(clist2, rays2_b, feat2_b, scene_b, cs, K2, tr,
                            interpret)
         sub = tuple(o[0] for o in outs2[:6])
         pend2 = outs2[6][0] > 0.0
@@ -594,3 +631,13 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         )
 
     return intersect, rt
+
+
+def _visited_from(clist: jnp.ndarray, C: int, K: int) -> jnp.ndarray:
+    """(C, B) visited mask derived from the SAME clist tensor the
+    kernel consumes — the only construction that cannot disagree with
+    the actual visits (see _block_lists docstring)."""
+    B = clist.shape[0] // K
+    cl2 = clist.reshape(B, K)
+    return (cl2[None, :, :] == jnp.arange(C)[:, None, None]
+            ).any(axis=2)
