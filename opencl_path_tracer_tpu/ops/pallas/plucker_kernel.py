@@ -509,10 +509,8 @@ def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
         rays8 = pack_rays(rays.p, rays.d, rpad)
         t1, g1 = _run_minarg(rays8, tri_pack, tr, tt_eff, interpret,
                              chunk)
-        big = jnp.full_like(t1, BIG)
-        t_, nx, ny, nz, m, _pend = _run_refine(
-            rays8, t1, g1, big, jnp.zeros_like(g1), tabt, tr,
-            interpret,
+        t_, nx, ny, nz, m = _run_refine1(
+            rays8, t1, g1, tabt, tr, interpret,
         )
         best_t = t_[0, :r]
         any_hit = best_t > 0.0
@@ -530,3 +528,53 @@ def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
         )
 
     return intersect
+
+
+def _refine1_kernel(ray_ref, t1_ref, g1_ref, tabt_ref,
+                    t_ref, nx_ref, ny_ref, nz_ref, m_ref):
+    """Single-candidate attribute fetch for make_minarg_intersect: the
+    winner already passed the EXACT in-kernel test, so no validity
+    re-check and no second candidate — one one-hot matmul."""
+    rays = ray_ref[:]
+    tpad = tabt_ref.shape[1]
+    tiota = jax.lax.broadcasted_iota(jnp.int32, (tpad, 1), 0)
+    gi = g1_ref[0:1, :].astype(jnp.int32)
+    onehot = jnp.where(tiota == gi, 1.0, 0.0).astype(jnp.bfloat16)
+    rows3 = jax.lax.dot_general(
+        tabt_ref[:], onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = rows3[0:17] + rows3[17:34] + rows3[34:51]
+    t1 = t1_ref[0, :]
+    miss = ~(t1 < BIG)
+    t_ref[0, :] = jnp.where(miss, -1.0, t1)
+    nx_ref[0, :] = rows[0, :]
+    ny_ref[0, :] = rows[1, :]
+    nz_ref[0, :] = rows[2, :]
+    m_ref[0, :] = rows[16, :]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _run_refine1(rays8, t1, g1, tabt, tr: int, interpret: bool):
+    rpad = rays8.shape[1]
+    tpad = tabt.shape[1]
+    outs = pl.pallas_call(
+        _refine1_kernel,
+        grid=(rpad // tr,),
+        in_specs=[
+            pl.BlockSpec((8, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, tpad), lambda rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, tr), lambda rt: (0, rt),
+                                memory_space=pltpu.VMEM)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((1, rpad), jnp.float32)] * 5,
+        interpret=interpret,
+    )(rays8, t1, g1, tabt)
+    return outs
