@@ -448,7 +448,8 @@ def _block_lists(ent, need, tr: int, K: int):
 
 def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
                          tr: int = 512, K1: int = 24, K2: int = 64,
-                         tail: int = 16384, interpret: bool = False):
+                         tail: int = 16384, interpret: bool = False,
+                         debug: bool = False):
     """Returns (intersect(rays) -> Hits, reordered_tris).
 
     Hits equal `pallas_first_intersect` over reordered_tris bit for
@@ -487,12 +488,21 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         )
         skey = (octant << jnp.uint32(27)) | (cell >> jnp.uint32(3))
         iota = jnp.arange(rpad, dtype=jnp.int32)
+        # STABLE sort + immediate barrier: skey has heavy ties (coarse
+        # morton cells), and an unstable sort rematerialized by XLA
+        # for a second consumer can produce a DIFFERENT tie order — the
+        # certification then reasons about a different lane
+        # permutation than the kernel marched (round-3 root cause of
+        # 83k wrong "certified" lanes in the composed program; staged
+        # runs materialize the sort once and were exact).
         srt = jax.lax.sort([skey, iota] + [rays8[k] for k in range(6)],
-                           num_keys=1)
+                           num_keys=1, is_stable=True)
         order_l = srt[1]
         rays8s = jnp.stack(
             list(srt[2:]) + [jnp.zeros((rpad,), jnp.float32)] * 2
         )
+        order_l, rays8s = jax.lax.optimization_barrier(
+            (order_l, rays8s))
         feat = plucker_feat(rays8s)
 
         best = (
@@ -545,8 +555,9 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
 
         # ---- round 2: compacted re-march of the uncertified ----
         u2 = min(max(tr, _round_up(rpad // 4, tr)), rpad)
-        srt2 = jax.lax.sort([res.astype(jnp.int32), iota], num_keys=1)
-        idx2 = srt2[1][:u2]
+        srt2 = jax.lax.sort([res.astype(jnp.int32), iota],
+                            num_keys=1, is_stable=True)
+        idx2 = jax.lax.optimization_barrier(srt2[1][:u2])
         rays2 = jnp.stack([rays8s[k][idx2] for k in range(6)]
                           + [jnp.zeros((u2,), jnp.float32)] * 2)
         feat2 = plucker_feat(rays2)
@@ -588,7 +599,8 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         def body2(carry):
             best, resolved = carry
             srt3 = jax.lax.sort(
-                [resolved.astype(jnp.int32), iota], num_keys=1
+                [resolved.astype(jnp.int32), iota], num_keys=1,
+                is_stable=True,
             )
             idx = srt3[1][:u4]
             sr = Rays(
@@ -610,6 +622,8 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
             )
             return best, resolved.at[idx].set(True)
 
+        res_pre_tail = res
+        best_pre_tail_t = best[0]
         best, res = jax.lax.while_loop(cond, body2, (best, res))
 
         # ---- unsort ----
@@ -623,12 +637,19 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
             jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
             for k in range(3)
         )
-        return Hits(
+        hits = Hits(
             t=jnp.where(any_hit, bt, -1.0),
             p=hit_p,
             n=(nx, ny, nz),
             mati=jnp.where(any_hit, m, 0.0).astype(jnp.int32),
         )
+        if debug:
+            return hits, dict(
+                res_pre_tail=res_pre_tail, order_l=order_l,
+                best_pre_tail_t=best_pre_tail_t,
+                best_sorted_t=best[0],
+            )
+        return hits
 
     return intersect, rt
 
