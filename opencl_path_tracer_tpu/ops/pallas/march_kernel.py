@@ -209,7 +209,7 @@ def build_march_scene(tris: TrianglesSoA, cs: int = 512
 
 def _march_kernel(clist_ref, rays_ref, feat_ref, trig_ref, tric_ref,
                   tab3_ref, t_ref, nx_ref, ny_ref, nz_ref, m_ref,
-                  g_ref, p_ref, *, cs: int, K: int, tr: int):
+                  g_ref, p_ref, acc_ref, *, cs: int, K: int, tr: int):
     """One (block b, visit u) grid step; outputs accumulate over u.
 
     Branch-free except the first-visit init: round-3 on-TPU debugging
@@ -223,15 +223,20 @@ def _march_kernel(clist_ref, rays_ref, feat_ref, trig_ref, tric_ref,
     b = pl.program_id(0)
     cid = clist_ref[b * K + u]
 
+    # Running best lives in VMEM SCRATCH and is written to the outputs
+    # once, at the last visit: the output-block revisit pattern
+    # (index_map ignoring u) plus a scalar-prefetch grid proved
+    # unreliable at scale in round 3 and scratch accumulation is the
+    # canonical Mosaic idiom anyway.
     @pl.when(u == 0)
     def _():
-        t_ref[0, :] = jnp.full((tr,), BIG, jnp.float32)
-        nx_ref[0, :] = jnp.zeros((tr,), jnp.float32)
-        ny_ref[0, :] = jnp.zeros((tr,), jnp.float32)
-        nz_ref[0, :] = jnp.zeros((tr,), jnp.float32)
-        m_ref[0, :] = jnp.zeros((tr,), jnp.float32)
-        g_ref[0, :] = jnp.zeros((tr,), jnp.float32)
-        p_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+        acc_ref[0, :] = jnp.full((tr,), BIG, jnp.float32)
+        acc_ref[1, :] = jnp.zeros((tr,), jnp.float32)
+        acc_ref[2, :] = jnp.zeros((tr,), jnp.float32)
+        acc_ref[3, :] = jnp.zeros((tr,), jnp.float32)
+        acc_ref[4, :] = jnp.zeros((tr,), jnp.float32)
+        acc_ref[5, :] = jnp.zeros((tr,), jnp.float32)
+        acc_ref[6, :] = jnp.zeros((tr,), jnp.float32)
 
     live = cid >= 0
     rays = rays_ref[:]
@@ -326,17 +331,27 @@ def _march_kernel(clist_ref, rays_ref, feat_ref, trig_ref, tric_ref,
     cnx, cny, cnz, cm = pick(0), pick(1), pick(2), pick(16)
     cg = (cid * cs + ca).astype(jnp.float32)
 
-    ot = t_ref[0, :]
-    og = g_ref[0, :]
+    ot = acc_ref[0, :]
+    og = acc_ref[5, :]
     bet = found & ((ct < ot) | ((ct == ot) & (cg < og)))
-    t_ref[0, :] = jnp.where(bet, ct, ot)
-    nx_ref[0, :] = jnp.where(bet, cnx, nx_ref[0, :])
-    ny_ref[0, :] = jnp.where(bet, cny, ny_ref[0, :])
-    nz_ref[0, :] = jnp.where(bet, cnz, nz_ref[0, :])
-    m_ref[0, :] = jnp.where(bet, cm, m_ref[0, :])
-    g_ref[0, :] = jnp.where(bet, cg, og)
-    p_ref[0, :] = jnp.maximum(p_ref[0, :],
-                              pend.astype(jnp.float32))
+    acc_ref[0, :] = jnp.where(bet, ct, ot)
+    acc_ref[1, :] = jnp.where(bet, cnx, acc_ref[1, :])
+    acc_ref[2, :] = jnp.where(bet, cny, acc_ref[2, :])
+    acc_ref[3, :] = jnp.where(bet, cnz, acc_ref[3, :])
+    acc_ref[4, :] = jnp.where(bet, cm, acc_ref[4, :])
+    acc_ref[5, :] = jnp.where(bet, cg, og)
+    acc_ref[6, :] = jnp.maximum(acc_ref[6, :],
+                                pend.astype(jnp.float32))
+
+    @pl.when(u == K - 1)
+    def _():
+        t_ref[0, :] = acc_ref[0, :]
+        nx_ref[0, :] = acc_ref[1, :]
+        ny_ref[0, :] = acc_ref[2, :]
+        nz_ref[0, :] = acc_ref[3, :]
+        m_ref[0, :] = acc_ref[4, :]
+        g_ref[0, :] = acc_ref[5, :]
+        p_ref[0, :] = acc_ref[6, :]
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
@@ -367,6 +382,7 @@ def _run_march(clist, rays8s, feat, scene: MarchScene, cs: int,
         out_specs=[
             pl.BlockSpec((1, tr), lambda b, u, s: (0, b)),
         ] * 7,
+        scratch_shapes=[pltpu.VMEM((7, tr), jnp.float32)],
     )
     outs = pl.pallas_call(
         functools.partial(_march_kernel, cs=cs, K=K, tr=tr),
@@ -552,6 +568,7 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         # Pending lanes (both top-2 spurious in some visit) may have
         # missed that visit's true winner entirely: unresolved.
         res = ~(unc1 | pend1)
+        res1_dbg = res
 
         # ---- round 2: compacted re-march of the uncertified ----
         u2 = min(max(tr, _round_up(rpad // 4, tr)), rpad)
@@ -647,7 +664,8 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
             return hits, dict(
                 res_pre_tail=res_pre_tail, order_l=order_l,
                 best_pre_tail_t=best_pre_tail_t,
-                best_sorted_t=best[0],
+                best_sorted_t=best[0], res1=res1_dbg,
+                idx2=idx2, unc2=unc2, pend2=pend2, pend1=pend1,
             )
         return hits
 
