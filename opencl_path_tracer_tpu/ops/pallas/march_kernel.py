@@ -194,6 +194,20 @@ def build_march_scene(tris: TrianglesSoA, cs: int = 512
         thi = np.concatenate([thi, np.full((pad, 3), -np.inf)])
     blo = tlo.reshape(C, cs, 3).min(1)
     bhi = thi.reshape(C, cs, 3).max(1)
+    # INFLATE the boxes: they are exact hulls, so hits on the
+    # hull-defining triangles lie exactly ON the box surface, where
+    # the slab test's result is at the mercy of float noise —
+    # including FMA-contraction differences between compilations (the
+    # round-3 composed-vs-staged divergence: a slab false-negative on
+    # the TRUE cluster silently certifies a wrong miss/far-hit).
+    # Conservative inflation only ever adds candidate visits.
+    diag = np.linalg.norm(
+        np.where(np.isfinite(bhi - blo), bhi - blo, 0.0), axis=1,
+        keepdims=True,
+    )
+    delta = 1e-4 * diag + 1e-3
+    blo = np.where(np.isfinite(blo), blo - delta, blo)
+    bhi = np.where(np.isfinite(bhi), bhi + delta, bhi)
 
     scene = MarchScene(
         trig=jnp.asarray(trig),
@@ -549,8 +563,9 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         # fusion/layout interaction with the scalar-prefetch
         # pallas_call operands. The barrier forces plain
         # materialization of the kernel inputs.
-        clist, rays8s_b, feat_b = jax.lax.optimization_barrier(
-            (clist, rays8s, feat))
+        cl2d, rays8s_b, feat_b = _pallas_materialize(
+            clist, rays8s, feat, tr, interpret)
+        clist = cl2d[0]
         visited = _visited_from(clist, C, K1)
         outs = _run_march(clist, rays8s_b, feat_b, scene_b, cs, K1, tr,
                           interpret)
@@ -580,8 +595,9 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         feat2 = plucker_feat(rays2)
         ent2, need2 = _slab_entries(rays2, scene_b, best[0][idx2])
         clist2 = _block_lists(ent2, need2, tr, K2)
-        clist2, rays2_b, feat2_b = jax.lax.optimization_barrier(
-            (clist2, rays2, feat2))
+        cl2d2, rays2_b, feat2_b = _pallas_materialize(
+            clist2, rays2, feat2, tr, interpret)
+        clist2 = cl2d2[0]
         visited2 = _visited_from(clist2, C, K2)
         outs2 = _run_march(clist2, rays2_b, feat2_b, scene_b, cs, K2, tr,
                            interpret)
@@ -670,6 +686,51 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         return hits
 
     return intersect, rt
+
+
+def _pallas_materialize(clist, rays8s, feat, tr: int,
+                        interpret: bool):
+    """Identity copy through a trivial pallas_call.
+
+    jax.lax.optimization_barrier did NOT stop the composed-program
+    corruption of the march kernel's operands, but returning them as
+    jit outputs did (NOTES_NEXT_ROUND.md diagnosis). A pallas custom
+    call is opaque to XLA, so its operands and results must be
+    materialized with standard layouts — the same effect, in-graph."""
+    n = rays8s.shape[1]
+    L = clist.shape[0]
+
+    def copy3(c_ref, r_ref, f_ref, co_ref, ro_ref, fo_ref):
+        co_ref[:] = c_ref[:]
+        ro_ref[:] = r_ref[:]
+        fo_ref[:] = f_ref[:]
+
+    return pl.pallas_call(
+        copy3,
+        grid=(n // tr,),
+        in_specs=[
+            pl.BlockSpec((1, L), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tr), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, tr), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tr), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, tr), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, L), clist.dtype),
+            jax.ShapeDtypeStruct((8, n), rays8s.dtype),
+            jax.ShapeDtypeStruct((32, n), feat.dtype),
+        ],
+        interpret=interpret,
+    )(clist[None, :], rays8s, feat)
 
 
 def _visited_from(clist: jnp.ndarray, C: int, K: int) -> jnp.ndarray:
