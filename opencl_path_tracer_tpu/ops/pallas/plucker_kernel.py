@@ -466,7 +466,7 @@ def make_plucker_intersect(tris: TrianglesSoA, *, tr: int = 1024,
 
 
 def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
-                          tt: int = 1024, chunk: int = 256,
+                          tt: int = 1024, chunk: int = 512,
                           interpret: bool = False):
     """Exact-f32 min+argmin kernel + one-hot attribute fetch: the
     fastest EXACT small-scene intersector (measured round 3: 23.8 ms
