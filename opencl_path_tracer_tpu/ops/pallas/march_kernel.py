@@ -39,19 +39,23 @@ scene changes only tie-breaking among bitwise-equal hits).
 Reference anchor: prog.cl:144-184 — the kd-traversal exists to make
 big scenes interactive; this is its TPU-shaped equivalent.
 
-STATUS (round 3): EXPERIMENTAL, not the large-scene default.
-Interpret-mode tests are bit-exact, the kernel alone is bit-exact on
-real TPU hardware (r3y A/B: 0 flips vs interpret on identical
-inputs), and each round's staged execution is bit-exact at the full
-2M-ray stress workload (r4a/r4b/r4f: 0 flips among certified lanes).
-The COMPOSED single-jit program, however, produces wrong hits on a
-deterministic ~4% of lanes (march t > dense t: missed-nearer-hit
-pattern; the count is EXACTLY 83090 across every variant tried:
-input/scene optimization_barriers, clist-derived visited, cert
-changes, host-loop tail) — some XLA-composition interaction that none
-of those touch. Round-4 first move: diff `outs[0]` (round-1 kernel t)
-composed-vs-staged on identical rays to split kernel-in-context from
-glue; see NOTES_NEXT_ROUND.md. The stress default remains pair v4.
+STATUS: the composed single-jit program is BIT-EXACT vs the dense
+kernel on the full 2M-ray steady-state stress workload (0 t/mati/
+normal flips, measured post-fix on v5e). Round 3's deterministic
+~4% wrong-hit "heisenbug" was XLA:TPU's BFloat16Propagation pass
+demoting the f32 Plucker feature math to bf16 whenever plucker_feat
+was fused into the surrounding program (see
+plucker_kernel._split_bf16_exact) — which silently voided the
+conservative-accept eps bounds (false REJECTS of true winners whose
+near-duplicate neighbors then resolved as "confirmed miss" without a
+pend flag). The fix computes the hi/lo split in integer bit
+arithmetic so no f32 op has a bf16-convert consumer; every
+composition-level workaround that guessed at other causes
+(identity-copy materialization of kernel operands, scene/input
+optimization barriers) has been removed again. Stable sorts and the
+clist-derived visited set are kept: they are required for
+determinism wherever downstream logic reasons about a tie-heavy
+permutation.
 """
 
 from __future__ import annotations
@@ -490,13 +494,7 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
     tail_isect = make_pallas_intersect(rt, interpret=interpret)
 
     def intersect(rays: Rays) -> Hits:
-        # Under a surrounding jit the closed-over scene packs become
-        # PROGRAM CONSTANTS, which XLA may refold/relayout before they
-        # reach the scalar-prefetch pallas_call (staged runs — where
-        # they are plain operands — were bit-exact; the composed
-        # program was not). Barrier them into ordinary materialized
-        # operands.
-        scene_b = jax.lax.optimization_barrier(scene)
+        scene_b = scene
         r = rays.p[0].shape[0]
         rpad = _round_up(r, tr)
         rays8 = pack_rays(rays.p, rays.d, rpad)

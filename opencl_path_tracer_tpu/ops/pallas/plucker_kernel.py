@@ -81,6 +81,45 @@ from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
 EPS_SCALE = 2.0 ** -15
 
 
+def _split_bf16_exact(x: jnp.ndarray):
+    """f32 -> (hi, lo) bf16 pair with hi = RNE_bf16(x) and
+    lo = RNE_bf16(x - f32(hi)), computed entirely in INTEGER bit
+    arithmetic.
+
+    Why not `x.astype(bf16)`: XLA:TPU's BFloat16Propagation pass sees
+    an f32 op whose users are all bf16 converts and demotes the
+    PRODUCER math to bf16 — which silently replaces x itself with a
+    bf16-rounded value. For a hi/lo split that is catastrophic: the
+    residual `x - hi` is computed from a corrupted x, and the "exact"
+    superset-accept eps bounds no longer hold. Measured round 3 on
+    v5e: lo-row errors up to ~2.0 (bf16-ulp scale of the operands) on
+    the stress workload, producing deterministic wrong-hit rates of
+    0.5-4% that varied with fusion context — the entire composed-jit
+    "heisenbug" of NOTES_NEXT_ROUND.md. Returning the features as jit
+    outputs fixed it because materialization forced f32 evaluation.
+
+    This form has no f32->bf16 convert at all: rounding is explicit
+    uint32 arithmetic (add 0x7fff + kept-lsb, mask), and the bf16
+    tensors are produced by BITCASTS from uint16, which the pass does
+    not treat as precision-relaxation sites. The f32 subtraction
+    x - hi is exact (Sterbenz: hi is within 2^-8 of x), and its only
+    consumer is an integer bitcast, so no bf16 use reaches any f32 op.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    lsb = (u >> 16) & jnp.uint32(1)
+    hi_u = (u + jnp.uint32(0x7FFF) + lsb) & jnp.uint32(0xFFFF0000)
+    hi_f = jax.lax.bitcast_convert_type(hi_u, jnp.float32)
+    lo_f = x - hi_f
+    v = jax.lax.bitcast_convert_type(lo_f, jnp.uint32)
+    lsb2 = (v >> 16) & jnp.uint32(1)
+    lo_u = (v + jnp.uint32(0x7FFF) + lsb2) & jnp.uint32(0xFFFF0000)
+    hi_b = jax.lax.bitcast_convert_type(
+        (hi_u >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo_b = jax.lax.bitcast_convert_type(
+        (lo_u >> 16).astype(jnp.uint16), jnp.bfloat16)
+    return hi_b, lo_b
+
+
 def plucker_feat(rays8: jnp.ndarray) -> jnp.ndarray:
     """(8, R) f32 packed rays -> (32, R) bf16 MXU features.
 
@@ -89,15 +128,16 @@ def plucker_feat(rays8: jnp.ndarray) -> jnp.ndarray:
     [w_hi, w_hi, w_lo] so one K=32 contraction accumulates
     w_hi*phi_hi + w_hi*phi_lo + w_lo*phi_hi (the lo*lo term is in the
     eps bound). Built OUTSIDE the kernel: Mosaic (current version)
-    rejects in-kernel f32->bf16 truncation of these shapes."""
+    rejects in-kernel f32->bf16 truncation of these shapes. The hi/lo
+    split uses integer bit arithmetic (_split_bf16_exact) — a plain
+    astype chain is silently corrupted by XLA:TPU bf16 demotion."""
     px, py, pz = rays8[0:1], rays8[1:2], rays8[2:3]
     dx, dy, dz = rays8[3:4], rays8[4:5], rays8[5:6]
     cx = py * dz - pz * dy
     cy = pz * dx - px * dz
     cz = px * dy - py * dx
     phi = jnp.concatenate([cx, cy, cz, dx, dy, dz], axis=0)
-    hi = phi.astype(jnp.bfloat16)
-    lo = (phi - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi, lo = _split_bf16_exact(phi)
     zeros = jnp.zeros((14,) + phi.shape[1:], jnp.bfloat16)
     return jnp.concatenate([hi, lo, hi, zeros], axis=0)
 
