@@ -543,15 +543,22 @@ def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
     tabt = tabt.at[17:34].set(jnp.asarray(mid))
     tabt = tabt.at[34:51].set(jnp.asarray(lo))
 
+    fused = tpad == tt_eff  # single tt block: winner final in-kernel
+
     def intersect(rays: Rays) -> Hits:
         r = rays.p[0].shape[0]
         rpad = _round_up(r, tr)
         rays8 = pack_rays(rays.p, rays.d, rpad)
-        t1, g1 = _run_minarg(rays8, tri_pack, tr, tt_eff, interpret,
-                             chunk)
-        t_, nx, ny, nz, m = _run_refine1(
-            rays8, t1, g1, tabt, tr, interpret,
-        )
+        if fused:
+            t_, nx, ny, nz, m = _run_minarg_fused(
+                rays8, tri_pack, tabt, tr, chunk, interpret,
+            )
+        else:
+            t1, g1 = _run_minarg(rays8, tri_pack, tr, tt_eff,
+                                 interpret, chunk)
+            t_, nx, ny, nz, m = _run_refine1(
+                rays8, t1, g1, tabt, tr, interpret,
+            )
         best_t = t_[0, :r]
         any_hit = best_t > 0.0
         z = jnp.zeros_like(best_t)
@@ -568,6 +575,100 @@ def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
         )
 
     return intersect
+
+
+def _minarg_fused_kernel(ray_ref, tri_ref, tabt_ref, t_ref, nx_ref,
+                         ny_ref, nz_ref, m_ref, *, chunk: int):
+    """Single-pass minarg + in-kernel attribute fetch.
+
+    Valid when the whole triangle table is one tt block (tpad == tt,
+    the Cornell-class case): the winner index is final at the end of
+    the chunk loop, so the one-hot 3-split fetch runs in the same
+    kernel and the separate refine pass (its launch + rays/t1/g1 HBM
+    round-trip, ~1-1.5 ms of the 3.5 ms refine cost at 2M lanes) is
+    saved. Math is bit-identical to _run_minarg + _run_refine1."""
+    tt = tri_ref.shape[0]
+    rays = ray_ref[:]
+    px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    best_t = None
+    best_g = None
+    for c0 in range(0, tt, chunk):
+        cc = min(chunk, tt - c0)
+        tri = tri_ref[c0:c0 + cc, :]
+
+        def col(k, tri=tri):
+            return tri[:, k:k + 1]
+
+        def pd_dots(base, tri=tri):
+            def c(k):
+                return tri[:, k:k + 1]
+            vx, vy, vz = c(base), c(base + 1), c(base + 2)
+            return (vx * px + vy * py + vz * pz,
+                    vx * dx + vy * dy + vz * dz)
+
+        pn, vn = pd_dots(0)
+        t = (col(3) - pn) / vn
+        pm1, vm1 = pd_dots(4)
+        pm2, vm2 = pd_dots(8)
+        pm3, vm3 = pd_dots(12)
+        valid = (
+            (t > 0.0)
+            & (pm1 + t * vm1 >= col(7))
+            & (pm2 + t * vm2 >= col(11))
+            & (pm3 + t * vm3 >= col(15))
+        )
+        tm = jnp.where(valid, t, BIG)
+        m1 = jnp.min(tm, axis=0)
+        a1 = jnp.argmin(tm, axis=0)
+        g1 = (c0 + a1).astype(jnp.float32)
+        if c0 == 0:
+            best_t, best_g = m1, g1
+        else:
+            bet = m1 < best_t
+            best_t = jnp.where(bet, m1, best_t)
+            best_g = jnp.where(bet, g1, best_g)
+
+    tpad = tabt_ref.shape[1]
+    tiota = jax.lax.broadcasted_iota(jnp.int32, (tpad, 1), 0)
+    gi = best_g[None, :].astype(jnp.int32)
+    onehot = jnp.where(tiota == gi, 1.0, 0.0).astype(jnp.bfloat16)
+    rows3 = jax.lax.dot_general(
+        tabt_ref[:], onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = rows3[0:17] + rows3[17:34] + rows3[34:51]
+    miss = ~(best_t < BIG)
+    t_ref[0, :] = jnp.where(miss, -1.0, best_t)
+    nx_ref[0, :] = rows[0, :]
+    ny_ref[0, :] = rows[1, :]
+    nz_ref[0, :] = rows[2, :]
+    m_ref[0, :] = rows[16, :]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _run_minarg_fused(rays8, tri_pack, tabt, tr: int, chunk: int,
+                      interpret: bool):
+    rpad = rays8.shape[1]
+    tpad = tri_pack.shape[0]
+    outs = pl.pallas_call(
+        functools.partial(_minarg_fused_kernel, chunk=chunk),
+        grid=(rpad // tr,),
+        in_specs=[
+            pl.BlockSpec((8, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tpad, 24), lambda rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, tpad), lambda rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, tr), lambda rt: (0, rt),
+                                memory_space=pltpu.VMEM)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((1, rpad), jnp.float32)] * 5,
+        interpret=interpret,
+    )(rays8, tri_pack, tabt)
+    return outs
 
 
 def _refine1_kernel(ray_ref, t1_ref, g1_ref, tabt_ref,

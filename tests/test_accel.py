@@ -4,6 +4,7 @@ first_intersect full scan, prog.cl:318-319)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from opencl_path_tracer_tpu.accel import (
     build_lbvh, build_median_tree, make_bvh_intersect,
@@ -67,6 +68,7 @@ def test_lbvh_matches_bruteforce():
     _check_matches_bruteforce(bvh, tris, _random_rays(500, seed=3))
 
 
+@pytest.mark.slow
 def test_lbvh_on_cornell():
     scene = library.cornell_box(with_spheres=True)
     bvh = build_lbvh(scene.tris)
@@ -79,6 +81,7 @@ def test_lbvh_on_cornell():
     _check_matches_bruteforce(bvh, scene.tris, rays)
 
 
+@pytest.mark.slow
 def test_lbvh_tiny_scene():
     tris = _random_tris(3, seed=9)
     bvh = build_lbvh(tris, leaf_size=4)
@@ -86,12 +89,14 @@ def test_lbvh_tiny_scene():
     _check_matches_bruteforce(bvh, tris, _random_rays(100, seed=10))
 
 
+@pytest.mark.slow
 def test_median_tree_single_triangle():
     tris = _random_tris(1, seed=11)
     bvh = build_median_tree(tris)
     _check_matches_bruteforce(bvh, tris, _random_rays(64, seed=12))
 
 
+@pytest.mark.slow
 def test_lbvh_shapes_and_format():
     tris = _random_tris(100, seed=13)
     bvh = build_lbvh(tris, leaf_size=4)
@@ -115,6 +120,7 @@ def test_lbvh_shapes_and_format():
             assert np.all(n[s, 3:6] >= n[c, 3:6] - 1e-5)
 
 
+@pytest.mark.slow
 def test_degenerate_identical_midpoints():
     # 20 coincident triangles: reference builder would loop forever
     # (main.cpp:246-257); ours must terminate and still intersect.
@@ -141,6 +147,7 @@ def test_degenerate_identical_midpoints():
         assert float(hits.t[0]) > 0
 
 
+@pytest.mark.slow
 def test_per_object_forest_matches_bruteforce():
     """object_ranges builds one subtree per object (the reference's
     per-shape trees + shift table, main.cpp:536-551) — identical hits."""
@@ -152,6 +159,7 @@ def test_per_object_forest_matches_bruteforce():
     _check_matches_bruteforce(bvh, tris, _random_rays(400, seed=10))
 
 
+@pytest.mark.slow
 def test_per_object_forest_on_scene_ranges():
     scene = library.cornell_box(with_spheres=True)
     assert scene.num_objects >= 2  # walls + spheres closed separately

@@ -72,7 +72,14 @@ def test_tiled_step_matches_single_device_parity():
 
 
 @pytest.mark.slow
-def test_sample_sharded_render_converges():
+def test_sample_sharded_render_equals_single_device():
+    """Estimator equality, not just bias-level convergence (VERDICT r2
+    weak #4): chip k renders sample indices k + i*n_dev with the SAME
+    key, and fast-mode draws depend only on (key, sample_index,
+    pixel) — so the union over 8 chips is EXACTLY the sample set of a
+    single-device spp=32 render. Per-pixel colors must agree to
+    floating-point reassociation tolerance (sequential running average
+    vs per-chip average + pmean), NOT Monte-Carlo noise."""
     w = h = 24
     scene, cam, isect = _setup(w, h)
     mesh = make_render_mesh()
@@ -90,9 +97,8 @@ def test_sample_sharded_render_converges():
         iterations=3, spp=32, mode="fast", key=key,
     )
     a, b = img8, _c(ref)
-    # Different sample->draw mapping, same estimator: means must agree.
     assert a.shape == b.shape == (w * h, 3)
-    assert abs(a.mean() - b.mean()) / b.mean() < 0.15
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
 def test_tiled_step_on_subset_mesh():

@@ -131,6 +131,7 @@ def test_median_filter():
     np.testing.assert_allclose(np.asarray(out2), 0.25, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_render(tmp_path):
     from opencl_path_tracer_tpu.cli import main
     out = tmp_path / "cli.png"
@@ -150,6 +151,7 @@ def test_cli_render(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_cli_view(tmp_path):
     from opencl_path_tracer_tpu.cli import main
     out = tmp_path / "v.png"
