@@ -163,6 +163,55 @@ def run_fused(scene, cam, n, *, iters, steps, chunk, lanes: int = 1):
     return float(n_lanes) * steps / dt / 1e6, dt, spp
 
 
+def run_lazy(scene, cam, n, *, iters, steps, chunk):
+    """Lazy-certification wavefront (models/lazy.py): bounded coherent
+    march work per step, stalled lanes carry their search. Throughput
+    is SEGMENTS COMPLETED per second (a stalled lane traces no ray
+    that step) — the honest analog of rays/sec."""
+    from opencl_path_tracer_tpu.models import lazy
+
+    key = jax.random.key(1)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    step, init, _rt = lazy.make_lazy_pipeline(
+        scene.tris, cs=512, tr=256, K=4, tail=4096, interpret=on_cpu,
+    )
+    state = init(cam, n, mode="fast", key=key)
+
+    @jax.jit
+    def run(state, k):
+        def body(_, st):
+            return step(cam, scene.mats, st, iterations=iters,
+                        mode="fast", key=key)
+        st = jax.lax.fori_loop(0, k, body, state)
+        return st, jnp.sum(st.colors[0][:8])
+
+    t0 = time.time()
+    for attempt in range(3):
+        try:
+            state, _ = run(state, 2)
+            float(jnp.sum(state.samples[:8]))
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            print(f"# warmup attempt {attempt + 1} failed, retrying",
+                  file=sys.stderr)
+            time.sleep(10)
+    print(f"# warmup+compile {time.time()-t0:.1f}s", file=sys.stderr)
+
+    c0 = int(state.completions)
+    t0 = time.time()
+    done = 0
+    while done < steps:
+        k = min(chunk, steps - done)
+        state, chk = run(state, k)
+        done += k
+    float(chk)
+    dt = time.time() - t0
+    segs = int(state.completions) - c0
+    return segs / dt / 1e6, dt, float(jnp.mean(state.samples))
+
+
 def run_megakernel(scene, cam, n, isect, *, iters, steps):
     from opencl_path_tracer_tpu.models import megakernel
 
@@ -228,6 +277,19 @@ def bench_scene(scene_name: str, args) -> dict:
         )
         return {"scene": scene_name, "w": w, "h": h,
                 "mrays": round(mrays, 2)}
+    if args.model == "lazy":
+        mrays, dt, spp = run_lazy(
+            scene, cam, n, iters=args.iters, steps=args.steps,
+            chunk=args.chunk,
+        )
+        print(
+            f"# {scene_name}: {dt:.3f}s for {args.steps} steps @ "
+            f"{w}x{h} iters={args.iters} (mean spp {spp:.1f}) -> "
+            f"{mrays:.1f} Mrays/s (segment completions)",
+            file=sys.stderr,
+        )
+        return {"scene": scene_name, "w": w, "h": h,
+                "mrays": round(mrays, 2)}
     isect = make_isect(scene, args.accel, on_cpu)
     if args.model == "wavefront":
         mrays, dt, spp = run_wavefront(
@@ -257,7 +319,8 @@ def main() -> int:
                     choices=["cornell", "stress", "ref-workload"],
                     help="default: cornell AND stress in one run")
     ap.add_argument("--model", default="wavefront",
-                    choices=["wavefront", "megakernel", "fused"])
+                    choices=["wavefront", "megakernel", "fused",
+                             "lazy"])
     ap.add_argument("--accel", default="auto",
                     choices=["auto", "pair", "group", "cluster", "bvh",
                              "bruteforce", "pallas", "minarg",

@@ -507,6 +507,7 @@ def make_plucker_intersect(tris: TrianglesSoA, *, tr: int = 1024,
 
 def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
                           tt: int = 1024, chunk: int = 512,
+                          fuse_fetch: bool = False,
                           interpret: bool = False):
     """Exact-f32 min+argmin kernel + one-hot attribute fetch: the
     fastest EXACT small-scene intersector (measured round 3: 23.8 ms
@@ -543,7 +544,12 @@ def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
     tabt = tabt.at[17:34].set(jnp.asarray(mid))
     tabt = tabt.at[34:51].set(jnp.asarray(lo))
 
-    fused = tpad == tt_eff  # single tt block: winner final in-kernel
+    # fuse_fetch folds the attribute fetch into the minarg kernel
+    # (valid when the table is one tt block). Measured on v5e cornell
+    # 1080p: 69.6 vs 70.7 Mrays/s for the two-kernel form — the
+    # separate refine overlaps better with the minarg grid, so the
+    # fusion is OPT-IN, kept for callers that want one launch.
+    fused = fuse_fetch and tpad == tt_eff
 
     def intersect(rays: Rays) -> Hits:
         r = rays.p[0].shape[0]
