@@ -124,11 +124,25 @@ def _sort_lanes(st: LazyState, scene_lo, scene_inv) -> LazyState:
     key = (octant << jnp.uint32(27)) | (cell >> jnp.uint32(3))
     leaves, treedef = jax.tree.flatten(st)
     vec_idx = [i for i, a in enumerate(leaves) if a.ndim != 0]
-    sorted_ops = jax.lax.sort(
-        [key] + [leaves[i] for i in vec_idx], dimension=0, num_keys=1
-    )
-    for j, i in enumerate(vec_idx):
-        leaves[i] = sorted_ops[1 + j]
+    # XLA:TPU variadic-sort COMPILE time is superlinear in operand
+    # count and effectively hangs above ~25 operands (measured round
+    # 3: 8 payloads 86 s stable / ~40 s unstable, 20 payloads 373 s
+    # stable / 212 s unstable, 27+ never returned). Chunk the
+    # payloads into groups of 13 (130 s total compile, 63 ms/call at
+    # 2M lanes measured); every chunk sorts by the UNIQUE compound
+    # key (key, iota) with is_stable=False — a total order, so each
+    # chunk computes the identical permutation, and it equals the
+    # stable-by-key permutation exactly.
+    iota = jnp.arange(st.samples.shape[0], dtype=jnp.int32)
+    CHUNK = 13
+    for i0 in range(0, len(vec_idx), CHUNK):
+        grp = vec_idx[i0:i0 + CHUNK]
+        sorted_ops = jax.lax.sort(
+            [key, iota] + [leaves[i] for i in grp], dimension=0,
+            num_keys=2, is_stable=False,
+        )
+        for j, i in enumerate(grp):
+            leaves[i] = sorted_ops[2 + j]
     return jax.tree.unflatten(treedef, leaves)
 
 
@@ -187,8 +201,8 @@ def make_lazy_pipeline(tris, *, cs: int = 512, tr: int = 256,
         def body(carry):
             rows, vis2d, pend = carry
             srt = jax.lax.sort(
-                [(~pend).astype(jnp.int32), iota], num_keys=1,
-                is_stable=True,
+                [(~pend).astype(jnp.int32), iota], num_keys=2,
+                is_stable=False,
             )
             idx = srt[1][:u4]
             sr = Rays(

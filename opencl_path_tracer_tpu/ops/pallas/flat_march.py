@@ -345,7 +345,7 @@ def make_flat_march_intersect(tris: TrianglesSoA, *, cs: int = 256,
             skey = (octant << jnp.uint32(27)) | (cell >> jnp.uint32(3))
             srt = jax.lax.sort(
                 [skey, iota] + [rays8[k] for k in range(6)],
-                num_keys=1, is_stable=True,
+                num_keys=2, is_stable=False,
             )
             order_l = srt[1]
             rays8s = jnp.stack(
@@ -399,8 +399,8 @@ def make_flat_march_intersect(tris: TrianglesSoA, *, cs: int = 256,
         def body(carry):
             best, resolved = carry
             srt3 = jax.lax.sort(
-                [resolved.astype(jnp.int32), iota], num_keys=1,
-                is_stable=True,
+                [resolved.astype(jnp.int32), iota], num_keys=2,
+                is_stable=False,
             )
             idx = srt3[1][:u4]
             sr = Rays(

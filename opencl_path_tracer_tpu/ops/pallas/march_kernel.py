@@ -524,7 +524,7 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         # 83k wrong "certified" lanes in the composed program; staged
         # runs materialize the sort once and were exact).
         srt = jax.lax.sort([skey, iota] + [rays8[k] for k in range(6)],
-                           num_keys=1, is_stable=True)
+                           num_keys=2, is_stable=False)
         order_l = srt[1]
         rays8s = jnp.stack(
             list(srt[2:]) + [jnp.zeros((rpad,), jnp.float32)] * 2
@@ -586,7 +586,7 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         # ---- round 2: compacted re-march of the uncertified ----
         u2 = min(max(tr, _round_up(rpad // 4, tr)), rpad)
         srt2 = jax.lax.sort([res.astype(jnp.int32), iota],
-                            num_keys=1, is_stable=True)
+                            num_keys=2, is_stable=False)
         idx2 = jax.lax.optimization_barrier(srt2[1][:u2])
         rays2 = jnp.stack([rays8s[k][idx2] for k in range(6)]
                           + [jnp.zeros((u2,), jnp.float32)] * 2)
@@ -630,8 +630,8 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         def body2(carry):
             best, resolved = carry
             srt3 = jax.lax.sort(
-                [resolved.astype(jnp.int32), iota], num_keys=1,
-                is_stable=True,
+                [resolved.astype(jnp.int32), iota], num_keys=2,
+                is_stable=False,
             )
             idx = srt3[1][:u4]
             sr = Rays(
