@@ -53,6 +53,13 @@ def make_isect(scene, accel: str, on_cpu: bool):
         )
         isect, _rt = make_march_intersect(scene.tris, interpret=on_cpu)
         return isect
+    if accel == "flat":
+        from opencl_path_tracer_tpu.ops.pallas.flat_march import (
+            make_flat_march_intersect,
+        )
+        isect, _rt = make_flat_march_intersect(scene.tris,
+                                               interpret=on_cpu)
+        return isect
     if accel == "pair":
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
             make_pair_intersect,
@@ -324,7 +331,7 @@ def main() -> int:
     ap.add_argument("--accel", default="auto",
                     choices=["auto", "pair", "group", "cluster", "bvh",
                              "bruteforce", "pallas", "minarg",
-                             "march"])
+                             "march", "flat"])
     ap.add_argument("--chunk", type=int, default=8,
                     help="wavefront steps per device program")
     ap.add_argument("--lanes", type=int, default=1,
