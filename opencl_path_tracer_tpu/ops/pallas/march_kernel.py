@@ -516,13 +516,15 @@ def make_march_intersect(tris: TrianglesSoA, *, cs: int = 512,
         )
         skey = (octant << jnp.uint32(27)) | (cell >> jnp.uint32(3))
         iota = jnp.arange(rpad, dtype=jnp.int32)
-        # STABLE sort + immediate barrier: skey has heavy ties (coarse
-        # morton cells), and an unstable sort rematerialized by XLA
-        # for a second consumer can produce a DIFFERENT tie order — the
-        # certification then reasons about a different lane
-        # permutation than the kernel marched (round-3 root cause of
-        # 83k wrong "certified" lanes in the composed program; staged
-        # runs materialize the sort once and were exact).
+        # DETERMINISTIC permutation required: skey has heavy ties
+        # (coarse morton cells), and a tie-arbitrary sort
+        # rematerialized by XLA for a second consumer can produce a
+        # DIFFERENT tie order — the certification then reasons about
+        # a different lane permutation than the kernel marched
+        # (round-3 forensics). The (skey, iota) compound key is a
+        # TOTAL order, so this num_keys=2 unstable sort computes
+        # exactly the stable-by-skey permutation — while dodging the
+        # stable-sort compile-time cliff (docs/BENCHMARKS.md).
         srt = jax.lax.sort([skey, iota] + [rays8[k] for k in range(6)],
                            num_keys=2, is_stable=False)
         order_l = srt[1]
