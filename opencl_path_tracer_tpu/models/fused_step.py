@@ -32,7 +32,6 @@ the estimator remains unbiased (draw values are i.i.d. across keys).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import numpy as np

@@ -24,7 +24,6 @@ runs brute-force (ops.intersect.first_intersect), BVH-accelerated
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable
 
 import jax
@@ -33,7 +32,7 @@ import jax.numpy as jnp
 from opencl_path_tracer_tpu.core.camera import Camera
 from opencl_path_tracer_tpu.core.materials import MaterialsSoA
 from opencl_path_tracer_tpu.core.types import (
-    Hits, Rays, V3, vadd, vdot, vmul, vneg, vnormalize, vscale, vsub,
+    Hits, Rays, V3, vadd, vdot, vmul, vneg, vnormalize, vscale,
     vwhere,
 )
 from opencl_path_tracer_tpu.ops import bsdf, raygen, rng

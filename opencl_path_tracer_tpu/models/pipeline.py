@@ -22,7 +22,6 @@ tracing (prog.cl:292-389) — reorganized for MXU + HBM economics.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

@@ -23,7 +23,6 @@ a jax.sharding.Mesh with XLA collectives over ICI:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
