@@ -104,6 +104,14 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
             scene.tris, interpret=jax.default_backend() == "cpu"
         )
         return isect
+    if accel == "flat":
+        from opencl_path_tracer_tpu.ops.pallas.flat_march import (
+            make_flat_march_intersect,
+        )
+        isect, _rt = make_flat_march_intersect(
+            scene.tris, interpret=jax.default_backend() == "cpu"
+        )
+        return isect
     if accel == "group":
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
             make_group_intersect,
