@@ -133,13 +133,22 @@ def sort_state(st: WavefrontState,
     key = (octant << jnp.uint32(27)) | (cell >> jnp.uint32(3))
 
     leaves, treedef = jax.tree.flatten(st)
-    scalars = [(i, a) for i, a in enumerate(leaves) if a.ndim == 0]
     vec_idx = [i for i, a in enumerate(leaves) if a.ndim != 0]
-    sorted_ops = jax.lax.sort(
-        [key] + [leaves[i] for i in vec_idx], dimension=0, num_keys=1
-    )
-    for j, i in enumerate(vec_idx):
-        leaves[i] = sorted_ops[1 + j]
+    # Chunked 2-key sorts: XLA:TPU variadic-sort compile time is
+    # superlinear in operand count (8 payloads ~40 s, 27+ hangs —
+    # docs/BENCHMARKS.md round 3). The (key, iota) compound key is a
+    # total order, so every chunk computes the identical permutation
+    # (= the stable-by-key one).
+    iota = jnp.arange(st.samples.shape[0], dtype=jnp.int32)
+    CHUNK = 13
+    for i0 in range(0, len(vec_idx), CHUNK):
+        grp = vec_idx[i0:i0 + CHUNK]
+        sorted_ops = jax.lax.sort(
+            [key, iota] + [leaves[i] for i in grp], dimension=0,
+            num_keys=2, is_stable=False,
+        )
+        for j, i in enumerate(grp):
+            leaves[i] = sorted_ops[2 + j]
     return jax.tree.unflatten(treedef, leaves)
 
 
