@@ -256,12 +256,9 @@ def run_lazy_march(clist, rays8, feat, best_rows, vis, scene,
 
 def unvisited_mask(vis: jnp.ndarray, C: int) -> jnp.ndarray:
     """(CW, N) uint32 bitmask -> (C, N) bool 'cluster c NOT visited'."""
-    cw = vis.shape[0]
-    words = vis.reshape(cw, 1, -1)
     c_iota = jnp.arange(C, dtype=jnp.uint32)
     w_of = (c_iota // 32).astype(jnp.int32)
     b_of = (c_iota % 32).astype(jnp.uint32)
     sel = jnp.take(vis, w_of, axis=0)            # (C, N)
     bits = jnp.right_shift(sel, b_of[:, None]) & jnp.uint32(1)
-    del words
     return bits == 0
