@@ -65,6 +65,12 @@ def make_isect(scene, accel: str, on_cpu: bool):
             make_pair_intersect,
         )
         return make_pair_intersect(scene.tris, interpret=on_cpu)
+    if accel == "pairmx":
+        from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+            make_pair_intersect,
+        )
+        return make_pair_intersect(scene.tris, interpret=on_cpu,
+                                   mxu=True, trp=512)
     if accel == "group":
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
             make_group_intersect,
@@ -329,9 +335,9 @@ def main() -> int:
                     choices=["wavefront", "megakernel", "fused",
                              "lazy"])
     ap.add_argument("--accel", default="auto",
-                    choices=["auto", "pair", "group", "cluster", "bvh",
-                             "bruteforce", "pallas", "minarg",
-                             "march", "flat"])
+                    choices=["auto", "pair", "pairmx", "group",
+                             "cluster", "bvh", "bruteforce", "pallas",
+                             "minarg", "march", "flat"])
     ap.add_argument("--chunk", type=int, default=8,
                     help="wavefront steps per device program")
     ap.add_argument("--lanes", type=int, default=1,

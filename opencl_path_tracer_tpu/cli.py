@@ -173,7 +173,7 @@ def main(argv=None) -> int:
         p.add_argument("--accel", default="auto",
                        choices=["auto", "bvh", "median", "bruteforce",
                                 "pallas", "cluster", "group", "pair",
-                                "minarg", "march", "flat"])
+                                "pairmx", "minarg", "march", "flat"])
         p.add_argument("--accel-force", action="store_true",
                        help="override the TPU backend gate (run "
                             "measured-dominated or device-unsafe "

@@ -1,0 +1,317 @@
+"""MXU pairs round for the pair-expansion intersector (pair v5).
+
+Round-3 forensics (docs/BENCHMARKS.md "Why the stress workload costs
+what it costs"): pair v4 spends ~190 ms/step in `_pair_kernel`, a pure
+VPU kernel running the m_k triangle test at ~47 Gtests/s — while the
+march/flat kernels run the SAME test as a bf16 Plucker matmul on the
+MXU with an exact-f32 t tail at ~78 Gtests/s. This module swaps the
+pairs-round compute onto that proven path:
+
+  * pairs are cluster-sorted exactly as in v4 (`sorted_intersect.
+    _pairs_round`), but the kernel is a VISIT-LIST grid instead of a
+    while-loop-with-DMA: visit v tests tile vb[v] against cluster
+    vc[v], with the cluster's Plucker/refine blocks fetched by
+    scalar-prefetch BlockSpecs (Pallas double-buffers them; v4's
+    in-kernel DMA waits serialized ~100 KB per run).
+  * the visit list is runs ∪ tile-starts. Because every test result is
+    min-merged per pair and later per ray, a tile that spans a run
+    boundary simply tests ALL its pairs against BOTH clusters — extra
+    coverage only lowers best_t with real hits, so no in-run masking
+    is needed and the certificate logic of v4 is untouched.
+  * per-visit math is `flat_march._flat_kernel`'s body: conservative
+    bf16 edge tests (per-lane adaptive eps from build_march_scene),
+    bit-exact f32 t, top-2 + in-kernel exact refine via the 3-split
+    one-hot fetch. Lanes whose top-2 are both spurious accepts raise
+    a sticky per-ray `pend` flag; the caller keeps such rays
+    unresolved until the unconditional dense tail certifies them — the
+    same net that already guards capacity overflow, so exactness stays
+    unconditional.
+
+Scope: consumed by `sorted_intersect.make_pair_intersect(mxu=True)`.
+Reference anchor: /root/reference/prog.cl:94-122 (triangle test) and
+:144-184 (kd traversal — the capability this path reimplements as
+sorted pair expansion on a SIMD machine).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import BIG
+from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import plucker_feat
+
+
+def build_visits(keys_s: jnp.ndarray, trp: int, c: int):
+    """Cluster-sorted pair keys -> (vb, vc) visit lists.
+
+    keys_s: (Ppad,) i32 ascending, values in [0, c] (c = dummy).
+    Returns vb (V,) i32 non-decreasing tile ids and vc (V,) i32
+    cluster ids (-1 = skip visit), V = Ppad//trp + c + 1 static.
+
+    Construction: one event per RUN START (cluster c's first pair) and
+    one per TILE START (the run covering position b*trp), merged by
+    position. Every tile gets >= 1 visit (its covering run's tile
+    event), so every output block is initialized and flushed. Empty
+    runs and the dummy run emit vc = -1. Built entirely from
+    searchsorted on the (c+2)-entry run-start table — no O(P) gathers.
+    """
+    ppad = keys_s.shape[0]
+    b = ppad // trp
+    cids = jnp.arange(c + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(keys_s, cids).astype(jnp.int32)  # (c+1,)
+    starts_ext = jnp.concatenate(
+        [starts, jnp.array([ppad], jnp.int32)]
+    )
+    cnt = starts_ext[1:] - starts_ext[:-1]                     # (c+1,)
+    pe_run = jnp.minimum(starts, ppad - 1)
+    ce_run = jnp.where((cnt > 0) & (cids < c), cids, -1)
+    tp = jnp.arange(b, dtype=jnp.int32) * trp
+    cov = (
+        jnp.searchsorted(starts, tp, side="right").astype(jnp.int32)
+        - 1
+    )
+    ce_tile = jnp.where(cov < c, cov, -1)
+    pe = jnp.concatenate([pe_run, tp])
+    ce = jnp.concatenate([ce_run, ce_tile])
+    pe_s, ce_s = jax.lax.sort([pe, ce], num_keys=2)
+    return pe_s // trp, ce_s
+
+
+def _pair_visit_kernel(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
+                       tric_ref, tab3_ref, t_ref, nx_ref, ny_ref,
+                       nz_ref, m_ref, p_ref, acc_ref, *, cs: int,
+                       V: int):
+    """Visit v: test every pair in tile vb[v] against cluster vc[v]
+    and min-merge into the tile's running best (VMEM scratch, init =
+    miss at the tile's first visit, flushed at its last).
+
+    Body mirrors flat_march._flat_kernel (MXU bf16 Plucker edge tests
+    with per-lane adaptive eps, exact f32 t, top-2 + 3-split one-hot
+    exact refine, pend on double-spurious) — duplicated rather than
+    shared because the two kernels evolve independently and the flat
+    kernel initializes from round-0 rows instead of miss rows."""
+    v = pl.program_id(0)
+    b = vb_ref[v]
+    cid = vc_ref[v]
+    prev_b = vb_ref[jnp.maximum(v - 1, 0)]
+    first = (v == 0) | (prev_b != b)
+    nxt_b = vb_ref[jnp.minimum(v + 1, V - 1)]
+    last = (v == V - 1) | (nxt_b != b)
+
+    @pl.when(first)
+    def _():
+        trp = acc_ref.shape[1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, trp), 0)
+        acc_ref[:] = jnp.where(row == 0, BIG, 0.0).astype(jnp.float32)
+
+    @pl.when(cid >= 0)
+    def _():
+        rays = ray_ref[:]
+        px, py, pz = rays[0:1], rays[1:2], rays[2:3]
+        dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
+        feat = feat_ref[:]
+        trig = trig_ref[:]                      # (3cs, 32) bf16
+        tric = tric_ref[:]                      # (cs, 24) f32
+        tab3 = tab3_ref[:]                      # (64, cs) bf16
+
+        def col(k):
+            return tric[:, k:k + 1]
+
+        dots = jax.lax.dot_general(
+            trig, feat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        e1d = dots[0:cs]
+        e2d = dots[cs:2 * cs]
+        e3d = dots[2 * cs:3 * cs]
+        vn = col(0) * dx + col(1) * dy + col(2) * dz
+        tnum = col(3) - (col(0) * px + col(1) * py + col(2) * pz)
+        t = tnum / vn
+        pos = vn > 0.0
+        cxa = jnp.abs(py * dz - pz * dy)
+        cya = jnp.abs(pz * dx - px * dz)
+        cza = jnp.abs(px * dy - py * dx)
+        ml = jnp.maximum(jnp.maximum(cxa, cya), cza)    # (1, TRP)
+        ep1 = col(17) * ml + col(20)
+        ep2 = col(18) * ml + col(21)
+        ep3 = col(19) * ml + col(22)
+        va = (e1d >= -ep1) & (e2d >= -ep2) & (e3d >= -ep3)
+        vb_ = (e1d <= ep1) & (e2d <= ep2) & (e3d <= ep3)
+        valid = ((pos & va) | (~pos & vb_)) & (t > 0.0)
+        tm = jnp.where(valid, t, BIG)
+
+        m1 = jnp.min(tm, axis=0)
+        a1 = jnp.argmin(tm, axis=0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+        tm2 = jnp.where(sub == a1[None, :], BIG, tm)
+        m2 = jnp.min(tm2, axis=0)
+        a2 = jnp.argmin(tm2, axis=0)
+
+        def exact_rows(a):
+            onehot = jnp.where(
+                sub == a[None, :], 1.0, 0.0
+            ).astype(jnp.bfloat16)              # (cs, TRP)
+            rows3 = jax.lax.dot_general(
+                tab3, onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rows = rows3[0:17] + rows3[17:34] + rows3[34:51]
+
+            def c(k):
+                return rows[k:k + 1, :]
+
+            pn_ = c(0) * px + c(1) * py + c(2) * pz
+            vn_ = c(0) * dx + c(1) * dy + c(2) * dz
+            t_ = (c(3) - pn_) / vn_
+            pm1 = c(4) * px + c(5) * py + c(6) * pz
+            vm1 = c(4) * dx + c(5) * dy + c(6) * dz
+            pm2 = c(8) * px + c(9) * py + c(10) * pz
+            vm2 = c(8) * dx + c(9) * dy + c(10) * dz
+            pm3 = c(12) * px + c(13) * py + c(14) * pz
+            vm3 = c(12) * dx + c(13) * dy + c(14) * dz
+            ok = (
+                (t_ > 0.0)
+                & (pm1 + t_ * vm1 >= c(7))
+                & (pm2 + t_ * vm2 >= c(11))
+                & (pm3 + t_ * vm3 >= c(15))
+            )
+            return ok[0, :], rows
+
+        v1, rows1 = exact_rows(a1)
+        v2, rows2 = exact_rows(a2)
+        has1 = m1 < BIG
+        has2 = m2 < BIG
+        v1 = v1 & has1
+        v2 = v2 & has2
+        use2 = (~v1) & v2
+        found = v1 | use2
+        pend = (~v1) & (~v2) & has2
+
+        ct = jnp.where(use2, m2, m1)
+        ca = jnp.where(use2, a2, a1)
+
+        def pick(k):
+            return jnp.where(use2, rows2[k, :], rows1[k, :])
+
+        cnx, cny, cnz, cm = pick(0), pick(1), pick(2), pick(16)
+        cg = (cid * cs + ca).astype(jnp.float32)
+
+        ot = acc_ref[0, :]
+        og = acc_ref[5, :]
+        bet = found & ((ct < ot) | ((ct == ot) & (cg < og)))
+        acc_ref[0, :] = jnp.where(bet, ct, ot)
+        acc_ref[1, :] = jnp.where(bet, cnx, acc_ref[1, :])
+        acc_ref[2, :] = jnp.where(bet, cny, acc_ref[2, :])
+        acc_ref[3, :] = jnp.where(bet, cnz, acc_ref[3, :])
+        acc_ref[4, :] = jnp.where(bet, cm, acc_ref[4, :])
+        acc_ref[5, :] = jnp.where(bet, cg, og)
+        acc_ref[6, :] = jnp.maximum(acc_ref[6, :],
+                                    pend.astype(jnp.float32))
+
+    @pl.when(last)
+    def _():
+        t_ref[0, :] = acc_ref[0, :]
+        nx_ref[0, :] = acc_ref[1, :]
+        ny_ref[0, :] = acc_ref[2, :]
+        nz_ref[0, :] = acc_ref[3, :]
+        m_ref[0, :] = acc_ref[4, :]
+        p_ref[0, :] = acc_ref[6, :]
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _run_pair_visits(vb, vc, rays8p, featp, scene, cs: int, trp: int,
+                     interpret: bool):
+    """rays8p: (8, Ppad) sorted pairs; featp: (32, Ppad) bf16 Plucker
+    features of the pair rays. Returns 6 rows (1, Ppad):
+    t (BIG = miss), nx, ny, nz, m, pend."""
+    ppad = rays8p.shape[1]
+    V = vb.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(V,),
+        in_specs=[
+            pl.BlockSpec((8, trp), lambda v, vb, vc: (0, vb[v])),
+            pl.BlockSpec((32, trp), lambda v, vb, vc: (0, vb[v])),
+            pl.BlockSpec(
+                (3 * cs, 32),
+                lambda v, vb, vc: (jnp.maximum(vc[v], 0), 0),
+            ),
+            pl.BlockSpec(
+                (cs, 24),
+                lambda v, vb, vc: (jnp.maximum(vc[v], 0), 0),
+            ),
+            pl.BlockSpec(
+                (64, cs),
+                lambda v, vb, vc: (0, jnp.maximum(vc[v], 0)),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, trp), lambda v, vb, vc: (0, vb[v])),
+        ] * 6,
+        scratch_shapes=[pltpu.VMEM((8, trp), jnp.float32)],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_pair_visit_kernel, cs=cs, V=V),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, ppad), jnp.float32)] * 6,
+        interpret=interpret,
+    )(vb, vc, rays8p, featp, scene.trig, scene.tric, scene.tab3)
+    return outs
+
+
+def pairs_round_mxu(comps, ids, scene, c: int, cs: int, trp: int,
+                    interpret: bool):
+    """MXU twin of sorted_intersect._pairs_round. comps: 6 (R,) ray
+    component arrays; ids: (L, R) rank-major candidate cluster ids
+    (c = none); cs = cluster size of the scene packs. Returns
+    ((t, nx, ny, nz, m) per-ray best, pend (R,) bool — some tested
+    cluster of the ray ended pend, so its result may be incomplete
+    and the ray must stay unresolved)."""
+    l, r = ids.shape
+    p = r * l
+    keys = ids.reshape(-1)
+    expand = [jnp.tile(x, l) for x in comps]
+    pslot = jnp.arange(p, dtype=jnp.int32)
+    ppad = -(-p // trp) * trp
+    if ppad != p:
+        keys = jnp.concatenate(
+            [keys, jnp.full((ppad - p,), c, keys.dtype)]
+        )
+        expand = [
+            jnp.concatenate([x, jnp.zeros((ppad - p,), x.dtype)])
+            for x in expand
+        ]
+        pslot = jnp.concatenate(
+            [pslot, jnp.arange(p, ppad, dtype=jnp.int32)]
+        )
+    srt = jax.lax.sort([keys, *expand, pslot], num_keys=1)
+    keys_s, comps_s, pslot_s = srt[0], srt[1:7], srt[7]
+    zeros = jnp.zeros(keys_s.shape, jnp.float32)
+    rays8p = jnp.stack([*comps_s, zeros, zeros], axis=0)
+    featp = plucker_feat(rays8p)
+    vb, vc = build_visits(keys_s, trp, c)
+    t, nx, ny, nz, m, pd = (
+        o[0] for o in _run_pair_visits(
+            vb, vc, rays8p, featp, scene, cs, trp, interpret,
+        )
+    )
+    back = jax.lax.sort([pslot_s, t, nx, ny, nz, m, pd], num_keys=1)
+    back = [a[:p] for a in back]
+    t_lr = back[1].reshape(l, r)
+    best = jnp.min(t_lr, axis=0)
+    which = jnp.argmin(t_lr, axis=0)
+    onehot = (jnp.arange(l, dtype=jnp.int32)[:, None]
+              == which[None, :]).astype(jnp.float32)
+
+    def pick(a):
+        return jnp.sum(a.reshape(l, r) * onehot, axis=0)
+
+    pend = jnp.max(back[6].reshape(l, r), axis=0) > 0.0
+    return (best, pick(back[2]), pick(back[3]), pick(back[4]),
+            pick(back[5])), pend

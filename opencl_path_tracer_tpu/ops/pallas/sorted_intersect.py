@@ -595,7 +595,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                         l1: int = 8, l2: int = 8, l3: int = 48,
                         trp: int = 1024, trb: int = 512,
                         u2_frac: int = 2, u3_frac: int = 32,
-                        tail: int = 8192,
+                        tail: int = 8192, mxu: bool = False,
                         interpret: bool = False):
     """Pair-expansion intersector for large scenes (hundreds of
     clusters, incoherent rays).
@@ -621,6 +621,13 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
          workload (the tail absorbs rays needing rank > l3 and any
          capacity overflow; its iteration count, not correctness,
          depends on the workload).
+    `mxu=True` swaps the pairs-round compute onto the MXU Plucker
+    kernel (ops/pallas/pair_mxu.py, march-scene packs, visit-list
+    grid, in-kernel exact refine + sticky per-ray pend) — same
+    schedule, same certificates, same unconditional tail; the pend
+    flag only ever forces MORE rays through the tail, never fewer
+    tests, so exactness is unchanged.
+
     Hit results equal the dense kernel's for all inputs; capacities
     and schedule only trade time. Defaults (v5e-measured, 100k-tri
     stress scene): l1=8 certifies 86% of real wavefront rays in round
@@ -644,19 +651,46 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
     big_isect = (make_pallas_intersect(big, interpret=interpret)
                  if big is not None else None)
 
-    scene, c, k = build_clusters(rest, cluster_size, split_large=False)
-    boxes = scene.boxes
+    if mxu:
+        # MXU pairs round (pair v5): march-scene Plucker packs +
+        # visit-list kernel; the schedule below is shared with v4 and
+        # additionally threads the per-ray pend flag (see pair_mxu).
+        from opencl_path_tracer_tpu.ops.pallas.march_kernel import (
+            build_march_scene,
+        )
+        from opencl_path_tracer_tpu.ops.pallas.pair_mxu import (
+            pairs_round_mxu,
+        )
+        mscene, _rt, c = build_march_scene(rest, cluster_size)
+        boxes = jnp.concatenate(
+            [mscene.boxes_lo, mscene.boxes_hi,
+             jnp.zeros((c, 2), jnp.float32)], axis=1,
+        )
+
+        def run_pairs_fn(comps_in, ids):
+            return pairs_round_mxu(comps_in, ids, mscene, c,
+                                   cluster_size, trp, interpret)
+    else:
+        scene, c, _k = build_clusters(rest, cluster_size,
+                                      split_large=False)
+        boxes = scene.boxes
+        # Dummy cluster C: all-zero (never-hit) triangles for invalid
+        # pairs.
+        tri_pack = jnp.concatenate(
+            [scene.tri_pack,
+             jnp.zeros((1,) + scene.tri_pack.shape[1:], jnp.float32)]
+        )
+        resident = interpret  # no DMA emulation on the interpret path
+
+        def run_pairs_fn(comps_in, ids):
+            return _pairs_round(comps_in, ids, tri_pack, trp,
+                                interpret, resident), None
+
     cp = -(-c // 128) * 128
     boxes_r = jnp.zeros((cp, 8), jnp.float32).at[:c, :].set(boxes)
-    # Dummy cluster C: all-zero (never-hit) triangles for invalid pairs.
-    tri_pack = jnp.concatenate(
-        [scene.tri_pack,
-         jnp.zeros((1,) + scene.tri_pack.shape[1:], jnp.float32)]
-    )
     l1 = min(l1, c)
     l2 = min(l2, c)
     l3 = min(l3, c)
-    resident = interpret  # no DMA emulation on the interpret path
     # Unconditional: also the safety net for rays that overflow the
     # escalation prefix capacities (without it they'd silently keep
     # their round-1 best — a latent wrong-hit, not just a slow path).
@@ -693,11 +727,14 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         ids1, _ent1, nxt1 = _run_candidates(
             rays8t, boxes_r, l1, c, trb, interpret
         )
-        best = _merge_best(
-            best0, _pairs_round(comps, ids1, tri_pack, trp, interpret,
-                                resident)
-        )
+        new1, pend_ray = run_pairs_fn(comps, ids1)
+        best = _merge_best(best0, new1)
         resolved = ((best[0] <= nxt1) | (nxt1 >= BIG))
+        if pend_ray is not None:
+            # A pend pair (both top-2 bf16 candidates spurious) means
+            # that cluster's test may be incomplete: the ray must not
+            # certify until the dense tail re-tests it exhaustively.
+            resolved = resolved & ~pend_ray
 
         # Escalations never permute the per-ray arrays: unresolved rays
         # are COMPACTED via a 2-array (flag, iota) sort + u-row gathers,
@@ -725,7 +762,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         done = jnp.full((rpad,), l1, jnp.int32)
         maxrank = min(l3, c)
 
-        def escalation(best, resolved, done, u, w, sel):
+        def escalation(best, resolved, done, pend, u, w, sel):
             """Gather the first u unresolved rays; test each one's next
             w untested candidate ranks; scatter-merge. `sel` is the
             static candidate-selection depth for this call — every ray
@@ -753,8 +790,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                 ),
                 c,                                           # dummy
             )
-            new_sub = _pairs_round(sub, ids, tri_pack, trp, interpret,
-                                   resident)
+            new_sub, pend_sub = run_pairs_fn(sub, ids)
             merged = _merge_best(tuple(b[idx] for b in best), new_sub)
             best2 = tuple(
                 b.at[idx].set(m) for b, m in zip(best, merged)
@@ -771,20 +807,27 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                 nxt,
             )
             res_sub = (merged[0] <= bound) | (bound >= BIG)
+            if pend is not None:
+                # Sticky pend: once any of a ray's tested clusters
+                # ended pend, only the dense tail may resolve it.
+                pend = pend.at[idx].set(pend[idx] | pend_sub)
+                res_sub = res_sub & ~pend[idx]
             # Guard already-resolved rays in the (padded) prefix: keep
             # their True flag.
             res2 = resolved.at[idx].set(resolved[idx] | res_sub)
             # Monotone march progress: already-resolved rays gathered as
             # prefix padding may be handed a shallower sel than ranks
             # they already tested — never lower their done.
-            return best2, res2, done.at[idx].set(jnp.maximum(d0, d1))
+            return (best2, res2, done.at[idx].set(jnp.maximum(d0, d1)),
+                    pend)
 
         # Round 2: one wide pass over a large unresolved prefix.
         unit = max(trp, trb)
         if l2 > l1:
             u2 = max(unit, (rpad // u2_frac // unit) * unit)
-            best, resolved, done = escalation(
-                best, resolved, done, u2, l2 - l1, min(maxrank, l2)
+            best, resolved, done, pend_ray = escalation(
+                best, resolved, done, pend_ray, u2, l2 - l1,
+                min(maxrank, l2)
             )
         # Round 3: ONE catch-all escalation testing every remaining
         # rank (window = maxrank - l2), then a small-capacity while
@@ -802,29 +845,30 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             # — small capacity, window to maxrank. Splitting the
             # catch-all this way halves its dummy-pair sort volume.
             u3a = max(unit, (rpad // u2_frac // 4 // unit) * unit)
-            best, resolved, done = escalation(
-                best, resolved, done, u3a, 8, min(maxrank, l2 + 8)
+            best, resolved, done, pend_ray = escalation(
+                best, resolved, done, pend_ray, u3a, 8,
+                min(maxrank, l2 + 8)
             )
             u3b = max(unit, (rpad // u2_frac // 16 // unit) * unit)
-            best, resolved, done = escalation(
-                best, resolved, done, u3b, w3, maxrank
+            best, resolved, done, pend_ray = escalation(
+                best, resolved, done, pend_ray, u3b, w3, maxrank
             )
             u3 = max(unit, (rpad // u3_frac // unit) * unit)
 
             def body3(carry):
-                best, resolved, done, it = carry
-                best, resolved, done = escalation(
-                    best, resolved, done, u3, w3, maxrank
+                best, resolved, done, pend, it = carry
+                best, resolved, done, pend = escalation(
+                    best, resolved, done, pend, u3, w3, maxrank
                 )
-                return (best, resolved, done, it + 1)
+                return (best, resolved, done, pend, it + 1)
 
             # Exit once no unresolved ray can still make rank progress
             # (done == maxrank rays are dense-tail work, not escalation
             # work — extra passes would test only dummy pairs).
-            best, resolved, done, _ = jax.lax.while_loop(
-                lambda ca: (ca[3] < 4) & jnp.any(~ca[1]
+            best, resolved, done, pend_ray, _ = jax.lax.while_loop(
+                lambda ca: (ca[4] < 4) & jnp.any(~ca[1]
                                                  & (ca[2] < maxrank)),
-                body3, (best, resolved, done, jnp.int32(0)),
+                body3, (best, resolved, done, pend_ray, jnp.int32(0)),
             )
 
         # Tail: exhaustive dense test, looped to completion. Unlike the

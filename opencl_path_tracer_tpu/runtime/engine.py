@@ -119,12 +119,18 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
         return make_group_intersect(
             scene.tris, interpret=jax.default_backend() == "cpu"
         )
-    if accel == "pair":
+    if accel in ("pair", "pairmx"):
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
             make_pair_intersect,
         )
+        kw = {}
+        if accel == "pairmx":
+            # MXU pairs round (pair v5): trp=512 keeps the per-visit
+            # VMEM footprint (dots + temporaries) inside the scoped
+            # budget at cs=512.
+            kw = dict(mxu=True, trp=512)
         return make_pair_intersect(
-            scene.tris, interpret=jax.default_backend() == "cpu"
+            scene.tris, interpret=jax.default_backend() == "cpu", **kw
         )
     if accel == "cluster":
         from opencl_path_tracer_tpu.ops.pallas.cluster_kernel import (

@@ -87,7 +87,8 @@ def _rand_tris(t, seed=0, spread=50.0):
     )
 
 
-def test_pair_intersect_exact_with_full_capacity():
+@pytest.mark.parametrize("mxu", [False, True])
+def test_pair_intersect_exact_with_full_capacity(mxu):
     """Escalation to every rank with full prefix capacity == brute."""
     from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
         make_pair_intersect,
@@ -95,12 +96,13 @@ def test_pair_intersect_exact_with_full_capacity():
     tris = _rand_tris(3000)
     rays = _rand_rays(2048, seed=5, lo=-60.0, hi=60.0)
     pi = make_pair_intersect(tris, cluster_size=256, l1=4, l2=12,
-                             trp=512, u2_frac=1, u3_frac=1,
+                             trp=512, u2_frac=1, u3_frac=1, mxu=mxu,
                              interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, tris))
 
 
-def test_pair_intersect_enclosed_scene_default_capacity():
+@pytest.mark.parametrize("mxu", [False, True])
+def test_pair_intersect_enclosed_scene_default_capacity(mxu):
     """On an enclosed scene (every ray hits) the nearest-first
     certificate resolves almost everything in round 1, so the default
     prefix capacities suffice."""
@@ -110,7 +112,7 @@ def test_pair_intersect_enclosed_scene_default_capacity():
     scene = library.stress_scene(6000)
     rays = _rand_rays(4096, seed=7, lo=-80.0, hi=1080.0)
     pi = make_pair_intersect(scene.tris, cluster_size=256, l1=4, l2=12,
-                             trp=512, u2_frac=2, u3_frac=4,
+                             trp=512, u2_frac=2, u3_frac=4, mxu=mxu,
                              interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
 
@@ -127,7 +129,22 @@ def test_pair_intersect_small_ray_count():
     _check(pi(rays), intersect.first_intersect(rays, tris))
 
 
-def test_pair_intersect_nondivisible_pair_tiles():
+def test_pair_mxu_small_ray_count_and_tiny_tiles():
+    """trp=128 forces many run-boundary tiles (extra-coverage path)
+    and rpad >> r padding rays through the MXU kernel."""
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    tris = _rand_tris(1500, seed=2)
+    rays = _rand_rays(100, seed=9, lo=-60.0, hi=60.0)
+    pi = make_pair_intersect(tris, cluster_size=128, l1=3, l2=8,
+                             trp=128, u2_frac=1, u3_frac=1, mxu=True,
+                             interpret=True)
+    _check(pi(rays), intersect.first_intersect(rays, tris))
+
+
+@pytest.mark.parametrize("mxu", [False, True])
+def test_pair_intersect_nondivisible_pair_tiles(mxu):
     """Round-3 windows often produce pair counts that are not a tile
     multiple; the dummy-key padding must keep results exact."""
     from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
@@ -138,12 +155,71 @@ def test_pair_intersect_nondivisible_pair_tiles():
     # c=23 here: round 3 tests 11 ranks over a 128-ray prefix = 1408
     # pairs, not a multiple of trp=512.
     pi = make_pair_intersect(scene.tris, cluster_size=256, l1=4, l2=12,
-                             trp=512, u2_frac=2, u3_frac=32,
+                             trp=512, u2_frac=2, u3_frac=32, mxu=mxu,
                              interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
 
 
-def test_pair_intersect_corridor_rays_deep_march():
+def test_pair_mxu_forced_pend_funnels_through_tail(monkeypatch):
+    """The pend contract: a ray whose pair test ends pend must stay
+    unresolved until the dense tail certifies it. Force pend=True for
+    EVERY ray (worst case — e.g. a pathological eps band) and require
+    the result to still equal brute force; this exercises the sticky
+    flag through every escalation round and the tail's capacity loop
+    (tail=256 << the 2048 forced rays)."""
+    from opencl_path_tracer_tpu.ops.pallas import pair_mxu
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+
+    real = pair_mxu.pairs_round_mxu
+
+    def all_pend(comps, ids, scene, c, cs, trp, interpret):
+        best, pend = real(comps, ids, scene, c, cs, trp, interpret)
+        return best, jnp.ones_like(pend)
+
+    monkeypatch.setattr(pair_mxu, "pairs_round_mxu", all_pend)
+    tris = _rand_tris(3000)
+    rays = _rand_rays(2048, seed=5, lo=-60.0, hi=60.0)
+    pi = make_pair_intersect(tris, cluster_size=256, l1=4, l2=12,
+                             trp=512, u2_frac=2, u3_frac=4, tail=256,
+                             mxu=True, interpret=True)
+    _check(pi(rays), intersect.first_intersect(rays, tris))
+
+
+def test_pair_mxu_visit_list_properties():
+    """build_visits must cover every (tile, cluster-with-pairs) and
+    keep vb non-decreasing with every tile visited (flush guarantee),
+    for adversarial run layouts (empty runs, tile-aligned starts,
+    dummy-only tail tiles)."""
+    from opencl_path_tracer_tpu.ops.pallas.pair_mxu import build_visits
+
+    rs = np.random.default_rng(3)
+    trp, c = 64, 11
+    for trial in range(8):
+        counts = rs.integers(0, 150, size=c + 1)
+        counts[rs.integers(0, c + 1, size=3)] = 0   # empty runs
+        if trial % 2 == 0:
+            counts[0] = trp * 2                     # tile-aligned start
+        keys = np.repeat(np.arange(c + 1), counts)
+        ppad = -(-max(len(keys), 1) // trp) * trp
+        keys = np.concatenate(
+            [keys, np.full(ppad - len(keys), c)]
+        ).astype(np.int32)
+        vb, vc = (np.asarray(a)
+                  for a in build_visits(jnp.asarray(keys), trp, c))
+        assert (np.diff(vb) >= 0).all()
+        b = ppad // trp
+        visited = set(zip(vb.tolist(), vc.tolist()))
+        for bi in range(b):
+            tile_keys = set(keys[bi * trp:(bi + 1) * trp].tolist())
+            for ci in tile_keys - {c}:
+                assert (bi, ci) in visited, (trial, bi, ci)
+        assert set(vb.tolist()) == set(range(b))    # every tile flushed
+
+
+@pytest.mark.parametrize("mxu", [False, True])
+def test_pair_intersect_corridor_rays_deep_march(mxu):
     """The adversarial workload that broke v3 on TPU: rays starting
     OUTSIDE the populated region marching a long corridor of cluster
     boxes before their (far) hit — most rays uncertified after round 1
@@ -175,5 +251,5 @@ def test_pair_intersect_corridor_rays_deep_march():
     # while-loops and the dense tail, still exactly.
     pi = make_pair_intersect(scene.tris, cluster_size=256, l1=1, l2=1,
                              trp=256, trb=256, u2_frac=64, u3_frac=64,
-                             tail=256, interpret=True)
+                             tail=256, mxu=mxu, interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
