@@ -64,6 +64,12 @@ def main():
             n = P.shape[1]
             pneed = np.zeros((n,), np.int64)
             for sl, need in chunks_fn():
+                if need.shape[0] < C * k:   # sub padding != parent*k
+                    need = np.concatenate([
+                        need,
+                        np.zeros((C * k - need.shape[0],
+                                  need.shape[1]), bool),
+                    ])
                 g = need[:C * k].reshape(C, k, -1).any(1)
                 pneed[sl] = g.sum(0)
             print(
