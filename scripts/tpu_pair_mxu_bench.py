@@ -87,23 +87,35 @@ def main() -> int:
         pass
     date = datetime.date.today().isoformat()
 
-    # --- exactness: pair v5 default config vs dense ---
-    mxu0 = make_pair_intersect(scene.tris, cluster_size=512, trp=512,
-                               mxu=True)
-    jm = jax.jit(mxu0)
-    t0 = time.perf_counter()
-    hm = jm(rays)
-    jax.block_until_ready(hm.t)
-    compile_s = time.perf_counter() - t0
+    # --- exactness: pair v5 default config vs dense (fall back to a
+    # smaller tile if the default trips Mosaic scoped-VMEM limits) ---
+    jm = None
+    for cs0, trp0 in ((512, 512), (512, 256), (256, 512)):
+        try:
+            mxu0 = make_pair_intersect(scene.tris, cluster_size=cs0,
+                                       trp=trp0, mxu=True)
+            jm = jax.jit(mxu0)
+            t0 = time.perf_counter()
+            hm = jm(rays)
+            jax.block_until_ready(hm.t)
+            compile_s = time.perf_counter() - t0
+            break
+        except Exception as e:
+            print(json.dumps({"cfg": f"v5 cs={cs0} trp={trp0}",
+                              "error": repr(e)[:200]}), flush=True)
+            jm = None
+    if jm is None:
+        return 1
     print(json.dumps({
         "job": "pair_mxu_exactness", "rays": n,
+        "cfg": f"cs={cs0} trp={trp0}",
         "fields": _flips(hd, hm), "sha": sha, "date": date,
         "warmup_s": round(compile_s, 1),
     }), flush=True)
 
     # --- timing table ---
     t_v5 = _time(jm, rays)
-    print(json.dumps({"cfg": "v5 cs=512 trp=512",
+    print(json.dumps({"cfg": f"v5 cs={cs0} trp={trp0}",
                       "ms": round(t_v5 * 1e3, 1),
                       "mrays_s": round(n / t_v5 / 1e6, 2)}), flush=True)
 
