@@ -101,6 +101,63 @@ def test_sample_sharded_render_equals_single_device():
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
+def test_tiled_wavefront_with_pair_mxu_backend():
+    """Large-scene capability x mesh composition: the pair-expansion
+    intersector (MXU pairs round — sorts, visit-list Pallas kernel,
+    escalation while-loops, dense tail) must run INSIDE the tile-
+    sharded wavefront step and match the single-device step
+    bit-for-bit. This is the stress-scene analog of
+    test_tiled_wavefront_matches_single_device: the reference scales
+    its kd-traversal across the GPU grid (main.cpp:674), we scale the
+    pair traversal across the mesh."""
+    from opencl_path_tracer_tpu.models import wavefront
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    from opencl_path_tracer_tpu.parallel import make_tiled_wavefront_step
+    from opencl_path_tracer_tpu.parallel.shard import (
+        shard_wavefront_state,
+    )
+
+    w = h = 16
+    scene = library.stress_scene(1500)
+    cam = library.cornell_camera(w, h)
+    isect = make_pair_intersect(
+        scene.tris, cluster_size=128, l1=2, l2=4, l3=8, trp=128,
+        trb=128, tail=128, mxu=True, interpret=True,
+    )
+    mesh = make_render_mesh()
+    n = w * h
+
+    ref = wavefront.init_wavefront(cam, n, seed=1, mode="parity")
+    step1 = jax.jit(lambda st: wavefront.wavefront_step(
+        cam, scene.mats, st, intersect_fn=isect, iterations=2,
+        mode="parity",
+    ))
+    for _ in range(2):
+        ref = step1(ref)
+
+    st = shard_wavefront_state(
+        wavefront.init_wavefront(cam, n, seed=1, mode="parity"), mesh
+    )
+    step8 = make_tiled_wavefront_step(
+        cam, scene.mats, mesh, intersect_fn=isect, iterations=2,
+        mode="parity",
+    )
+    for _ in range(2):
+        st, _lum = step8(st)
+
+    for name in ("colors", "ray_p", "ray_d"):
+        for a, b in zip(getattr(ref, name), getattr(st, name)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for name in ("samples", "pixel", "rng_state"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(st, name)),
+        )
+
+
 def test_tiled_step_on_subset_mesh():
     w = h = 16
     scene, cam, isect = _setup(w, h)
