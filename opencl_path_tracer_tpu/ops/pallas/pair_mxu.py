@@ -46,6 +46,43 @@ from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import BIG
 from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import plucker_feat
 
 
+DOP_SIGNS = ((1.0, 1.0, 1.0), (1.0, -1.0, 1.0),
+             (1.0, 1.0, -1.0), (1.0, -1.0, -1.0))
+
+
+def build_dops(rt, cs: int, c: int) -> jnp.ndarray:
+    """Per-cluster support intervals along the 4 diagonal axes of a
+    14-DOP, over the CLUSTER-ORDERED triangles rt (build_march_scene's
+    reordered output). Returns (C, 8) f32 [lo0..lo3 | hi0..hi3],
+    inflated with the same conservative delta policy as the march
+    AABBs (containment of every vertex => the DOP slab entry is a
+    valid certificate lower bound). Offline sizing: the 14-DOP cuts
+    per-lane certificate need ~20% vs AABBs on the stress wavefront
+    (docs/BENCHMARKS.md, scripts/dop_bound_eval.py)."""
+    import numpy as np
+
+    r1 = np.asarray(rt.r1)
+    r2 = np.asarray(rt.r2)
+    r3 = np.asarray(rt.r3)
+    total = c * cs
+    pad = total - r1.shape[0]
+    out = np.zeros((c, 8), np.float32)
+    for j, s in enumerate(DOP_SIGNS):
+        u = np.asarray(s, np.float64)
+        pv = np.stack([r1 @ u, r2 @ u, r3 @ u])          # (3, T)
+        plo, phi = pv.min(0), pv.max(0)
+        if pad:
+            plo = np.concatenate([plo, np.full(pad, np.inf)])
+            phi = np.concatenate([phi, np.full(pad, -np.inf)])
+        slo = plo.reshape(c, cs).min(1)
+        shi = phi.reshape(c, cs).max(1)
+        w = np.where(np.isfinite(shi - slo), shi - slo, 0.0)
+        delta = 1e-4 * w + 1e-3
+        out[:, j] = np.where(np.isfinite(slo), slo - delta, slo)
+        out[:, 4 + j] = np.where(np.isfinite(shi), shi + delta, shi)
+    return jnp.asarray(out)
+
+
 def build_visits(keys_s: jnp.ndarray, trp: int, c: int):
     """Cluster-sorted pair keys -> (vb, vc) visit lists.
 

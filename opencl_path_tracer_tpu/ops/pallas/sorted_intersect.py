@@ -401,13 +401,18 @@ def _run_pairs(keys, rays8p, tri_pack, trp: int, interpret: bool,
     return tuple(outs[0][j] for j in range(5))
 
 
-def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int):
+def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int,
+                 dop: bool = False):
     """Fused slab + L-nearest selection for one ray tile.
 
     ray_ref: (8, TRB) rows [px py pz dx dy dz 0 0] — RAYS ON LANES,
     clusters on sublanes, matching the brute kernel's orientation (the
     rays-on-sublanes layout measured ~5x below VPU streaming rate).
-    box_ref: (CP, 8) rows [lox loy loz hix hiy hiz 0 0].
+    box_ref: (CP, 8) rows [lox loy loz hix hiy hiz 0 0]; with
+    dop=True, (CP, 16) with cols 8..16 the 4 diagonal support
+    intervals [dlo0..3 | dhi0..3] (pair_mxu.build_dops) — a 14-DOP
+    slab whose entry is tighter but still a valid certificate bound
+    (measured -20% per-lane need on the stress wavefront).
     Outputs: ids_ref (LW, TRB) f32 — row j = each ray's rank-j nearest
     passing cluster id (missing -> c); ent_ref (LW, TRB) — the entry
     distances, with the CERTIFICATE bound (entry of rank l, the first
@@ -424,11 +429,8 @@ def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int):
 
     tmin = jnp.full((cp, trb), -BIG, jnp.float32)
     tmax = jnp.full((cp, trb), BIG, jnp.float32)
-    for ax in range(3):
-        bl = box_ref[:, ax:ax + 1]           # (CP, 1)
-        bh = box_ref[:, ax + 3:ax + 4]
-        p = rays[ax:ax + 1, :]               # (1, TRB)
-        d = rays[3 + ax:4 + ax, :]
+
+    def slab_axis(tmin, tmax, bl, bh, p, d):
         d0 = d == 0.0
         inv = 1.0 / jnp.where(d0, 1.0, d)
         t1 = (bl - p) * inv                  # (CP, TRB)
@@ -438,8 +440,25 @@ def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int):
         inside = (p >= bl) & (p <= bh)
         lo_ax = jnp.where(d0, jnp.where(inside, -BIG, BIG), lo_ax)
         hi_ax = jnp.where(d0, jnp.where(inside, BIG, -BIG), hi_ax)
-        tmin = jnp.maximum(tmin, lo_ax)
-        tmax = jnp.minimum(tmax, hi_ax)
+        return jnp.maximum(tmin, lo_ax), jnp.minimum(tmax, hi_ax)
+
+    for ax in range(3):
+        tmin, tmax = slab_axis(
+            tmin, tmax, box_ref[:, ax:ax + 1],
+            box_ref[:, ax + 3:ax + 4],
+            rays[ax:ax + 1, :], rays[3 + ax:4 + ax, :],
+        )
+    if dop:
+        from opencl_path_tracer_tpu.ops.pallas.pair_mxu import DOP_SIGNS
+        px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+        dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+        for j, (sx, sy, sz) in enumerate(DOP_SIGNS):
+            pu = px + sy * py + sz * pz      # sx == 1 always
+            du = dx + sy * dy + sz * dz
+            tmin, tmax = slab_axis(
+                tmin, tmax, box_ref[:, 8 + j:9 + j],
+                box_ref[:, 12 + j:13 + j], pu, du,
+            )
     ok = (tmax >= tmin) & (tmax >= 0.0) & (subc < c)
     entry = jnp.where(ok, jnp.maximum(tmin, 0.0), BIG)
 
@@ -461,21 +480,22 @@ def _cand_kernel(ray_ref, box_ref, ids_ref, ent_ref, *, l: int, c: int):
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _run_candidates(rays8t, boxes_r, l: int, c: int, trb: int,
                     interpret: bool):
-    """rays8t: (8, Rpad) packed rays; boxes_r: (Cp, 8). Returns
-    RANK-MAJOR (ids (l, Rpad) i32, entries (l, Rpad),
+    """rays8t: (8, Rpad) packed rays; boxes_r: (Cp, 8), or (Cp, 16)
+    with DOP support columns (the kernel switches on the width).
+    Returns RANK-MAJOR (ids (l, Rpad) i32, entries (l, Rpad),
     entry_next (Rpad,)) — ray-major (Rpad, l) arrays tile T(8,128)
     with a 16x-padded minor dim."""
     rpad = rays8t.shape[1]
-    cp = boxes_r.shape[0]
+    cp, boxw = boxes_r.shape
     lw = max(16, _round_up(l + 1, 8))
-    kern = functools.partial(_cand_kernel, l=l, c=c)
+    kern = functools.partial(_cand_kernel, l=l, c=c, dop=boxw == 16)
     ids_f, ent = pl.pallas_call(
         kern,
         grid=(rpad // trb,),
         in_specs=[
             pl.BlockSpec((8, trb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cp, 8), lambda i: (0, 0),
+            pl.BlockSpec((cp, boxw), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -596,6 +616,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                         trp: int = 1024, trb: int = 512,
                         u2_frac: int = 2, u3_frac: int = 32,
                         tail: int = 8192, mxu: bool = False,
+                        dop: bool = False,
                         interpret: bool = False):
     """Pair-expansion intersector for large scenes (hundreds of
     clusters, incoherent rays).
@@ -645,6 +666,11 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         make_pallas_intersect,
     )
 
+    if dop and not mxu:
+        raise ValueError(
+            "dop=True requires mxu=True (DOP supports are built from "
+            "the march scene's cluster-ordered triangles)"
+        )
     big, rest = split_by_size(tris)
     if rest is None:   # degenerate: everything is scene-spanning
         return make_pallas_intersect(tris, interpret=interpret)
@@ -659,13 +685,20 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             build_march_scene,
         )
         from opencl_path_tracer_tpu.ops.pallas.pair_mxu import (
-            pairs_round_mxu,
+            build_dops, pairs_round_mxu,
         )
         mscene, _rt, c = build_march_scene(rest, cluster_size)
         boxes = jnp.concatenate(
             [mscene.boxes_lo, mscene.boxes_hi,
              jnp.zeros((c, 2), jnp.float32)], axis=1,
         )
+        if dop:
+            # 14-DOP candidate culling/certificates: tighter entry
+            # bounds (measured -20% per-lane need), same exactness
+            # argument (support intervals contain every vertex).
+            boxes = jnp.concatenate(
+                [boxes, build_dops(_rt, cluster_size, c)], axis=1,
+            )
 
         def run_pairs_fn(comps_in, ids):
             return pairs_round_mxu(comps_in, ids, mscene, c,
@@ -687,7 +720,9 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                                 interpret, resident), None
 
     cp = -(-c // 128) * 128
-    boxes_r = jnp.zeros((cp, 8), jnp.float32).at[:c, :].set(boxes)
+    boxes_r = jnp.zeros(
+        (cp, boxes.shape[1]), jnp.float32
+    ).at[:c, :].set(boxes)
     l1 = min(l1, c)
     l2 = min(l2, c)
     l3 = min(l3, c)

@@ -125,18 +125,21 @@ def main() -> int:
                       "ms": round(t_v4 * 1e3, 1),
                       "mrays_s": round(n / t_v4 / 1e6, 2)}), flush=True)
 
-    for cs, trp in ((512, 256), (256, 512), (256, 1024), (512, 1024)):
+    for cs, trp, dop in ((512, 512, True), (512, 256, False),
+                         (256, 512, False), (256, 1024, False),
+                         (512, 1024, False), (256, 512, True)):
         try:
             f = make_pair_intersect(scene.tris, cluster_size=cs,
-                                    trp=trp, mxu=True)
+                                    trp=trp, mxu=True, dop=dop)
             tt = _time(jax.jit(f), rays)
-            print(json.dumps({"cfg": f"v5 cs={cs} trp={trp}",
-                              "ms": round(tt * 1e3, 1),
-                              "mrays_s": round(n / tt / 1e6, 2)}),
-                  flush=True)
+            print(json.dumps(
+                {"cfg": f"v5 cs={cs} trp={trp} dop={int(dop)}",
+                 "ms": round(tt * 1e3, 1),
+                 "mrays_s": round(n / tt / 1e6, 2)}), flush=True)
         except Exception as e:  # Mosaic VMEM OOM etc.
-            print(json.dumps({"cfg": f"v5 cs={cs} trp={trp}",
-                              "error": repr(e)[:200]}), flush=True)
+            print(json.dumps(
+                {"cfg": f"v5 cs={cs} trp={trp} dop={int(dop)}",
+                 "error": repr(e)[:200]}), flush=True)
     return 0
 
 

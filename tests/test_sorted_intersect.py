@@ -101,11 +101,13 @@ def test_pair_intersect_exact_with_full_capacity(mxu):
     _check(pi(rays), intersect.first_intersect(rays, tris))
 
 
-@pytest.mark.parametrize("mxu", [False, True])
-def test_pair_intersect_enclosed_scene_default_capacity(mxu):
+@pytest.mark.parametrize("mxu,dop", [(False, False), (True, False),
+                                     (True, True)])
+def test_pair_intersect_enclosed_scene_default_capacity(mxu, dop):
     """On an enclosed scene (every ray hits) the nearest-first
     certificate resolves almost everything in round 1, so the default
-    prefix capacities suffice."""
+    prefix capacities suffice. dop=True additionally exercises the
+    14-DOP candidate culling (tighter certificates, same hits)."""
     from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
         make_pair_intersect,
     )
@@ -113,7 +115,7 @@ def test_pair_intersect_enclosed_scene_default_capacity(mxu):
     rays = _rand_rays(4096, seed=7, lo=-80.0, hi=1080.0)
     pi = make_pair_intersect(scene.tris, cluster_size=256, l1=4, l2=12,
                              trp=512, u2_frac=2, u3_frac=4, mxu=mxu,
-                             interpret=True)
+                             dop=dop, interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
 
 
@@ -218,8 +220,9 @@ def test_pair_mxu_visit_list_properties():
         assert set(vb.tolist()) == set(range(b))    # every tile flushed
 
 
-@pytest.mark.parametrize("mxu", [False, True])
-def test_pair_intersect_corridor_rays_deep_march(mxu):
+@pytest.mark.parametrize("mxu,dop", [(False, False), (True, False),
+                                     (True, True)])
+def test_pair_intersect_corridor_rays_deep_march(mxu, dop):
     """The adversarial workload that broke v3 on TPU: rays starting
     OUTSIDE the populated region marching a long corridor of cluster
     boxes before their (far) hit — most rays uncertified after round 1
@@ -251,5 +254,6 @@ def test_pair_intersect_corridor_rays_deep_march(mxu):
     # while-loops and the dense tail, still exactly.
     pi = make_pair_intersect(scene.tris, cluster_size=256, l1=1, l2=1,
                              trp=256, trb=256, u2_frac=64, u3_frac=64,
-                             tail=256, mxu=mxu, interpret=True)
+                             tail=256, mxu=mxu, dop=dop,
+                             interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
