@@ -172,6 +172,9 @@ def main() -> int:
         "fields": _flips(hd, hm), "sha": sha,
         "date": datetime.date.today().isoformat(),
     }), flush=True)
+    # Persist the winning kwargs for downstream jobs (e5 end-to-end).
+    with open("/tmp/tpu_jobs/pair_winner.json", "w") as fh:
+        json.dump(kw, fh)
     return 0
 
 
