@@ -141,7 +141,7 @@ def main() -> int:
             print(json.dumps({"cfg": tag, "error": repr(e)[:200]}),
                   flush=True)
 
-    for l1 in (4, 6, 8, 12):
+    for l1 in (2, 4, 6, 8, 12):
         run(f"l1={l1}", l1=l1)
 
     results.sort(key=lambda r: r[0])
