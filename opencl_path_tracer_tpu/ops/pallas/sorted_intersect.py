@@ -616,7 +616,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                         trp: int = 1024, trb: int = 512,
                         u2_frac: int = 2, u3_frac: int = 32,
                         tail: int = 8192, mxu: bool = False,
-                        dop: bool = False,
+                        dop: bool = False, move: str = "gather",
                         interpret: bool = False):
     """Pair-expansion intersector for large scenes (hundreds of
     clusters, incoherent rays).
@@ -649,6 +649,22 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
     flag only ever forces MORE rays through the tail, never fewer
     tests, so exactness is unchanged.
 
+    `move="sort"` swaps each escalation's data movement from u-row
+    gathers/scatters onto two fixed-cost wide sorts: the compaction
+    sort carries the 6 ray components and `done` in (9 operands,
+    (flag, slot) 2-key — +~2 ms over the bare (flag, slot) sort at
+    2M rows), and one slot-keyed back sort carries the results,
+    certificate bounds, and progress out, merged full-width with
+    `where`s. Rationale (docs/BENCHMARKS.md primitive table): a
+    gather or scatter costs ~13-15 ms per 1M rows and does NOT fuse,
+    and the gather escalation moves ~13 gathered + ~8 scattered
+    u-row arrays per call (~60 ms at u=256k, ~300 ms at u=1M), while
+    a 2M-row sort costs ~1.6 ms per operand. The escalated ray SET
+    can differ from move="gather" under capacity overflow (the
+    2-key prefix is slot-ordered, the 1-key one is unspecified), but
+    hits are exact either way — overflow rays are absorbed by later
+    iterations or the unconditional dense tail.
+
     Hit results equal the dense kernel's for all inputs; capacities
     and schedule only trade time. Defaults (v5e-measured, 100k-tri
     stress scene): l1=8 certifies 86% of real wavefront rays in round
@@ -671,6 +687,8 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             "dop=True requires mxu=True (DOP supports are built from "
             "the march scene's cluster-ordered triangles)"
         )
+    if move not in ("gather", "sort"):
+        raise ValueError(f"unknown move mode {move!r}")
     big, rest = split_by_size(tris)
     if rest is None:   # degenerate: everything is scene-spanning
         return make_pallas_intersect(tris, interpret=interpret)
@@ -855,6 +873,81 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             # they already tested — never lower their done.
             return (best2, res2, done.at[idx].set(jnp.maximum(d0, d1)),
                     pend)
+
+        def escalation_sort(best, resolved, done, pend, u, w, sel):
+            """`escalation` with sort-carried movement (see the
+            factory docstring): comps+done ride the compaction sort
+            in; results, certificate bounds, and progress ride one
+            slot-keyed sort out and merge full-width. Semantics match
+            `escalation` exactly per ray (min-merge, monotone done,
+            sticky pend, OR-resolved); only the overflow ray SET can
+            differ, which exactness does not depend on."""
+            srt = jax.lax.sort(
+                [resolved.astype(jnp.int32), slot, *comps, done],
+                num_keys=2,
+            )
+            slot_s = srt[1]
+            sub = [x[:u] for x in srt[2:8]]
+            d0 = srt[8][:u]
+            sub8t = pack_rays(tuple(sub[:3]), tuple(sub[3:]), u)
+            ids_all, ents_all, nxt = _run_candidates(
+                sub8t, boxes_r, sel, c, trb, interpret
+            )
+            rows = (d0[None, :]
+                    + jnp.arange(w, dtype=jnp.int32)[:, None])
+            in_rank = rows < sel
+            ids = jnp.where(
+                in_rank,
+                jnp.take_along_axis(
+                    ids_all, jnp.clip(rows, 0, sel - 1), axis=0
+                ),
+                c,
+            )
+            new_sub, pend_sub = run_pairs_fn(sub, ids)
+            d1 = jnp.minimum(d0 + w, sel)
+            bound = jnp.where(
+                d1 < sel,
+                jnp.take_along_axis(
+                    ents_all, jnp.clip(d1, 0, sel - 1)[None, :],
+                    axis=0,
+                )[0],
+                nxt,
+            )
+            pad = rpad - u
+
+            def ext(x, fill):
+                if not pad:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.full((pad,), fill, x.dtype)]
+                )
+
+            pend_i = (pend_sub.astype(jnp.int32) if pend_sub is not None
+                      else jnp.zeros((u,), jnp.int32))
+            back = jax.lax.sort(
+                [slot_s,
+                 ext(new_sub[0], BIG), ext(new_sub[1], 0.0),
+                 ext(new_sub[2], 0.0), ext(new_sub[3], 0.0),
+                 ext(new_sub[4], 0.0), ext(bound, -1.0),
+                 ext(jnp.maximum(d0, d1), jnp.int32(-1)),
+                 ext(pend_i, jnp.int32(0))],
+                num_keys=1,
+            )
+            t_b, nx_b, ny_b, nz_b, m_b, bound_b, done_b, pend_b = \
+                back[1:]
+            touched = done_b >= 0
+            best = _merge_best(best, (t_b, nx_b, ny_b, nz_b, m_b))
+            done2 = jnp.where(touched, jnp.maximum(done, done_b), done)
+            if pend is not None:
+                pend = pend | (touched & (pend_b > 0))
+            res_new = touched & ((best[0] <= bound_b)
+                                 | (bound_b >= BIG))
+            if pend is not None:
+                res_new = res_new & ~pend
+            return best, resolved | res_new, done2, pend
+
+        if move == "sort":
+            escalation = escalation_sort
 
         # Round 2: one wide pass over a large unresolved prefix.
         unit = max(trp, trb)

@@ -87,8 +87,10 @@ def _rand_tris(t, seed=0, spread=50.0):
     )
 
 
-@pytest.mark.parametrize("mxu", [False, True])
-def test_pair_intersect_exact_with_full_capacity(mxu):
+@pytest.mark.parametrize("mxu,move", [(False, "gather"),
+                                      (True, "gather"),
+                                      (False, "sort"), (True, "sort")])
+def test_pair_intersect_exact_with_full_capacity(mxu, move):
     """Escalation to every rank with full prefix capacity == brute."""
     from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
         make_pair_intersect,
@@ -97,7 +99,7 @@ def test_pair_intersect_exact_with_full_capacity(mxu):
     rays = _rand_rays(2048, seed=5, lo=-60.0, hi=60.0)
     pi = make_pair_intersect(tris, cluster_size=256, l1=4, l2=12,
                              trp=512, u2_frac=1, u3_frac=1, mxu=mxu,
-                             interpret=True)
+                             move=move, interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, tris))
 
 
@@ -220,9 +222,12 @@ def test_pair_mxu_visit_list_properties():
         assert set(vb.tolist()) == set(range(b))    # every tile flushed
 
 
-@pytest.mark.parametrize("mxu,dop", [(False, False), (True, False),
-                                     (True, True)])
-def test_pair_intersect_corridor_rays_deep_march(mxu, dop):
+@pytest.mark.parametrize("mxu,dop,move", [
+    (False, False, "gather"), (True, False, "gather"),
+    (True, True, "gather"),
+    (False, False, "sort"), (True, True, "sort"),
+])
+def test_pair_intersect_corridor_rays_deep_march(mxu, dop, move):
     """The adversarial workload that broke v3 on TPU: rays starting
     OUTSIDE the populated region marching a long corridor of cluster
     boxes before their (far) hit — most rays uncertified after round 1
@@ -254,6 +259,6 @@ def test_pair_intersect_corridor_rays_deep_march(mxu, dop):
     # while-loops and the dense tail, still exactly.
     pi = make_pair_intersect(scene.tris, cluster_size=256, l1=1, l2=1,
                              trp=256, trb=256, u2_frac=64, u3_frac=64,
-                             tail=256, mxu=mxu, dop=dop,
+                             tail=256, mxu=mxu, dop=dop, move=move,
                              interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
