@@ -1021,8 +1021,44 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             )
             return (best, resolved.at[idx].set(True))
 
+        def body4_sort(carry):
+            # Sort-carried tail iteration (move="sort"): gathers and
+            # scatters have a ~6-8 ms FIXED cost each on TPU even at
+            # 8k rows, so the 11 of them in body4 dominate a tail
+            # iteration; two wide sorts replace them all.
+            best, resolved = carry
+            srt = jax.lax.sort(
+                [resolved.astype(jnp.int32), slot, *comps],
+                num_keys=2,
+            )
+            slot_s = srt[1]
+            sub = [x[:u4] for x in srt[2:8]]
+            ht = tail_isect(Rays(p=tuple(sub[:3]), d=tuple(sub[3:])))
+            pad = rpad - u4
+
+            def ext(x, fill):
+                if not pad:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.full((pad,), fill, x.dtype)]
+                )
+
+            back = jax.lax.sort(
+                [slot_s,
+                 ext(jnp.where(ht.valid, ht.t, BIG), BIG),
+                 ext(ht.n[0], 0.0), ext(ht.n[1], 0.0),
+                 ext(ht.n[2], 0.0),
+                 ext(ht.mati.astype(jnp.float32), 0.0),
+                 ext(jnp.ones((u4,), jnp.int32), jnp.int32(0))],
+                num_keys=1,
+            )
+            best = _merge_best(best, tuple(back[1:6]))
+            return (best, resolved | (back[6] > 0))
+
         best, resolved = jax.lax.while_loop(
-            lambda ca: jnp.any(~ca[1]), body4, (best, resolved)
+            lambda ca: jnp.any(~ca[1]),
+            body4_sort if move == "sort" else body4,
+            (best, resolved),
         )
 
         return _hits_from_raw(rays, best[0], best[1:4], best[4], r)
