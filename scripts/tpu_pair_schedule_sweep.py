@@ -143,6 +143,11 @@ def main() -> int:
 
     for l1 in (2, 4, 6, 8, 12):
         run(f"l1={l1}", l1=l1)
+    # Sort-carried movement (move='sort'): fixed ~27 ms of wide sorts
+    # per escalation replaces u-row gathers/scatters — shifts the l1
+    # staircase economics, so sweep it jointly.
+    for l1 in (2, 4, 8):
+        run(f"l1={l1} move=sort", l1=l1, move="sort")
 
     results.sort(key=lambda r: r[0])
     if not results:
