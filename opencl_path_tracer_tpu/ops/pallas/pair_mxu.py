@@ -121,7 +121,7 @@ def build_visits(keys_s: jnp.ndarray, trp: int, c: int):
 
 def _pair_visit_kernel(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
                        tric_ref, tab3_ref, t_ref, nx_ref, ny_ref,
-                       nz_ref, m_ref, p_ref, acc_ref, *, cs: int,
+                       nz_ref, mp_ref, acc_ref, *, cs: int,
                        V: int):
     """Visit v: test every pair in tile vb[v] against cluster vc[v]
     and min-merge into the tile's running best (VMEM scratch, init =
@@ -257,16 +257,19 @@ def _pair_visit_kernel(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
         nx_ref[0, :] = acc_ref[1, :]
         ny_ref[0, :] = acc_ref[2, :]
         nz_ref[0, :] = acc_ref[3, :]
-        m_ref[0, :] = acc_ref[4, :]
-        p_ref[0, :] = acc_ref[6, :]
+        # pend folded into the material payload (m*2 + pend, exact in
+        # f32 for m < 2^22): one fewer back-sort operand at Ppad rows
+        # (~1.6 ms per operand per 2M rows) and one fewer output
+        # stream.
+        mp_ref[0, :] = acc_ref[4, :] * 2.0 + acc_ref[6, :]
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))
 def _run_pair_visits(vb, vc, rays8p, featp, scene, cs: int, trp: int,
                      interpret: bool):
     """rays8p: (8, Ppad) sorted pairs; featp: (32, Ppad) bf16 Plucker
-    features of the pair rays. Returns 6 rows (1, Ppad):
-    t (BIG = miss), nx, ny, nz, m, pend."""
+    features of the pair rays. Returns 5 rows (1, Ppad):
+    t (BIG = miss), nx, ny, nz, m*2+pend."""
     ppad = rays8p.shape[1]
     V = vb.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -290,13 +293,13 @@ def _run_pair_visits(vb, vc, rays8p, featp, scene, cs: int, trp: int,
         ],
         out_specs=[
             pl.BlockSpec((1, trp), lambda v, vb, vc: (0, vb[v])),
-        ] * 6,
+        ] * 5,
         scratch_shapes=[pltpu.VMEM((8, trp), jnp.float32)],
     )
     outs = pl.pallas_call(
         functools.partial(_pair_visit_kernel, cs=cs, V=V),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((1, ppad), jnp.float32)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((1, ppad), jnp.float32)] * 5,
         interpret=interpret,
     )(vb, vc, rays8p, featp, scene.trig, scene.tric, scene.tab3)
     return outs
@@ -333,12 +336,12 @@ def pairs_round_mxu(comps, ids, scene, c: int, cs: int, trp: int,
     rays8p = jnp.stack([*comps_s, zeros, zeros], axis=0)
     featp = plucker_feat(rays8p)
     vb, vc = build_visits(keys_s, trp, c)
-    t, nx, ny, nz, m, pd = (
+    t, nx, ny, nz, mp = (
         o[0] for o in _run_pair_visits(
             vb, vc, rays8p, featp, scene, cs, trp, interpret,
         )
     )
-    back = jax.lax.sort([pslot_s, t, nx, ny, nz, m, pd], num_keys=1)
+    back = jax.lax.sort([pslot_s, t, nx, ny, nz, mp], num_keys=1)
     back = [a[:p] for a in back]
     t_lr = back[1].reshape(l, r)
     best = jnp.min(t_lr, axis=0)
@@ -349,6 +352,11 @@ def pairs_round_mxu(comps, ids, scene, c: int, cs: int, trp: int,
     def pick(a):
         return jnp.sum(a.reshape(l, r) * onehot, axis=0)
 
-    pend = jnp.max(back[6].reshape(l, r), axis=0) > 0.0
+    # Decode the m*2+pend fold: pend is per-PAIR (any tested cluster
+    # of the ray pending), the material comes from the winning pair.
+    mp_lr = back[5].reshape(l, r)
+    pend_lr = mp_lr - 2.0 * jnp.floor(mp_lr / 2.0)
+    pend = jnp.max(pend_lr, axis=0) > 0.0
+    m_win = jnp.floor(jnp.sum(mp_lr * onehot, axis=0) / 2.0)
     return (best, pick(back[2]), pick(back[3]), pick(back[4]),
-            pick(back[5])), pend
+            m_win), pend

@@ -148,6 +148,11 @@ def main() -> int:
     # staircase economics, so sweep it jointly.
     for l1 in (2, 4, 8):
         run(f"l1={l1} move=sort", l1=l1, move="sort")
+    # Exploratory: fine clusters + DOP bounds (kernel-test optimum —
+    # 14-DOP need ~8.6 x 128 tris = 2.2 Gt/step; viability hinges on
+    # the C=777 selection cost and the +~15% pair volume).
+    run("cs=128 dop l1=10 move=sort", cluster_size=128, dop=True,
+        l1=10, move="sort")
 
     results.sort(key=lambda r: r[0])
     if not results:

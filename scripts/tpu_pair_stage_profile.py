@@ -110,9 +110,9 @@ def main() -> int:
         vb, vc, r8, ft, mscene, cs, trp, False))
     outs = _t(runk, vb, vc, rays8p, feat, label="visit kernel")
     back = jax.jit(lambda ps, o: jax.lax.sort(
-        [ps, o[0][0], o[1][0], o[2][0], o[3][0], o[4][0], o[5][0]],
+        [ps, o[0][0], o[1][0], o[2][0], o[3][0], o[4][0]],
         num_keys=1))
-    _t(back, pslot_s, outs, label="back sort 7ops")
+    _t(back, pslot_s, outs, label="back sort 6ops")
 
     # stage: the whole composed v5 intersect (= official path)
     v5 = jax.jit(sorted_intersect.make_pair_intersect(
