@@ -43,7 +43,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import BIG
-from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import plucker_feat
+from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+    _split_bf16_exact, plucker_feat,
+)
 
 
 DOP_SIGNS = ((1.0, 1.0, 1.0), (1.0, -1.0, 1.0),
@@ -119,6 +121,23 @@ def build_visits(keys_s: jnp.ndarray, trp: int, c: int):
     return pe_s // trp, ce_s
 
 
+def _infeat_rows(rays):
+    """plucker_feat's (32, T) bf16 rows from (8, T) f32 rays, inline.
+    Same integer-bitcast split (no f32->bf16 convert ops — the
+    BFloat16Propagation hazard does not apply); the f32 cross product
+    may contract to FMA differently than the outside-feat path
+    (~2^-24 relative), which the conservative eps band absorbs."""
+    px, py, pz = rays[0:1], rays[1:2], rays[2:3]
+    dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
+    cx = py * dz - pz * dy
+    cy = pz * dx - px * dz
+    cz = px * dy - py * dx
+    phi = jnp.concatenate([cx, cy, cz, dx, dy, dz], axis=0)
+    hi, lo = _split_bf16_exact(phi)
+    zeros = jnp.zeros((14,) + phi.shape[1:], jnp.bfloat16)
+    return jnp.concatenate([hi, lo, hi, zeros], axis=0)
+
+
 def _pair_visit_kernel(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
                        tric_ref, tab3_ref, t_ref, nx_ref, ny_ref,
                        nz_ref, mp_ref, acc_ref, *, cs: int,
@@ -151,7 +170,8 @@ def _pair_visit_kernel(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
         rays = ray_ref[:]
         px, py, pz = rays[0:1], rays[1:2], rays[2:3]
         dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
-        feat = feat_ref[:]
+        feat = (_infeat_rows(rays) if feat_ref is None
+                else feat_ref[:])
         trig = trig_ref[:]                      # (3cs, 32) bf16
         tric = tric_ref[:]                      # (cs, 24) f32
         tab3 = tab3_ref[:]                      # (64, cs) bf16
@@ -264,20 +284,34 @@ def _pair_visit_kernel(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
         mp_ref[0, :] = acc_ref[4, :] * 2.0 + acc_ref[6, :]
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _pair_visit_kernel_infeat(vb_ref, vc_ref, ray_ref, trig_ref,
+                              tric_ref, tab3_ref, t_ref, nx_ref,
+                              ny_ref, nz_ref, mp_ref, acc_ref, *,
+                              cs: int, V: int):
+    _pair_visit_kernel(vb_ref, vc_ref, ray_ref, None, trig_ref,
+                       tric_ref, tab3_ref, t_ref, nx_ref, ny_ref,
+                       nz_ref, mp_ref, acc_ref, cs=cs, V=V)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _run_pair_visits(vb, vc, rays8p, featp, scene, cs: int, trp: int,
-                     interpret: bool):
+                     interpret: bool, infeat: bool = False):
     """rays8p: (8, Ppad) sorted pairs; featp: (32, Ppad) bf16 Plucker
-    features of the pair rays. Returns 5 rows (1, Ppad):
+    features of the pair rays (None with infeat=True — the kernel
+    computes them per visit from rays8p, trading ~40 VPU ops/pair for
+    the whole featp HBM stream). Returns 5 rows (1, Ppad):
     t (BIG = miss), nx, ny, nz, m*2+pend."""
     ppad = rays8p.shape[1]
     V = vb.shape[0]
+    feat_specs = [] if infeat else [
+        pl.BlockSpec((32, trp), lambda v, vb, vc: (0, vb[v])),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(V,),
         in_specs=[
             pl.BlockSpec((8, trp), lambda v, vb, vc: (0, vb[v])),
-            pl.BlockSpec((32, trp), lambda v, vb, vc: (0, vb[v])),
+            *feat_specs,
             pl.BlockSpec(
                 (3 * cs, 32),
                 lambda v, vb, vc: (jnp.maximum(vc[v], 0), 0),
@@ -296,17 +330,22 @@ def _run_pair_visits(vb, vc, rays8p, featp, scene, cs: int, trp: int,
         ] * 5,
         scratch_shapes=[pltpu.VMEM((8, trp), jnp.float32)],
     )
+    kern = (functools.partial(_pair_visit_kernel_infeat, cs=cs, V=V)
+            if infeat
+            else functools.partial(_pair_visit_kernel, cs=cs, V=V))
+    operands = ([vb, vc, rays8p] if infeat
+                else [vb, vc, rays8p, featp])
     outs = pl.pallas_call(
-        functools.partial(_pair_visit_kernel, cs=cs, V=V),
+        kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, ppad), jnp.float32)] * 5,
         interpret=interpret,
-    )(vb, vc, rays8p, featp, scene.trig, scene.tric, scene.tab3)
+    )(*operands, scene.trig, scene.tric, scene.tab3)
     return outs
 
 
 def pairs_round_mxu(comps, ids, scene, c: int, cs: int, trp: int,
-                    interpret: bool):
+                    interpret: bool, infeat: bool = False):
     """MXU twin of sorted_intersect._pairs_round. comps: 6 (R,) ray
     component arrays; ids: (L, R) rank-major candidate cluster ids
     (c = none); cs = cluster size of the scene packs. Returns
@@ -334,11 +373,11 @@ def pairs_round_mxu(comps, ids, scene, c: int, cs: int, trp: int,
     keys_s, comps_s, pslot_s = srt[0], srt[1:7], srt[7]
     zeros = jnp.zeros(keys_s.shape, jnp.float32)
     rays8p = jnp.stack([*comps_s, zeros, zeros], axis=0)
-    featp = plucker_feat(rays8p)
+    featp = None if infeat else plucker_feat(rays8p)
     vb, vc = build_visits(keys_s, trp, c)
     t, nx, ny, nz, mp = (
         o[0] for o in _run_pair_visits(
-            vb, vc, rays8p, featp, scene, cs, trp, interpret,
+            vb, vc, rays8p, featp, scene, cs, trp, interpret, infeat,
         )
     )
     back = jax.lax.sort([pslot_s, t, nx, ny, nz, mp], num_keys=1)

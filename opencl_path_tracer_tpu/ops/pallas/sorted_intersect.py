@@ -617,6 +617,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                         u2_frac: int = 2, u3_frac: int = 32,
                         tail: int = 8192, mxu: bool = False,
                         dop: bool = False, move: str = "gather",
+                        infeat: bool = False,
                         interpret: bool = False):
     """Pair-expansion intersector for large scenes (hundreds of
     clusters, incoherent rays).
@@ -689,6 +690,8 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         )
     if move not in ("gather", "sort"):
         raise ValueError(f"unknown move mode {move!r}")
+    if infeat and not mxu:
+        raise ValueError("infeat=True requires mxu=True")
     big, rest = split_by_size(tris)
     if rest is None:   # degenerate: everything is scene-spanning
         return make_pallas_intersect(tris, interpret=interpret)
@@ -720,7 +723,8 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
 
         def run_pairs_fn(comps_in, ids):
             return pairs_round_mxu(comps_in, ids, mscene, c,
-                                   cluster_size, trp, interpret)
+                                   cluster_size, trp, interpret,
+                                   infeat)
     else:
         scene, c, _k = build_clusters(rest, cluster_size,
                                       split_large=False)

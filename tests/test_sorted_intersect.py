@@ -103,13 +103,17 @@ def test_pair_intersect_exact_with_full_capacity(mxu, move):
     _check(pi(rays), intersect.first_intersect(rays, tris))
 
 
-@pytest.mark.parametrize("mxu,dop", [(False, False), (True, False),
-                                     (True, True)])
-def test_pair_intersect_enclosed_scene_default_capacity(mxu, dop):
+@pytest.mark.parametrize("mxu,dop,infeat", [
+    (False, False, False), (True, False, False), (True, True, False),
+    (True, False, True),
+])
+def test_pair_intersect_enclosed_scene_default_capacity(mxu, dop,
+                                                        infeat):
     """On an enclosed scene (every ray hits) the nearest-first
     certificate resolves almost everything in round 1, so the default
     prefix capacities suffice. dop=True additionally exercises the
-    14-DOP candidate culling (tighter certificates, same hits)."""
+    14-DOP candidate culling (tighter certificates, same hits);
+    infeat=True the in-kernel Plucker feature computation."""
     from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
         make_pair_intersect,
     )
@@ -117,7 +121,7 @@ def test_pair_intersect_enclosed_scene_default_capacity(mxu, dop):
     rays = _rand_rays(4096, seed=7, lo=-80.0, hi=1080.0)
     pi = make_pair_intersect(scene.tris, cluster_size=256, l1=4, l2=12,
                              trp=512, u2_frac=2, u3_frac=4, mxu=mxu,
-                             dop=dop, interpret=True)
+                             dop=dop, infeat=infeat, interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
 
 
