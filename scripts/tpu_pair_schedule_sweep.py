@@ -153,6 +153,9 @@ def main() -> int:
     # the C=777 selection cost and the +~15% pair volume).
     run("cs=128 dop l1=10 move=sort", cluster_size=128, dop=True,
         l1=10, move="sort")
+    # In-kernel features (drops the featp HBM stream; compiles only
+    # if the e1 Mosaic probe passed — run() catches the failure).
+    run("l1=8 move=sort infeat", l1=8, move="sort", infeat=True)
 
     results.sort(key=lambda r: r[0])
     if not results:
