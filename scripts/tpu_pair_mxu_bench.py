@@ -127,7 +127,8 @@ def main() -> int:
 
     for cs, trp, dop in ((512, 512, True), (512, 256, False),
                          (256, 512, False), (256, 1024, False),
-                         (512, 1024, False), (256, 512, True)):
+                         (512, 1024, False), (256, 512, True),
+                         (512, 2048, False)):
         try:
             f = make_pair_intersect(scene.tris, cluster_size=cs,
                                     trp=trp, mxu=True, dop=dop)
