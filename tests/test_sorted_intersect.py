@@ -182,8 +182,10 @@ def test_pair_mxu_forced_pend_funnels_through_tail(monkeypatch):
 
     real = pair_mxu.pairs_round_mxu
 
-    def all_pend(comps, ids, scene, c, cs, trp, interpret):
-        best, pend = real(comps, ids, scene, c, cs, trp, interpret)
+    def all_pend(comps, ids, scene, c, cs, trp, interpret,
+                 infeat=False):
+        best, pend = real(comps, ids, scene, c, cs, trp, interpret,
+                          infeat)
         return best, jnp.ones_like(pend)
 
     monkeypatch.setattr(pair_mxu, "pairs_round_mxu", all_pend)
