@@ -268,3 +268,41 @@ def test_pair_intersect_corridor_rays_deep_march(mxu, dop, move):
                              tail=256, mxu=mxu, dop=dop, move=move,
                              interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
+
+
+def test_pair_intersect_random_config_gauntlet():
+    """Randomized schedule/flag fuzz: any legal combination of
+    (cluster_size, l1/l2/l3, trp/trb, prefix fracs, tail, mxu, dop,
+    move, infeat) must be exact vs brute force — the escalation
+    machinery's correctness argument (min-merge + monotone done +
+    sticky pend + unconditional tail) is config-independent, so a
+    single counterexample here is a real bug, not a tuning issue."""
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    rs = np.random.default_rng(123)
+    tris = _rand_tris(2500, seed=4)
+    rays = _rand_rays(768, seed=13, lo=-70.0, hi=70.0)
+    brute = intersect.first_intersect(rays, tris)
+    for trial in range(6):
+        mxu = bool(rs.integers(0, 2))
+        cfg = dict(
+            cluster_size=int(rs.choice([64, 128, 256])),
+            l1=int(rs.integers(1, 6)),
+            l2=int(rs.integers(1, 14)),
+            l3=int(rs.integers(2, 30)),
+            trp=int(rs.choice([128, 256])),
+            trb=int(rs.choice([128, 256])),
+            u2_frac=int(rs.choice([1, 2, 64])),
+            u3_frac=int(rs.choice([1, 4, 64])),
+            tail=int(rs.choice([128, 1024])),
+            mxu=mxu,
+            dop=bool(rs.integers(0, 2)) and mxu,
+            infeat=bool(rs.integers(0, 2)) and mxu,
+            move=str(rs.choice(["gather", "sort"])),
+        )
+        pi = make_pair_intersect(tris, interpret=True, **cfg)
+        try:
+            _check(pi(rays), brute)
+        except AssertionError as e:
+            raise AssertionError(f"config {cfg} failed: {e}") from e
