@@ -35,47 +35,54 @@ def main() -> int:
     print(json.dumps({"config": kw}), flush=True)
 
     w, h = 1920, 1080
-    n = w * h
     iters, steps, chunk = 5, 64, 8
     scene = library.stress_scene(100_000)
     cam = library.cornell_camera(w, h)
     isect = make_pair_intersect(scene.tris, **kw)
-
     key = jax.random.key(1)
-    ids = raygen.tile_major_ids(w, h, 16, 16)
-    state = wavefront.init_wavefront(cam, n, mode="fast", key=key,
-                                     ids=ids)
+    base_ids = raygen.tile_major_ids(w, h, 16, 8)
 
-    @jax.jit
-    def run(state, k):
-        def body(_, st):
-            return wavefront.wavefront_step(
-                cam, scene.mats, st, intersect_fn=isect,
-                iterations=iters, mode="fast", key=key, ids=ids,
-            )
-        st = jax.lax.fori_loop(0, k, body, state)
-        return st, jnp.sum(st.colors[0][:8])
+    for lanes in (1, 2):
+        n = w * h * lanes
+        ids = (jnp.tile(base_ids, lanes) if lanes > 1 else base_ids)
+        state = wavefront.init_wavefront(cam, n, mode="fast", key=key,
+                                         ids=ids)
 
-    t0 = time.time()
-    state, _ = run(state, 2)
-    float(jnp.sum(state.samples[:8]))
-    warm = time.time() - t0
-    print(json.dumps({"warmup_s": round(warm, 1)}), flush=True)
+        @jax.jit
+        def run(state, k, ids=ids):
+            def body(_, st):
+                return wavefront.wavefront_step(
+                    cam, scene.mats, st, intersect_fn=isect,
+                    iterations=iters, mode="fast", key=key, ids=ids,
+                )
+            st = jax.lax.fori_loop(0, k, body, state)
+            return st, jnp.sum(st.colors[0][:8])
 
-    t0 = time.time()
-    done = 0
-    while done < steps:
-        k = min(chunk, steps - done)
-        state, chk = run(state, k)
-        done += k
-    float(chk)
-    dt = time.time() - t0
-    mrays = float(n) * steps / dt / 1e6
-    print(json.dumps({
-        "job": "stress_e2e", "mrays_s": round(mrays, 2),
-        "dt_s": round(dt, 2), "steps": steps,
-        "spp": round(float(jnp.mean(state.samples)), 2),
-    }), flush=True)
+        try:
+            t0 = time.time()
+            state, _ = run(state, 2)
+            float(jnp.sum(state.samples[:8]))
+            warm = time.time() - t0
+            t0 = time.time()
+            done = 0
+            while done < steps:
+                k = min(chunk, steps - done)
+                state, chk = run(state, k)
+                done += k
+            float(chk)
+            dt = time.time() - t0
+            mrays = float(n) * steps / dt / 1e6
+            print(json.dumps({
+                "job": "stress_e2e", "lanes": lanes,
+                "mrays_s": round(mrays, 2),
+                "dt_s": round(dt, 2), "steps": steps,
+                "warmup_s": round(warm, 1),
+                "spp": round(
+                    float(jnp.mean(state.samples)) * lanes, 2),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({"job": "stress_e2e", "lanes": lanes,
+                              "error": repr(e)[:300]}), flush=True)
     return 0
 
 
