@@ -78,5 +78,5 @@ def main() -> int:
     return 0 if sum(flips.values()) == 0 else 1
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" or __name__ == "__job__":
     main()
