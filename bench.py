@@ -344,6 +344,23 @@ def main() -> int:
                     help="samples in flight per pixel (lane multiplier)")
     args = ap.parse_args()
 
+    # Persistent compilation cache (TPU probe e0: entries persist
+    # through the axon remote-compile backend). The stress pair path
+    # carries ~100 s of variadic-sort compiles; with a warm repo-local
+    # cache the official run skips them entirely.
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0)
+    except Exception as exc:  # cache is an optimization, never fatal
+        print(f"# compilation cache disabled: {exc}", file=sys.stderr)
+
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind} ({dev.platform})",
           file=sys.stderr)
