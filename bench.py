@@ -38,9 +38,12 @@ def make_isect(scene, accel: str, on_cpu: bool):
     if accel == "auto":
         # Small scenes: exact min+argmin kernel + one-hot attribute
         # fetch (measured 23.8 vs 30.6 ms/2M-ray batch for the
-        # attribute-extracting kernel). Large scenes: per-ray pair
-        # expansion (or the march intersector via --accel march).
-        accel = "minarg" if scene.num_triangles <= 4096 else "pair"
+        # attribute-extracting kernel). Large scenes: the pair
+        # intersector at the TPU-swept winner config (pair v5: MXU
+        # pairs round + 14-DOP culling + sort-carried escalations —
+        # 4.53 vs v4's 3.24 Mrays/s on this exact workload, 0 hit
+        # flips; sorted_intersect.PAIR_TPU_WINNER).
+        accel = "minarg" if scene.num_triangles <= 4096 else "pairwin"
         print(f"# accel auto -> {accel}", file=sys.stderr)
     if accel == "minarg":
         from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
@@ -71,6 +74,12 @@ def make_isect(scene, accel: str, on_cpu: bool):
         )
         return make_pair_intersect(scene.tris, interpret=on_cpu,
                                    mxu=True, trp=512)
+    if accel == "pairwin":
+        from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+            PAIR_TPU_WINNER, make_pair_intersect,
+        )
+        return make_pair_intersect(scene.tris, interpret=on_cpu,
+                                   **PAIR_TPU_WINNER)
     if accel == "group":
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
             make_group_intersect,
@@ -335,9 +344,9 @@ def main() -> int:
                     choices=["wavefront", "megakernel", "fused",
                              "lazy"])
     ap.add_argument("--accel", default="auto",
-                    choices=["auto", "pair", "pairmx", "group",
-                             "cluster", "bvh", "bruteforce", "pallas",
-                             "minarg", "march", "flat"])
+                    choices=["auto", "pair", "pairmx", "pairwin",
+                             "group", "cluster", "bvh", "bruteforce",
+                             "pallas", "minarg", "march", "flat"])
     ap.add_argument("--chunk", type=int, default=8,
                     help="wavefront steps per device program")
     ap.add_argument("--lanes", type=int, default=1,

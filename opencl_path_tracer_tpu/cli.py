@@ -173,7 +173,8 @@ def main(argv=None) -> int:
         p.add_argument("--accel", default="auto",
                        choices=["auto", "bvh", "median", "bruteforce",
                                 "pallas", "cluster", "group", "pair",
-                                "pairmx", "minarg", "march", "flat"])
+                                "pairmx", "pairwin", "minarg", "march",
+                                "flat"])
         p.add_argument("--accel-force", action="store_true",
                        help="override the TPU backend gate (run "
                             "measured-dominated or device-unsafe "

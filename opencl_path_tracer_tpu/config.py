@@ -73,7 +73,8 @@ class RenderConfig:
             raise ValueError(f"unknown tonemap {self.tonemap!r}")
         if self.accel not in ("auto", "bruteforce", "bvh", "median",
                               "pallas", "cluster", "group", "pair",
-                              "minarg", "march"):
+                              "pairmx", "pairwin", "minarg", "march",
+                              "flat"):
             raise ValueError(f"unknown accel {self.accel!r}")
         return self
 

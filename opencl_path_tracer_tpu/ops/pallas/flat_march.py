@@ -44,6 +44,19 @@ every intersect call costs a 2M-lane 8-payload lax.sort (~13 ms).
 Reference anchor: /root/reference/prog.cl:144-184 (kd_intersect) —
 the traversal exists to make big scenes interactive; this is the
 TPU-shaped equivalent (SIMD block culling instead of a per-ray stack).
+
+STATUS (round-3 TPU battery, 2026-08-18): bit-exact in CPU interpret
+on every suite workload including capacity starvation, but the
+on-device exactness job DIES AT COMPILE on the full 1080p stress
+workload — Mosaic prefetches the flat visit list into SMEM and the
+2,076,672-byte u8 operand exceeds v5e's 1 MiB SMEM ("Allocation
+(size=2076672) would exceed memory (size=1048576), space=smem,
+prefetched SMEM operand 0", job e2a). Running the full wavefront
+needs the list chunked to <= ~1M entries per call (several grid
+programs) or the list demoted to HBM with explicit DMA. Kept as the
+measured probe of the flat-list design point (its schedule economics
+lost to pair v5 regardless — docs/BENCHMARKS.md, the SIMD traversal
+floor); NOT a production path.
 """
 
 from __future__ import annotations

@@ -611,6 +611,18 @@ def _merge_best(cur, new):
     return tuple(jnp.where(better, n, c) for n, c in zip(new, cur))
 
 
+# Production config for large scenes on TPU, from the round-3 on-device
+# sweep (scripts/tpu_pair_schedule_sweep.py + tpu_pair_e2e_bench.py,
+# v5e, 2026-08-18, sha a3697f6): kernel-level 312.9 ms / 4.24 Mrays/s
+# on the 1.33M-ray steady-state workload (v4 default: 414.6 ms), and
+# 4.53 Mrays/s end-to-end on the official 1080p stress bench (v4:
+# 3.24). Exactness: 0 t/mati/hit-normal flips vs the dense kernel on
+# the full real wavefront under this exact config. `bench.py` and
+# `runtime/engine.py` auto-select pass these kwargs verbatim.
+PAIR_TPU_WINNER = dict(mxu=True, dop=True, cluster_size=256, trp=512,
+                       l1=2, move="sort")
+
+
 def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                         l1: int = 8, l2: int = 8, l3: int = 48,
                         trp: int = 1024, trb: int = 512,

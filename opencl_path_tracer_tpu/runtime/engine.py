@@ -57,13 +57,14 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
             accel = "bvh" if scene.num_triangles > 4096 else "bruteforce"
         else:
             accel = (
-                "minarg" if scene.num_triangles <= 4096 else "pair"
+                "minarg" if scene.num_triangles <= 4096 else "pairwin"
             )
-            if accel == "pair":
+            if accel == "pairwin":
                 print(
-                    f"# accel auto -> pair ({scene.num_triangles} tris):"
-                    " expect a ~2 min first-use compile on TPU"
-                    " (docs/BENCHMARKS.md)",
+                    f"# accel auto -> pair/winner ({scene.num_triangles}"
+                    " tris): expect a ~3 min first-use compile on TPU"
+                    " (cached across runs via the persistent"
+                    " compilation cache; docs/BENCHMARKS.md)",
                     file=sys.stderr,
                 )
     if on_tpu and not force:
@@ -119,9 +120,9 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
         return make_group_intersect(
             scene.tris, interpret=jax.default_backend() == "cpu"
         )
-    if accel in ("pair", "pairmx"):
+    if accel in ("pair", "pairmx", "pairwin"):
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
-            make_pair_intersect,
+            PAIR_TPU_WINNER, make_pair_intersect,
         )
         kw = {}
         if accel == "pairmx":
@@ -129,6 +130,11 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
             # VMEM footprint (dots + temporaries) inside the scoped
             # budget at cs=512.
             kw = dict(mxu=True, trp=512)
+        elif accel == "pairwin":
+            # Round-3 TPU-swept production config (4.53 Mrays/s e2e
+            # vs v4's 3.24 on the official stress workload, 0 hit
+            # flips; see PAIR_TPU_WINNER).
+            kw = dict(PAIR_TPU_WINNER)
         return make_pair_intersect(
             scene.tris, interpret=jax.default_backend() == "cpu", **kw
         )

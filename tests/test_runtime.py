@@ -260,3 +260,17 @@ def test_accel_gate_on_tpu(monkeypatch):
             engine.make_intersect_fn(scene, accel)
     # force=True builds them (host-side build work only, no device use).
     assert engine.make_intersect_fn(scene, "bvh", force=True) is not None
+
+
+def test_accel_pairwin_builds_and_config_accepts():
+    """'pairwin' (the TPU-swept production config, PAIR_TPU_WINNER) is
+    a first-class accel choice: config validation accepts it and the
+    engine builds a callable intersector from it on CPU."""
+    from opencl_path_tracer_tpu.config import RenderConfig
+    from opencl_path_tracer_tpu.runtime import engine
+    from opencl_path_tracer_tpu.scene import library
+
+    for accel in ("pairwin", "pairmx", "flat"):
+        RenderConfig(width=64, height=64, accel=accel).validate()
+    scene = library.stress_scene(3000)
+    assert engine.make_intersect_fn(scene, "pairwin") is not None

@@ -270,6 +270,30 @@ def test_pair_intersect_corridor_rays_deep_march(mxu, dop, move):
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
 
 
+def test_pair_tpu_winner_config_exact():
+    """The production config (PAIR_TPU_WINNER — what accel='auto'
+    builds on TPU for large scenes; swept on-device, 4.53 Mrays/s
+    official) must be exact in interpret mode on both a random cloud
+    and the enclosed stress scene. Pins the exact kwargs the TPU
+    exactness record (docs/BENCHMARKS.md, sha a3697f6) was taken
+    under, so a default change can't silently dodge CI."""
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        PAIR_TPU_WINNER, make_pair_intersect,
+    )
+    assert PAIR_TPU_WINNER == dict(mxu=True, dop=True, cluster_size=256,
+                                   trp=512, l1=2, move="sort")
+    tris = _rand_tris(3000, seed=9)
+    rays = _rand_rays(1024, seed=31, lo=-70.0, hi=70.0)
+    pi = make_pair_intersect(tris, interpret=True, **PAIR_TPU_WINNER)
+    _check(pi(rays), intersect.first_intersect(rays, tris))
+
+    scene = library.stress_scene(6000)
+    rays2 = _rand_rays(512, seed=7, lo=100.0, hi=900.0)
+    pi2 = make_pair_intersect(scene.tris, interpret=True,
+                              **PAIR_TPU_WINNER)
+    _check(pi2(rays2), intersect.first_intersect(rays2, scene.tris))
+
+
 def test_pair_intersect_random_config_gauntlet():
     """Randomized schedule/flag fuzz: any legal combination of
     (cluster_size, l1/l2/l3, trp/trb, prefix fracs, tail, mxu, dop,
