@@ -138,10 +138,9 @@ def _infeat_rows(rays):
     return jnp.concatenate([hi, lo, hi, zeros], axis=0)
 
 
-def _pair_visit_kernel(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
-                       tric_ref, tab3_ref, t_ref, nx_ref, ny_ref,
-                       nz_ref, mp_ref, acc_ref, *, cs: int,
-                       V: int):
+def _pair_visit_core(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
+                     tric_ref, tab3_ref, out_refs, acc_ref, *, cs: int,
+                     V: int, thin: bool):
     """Visit v: test every pair in tile vb[v] against cluster vc[v]
     and min-merge into the tile's running best (VMEM scratch, init =
     miss at the tile's first visit, flushed at its last).
@@ -150,7 +149,14 @@ def _pair_visit_kernel(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
     with per-lane adaptive eps, exact f32 t, top-2 + 3-split one-hot
     exact refine, pend on double-spurious) — duplicated rather than
     shared because the two kernels evolve independently and the flat
-    kernel initializes from round-0 rows instead of miss rows."""
+    kernel initializes from round-0 rows instead of miss rows.
+
+    thin=False flushes 5 streams (t, nx, ny, nz, m*2+pend);
+    thin=True flushes 2 (t, g*2+pend with g the cluster-ordered
+    global triangle id) — the attributes are recovered once per ray
+    at the very end by the same tab3 one-hot fetch this kernel's
+    refine uses (fetch_attrs), so values are bit-identical while the
+    pair-row back sorts shrink from 6 to 3 operands."""
     v = pl.program_id(0)
     b = vb_ref[v]
     cid = vc_ref[v]
@@ -273,36 +279,57 @@ def _pair_visit_kernel(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
 
     @pl.when(last)
     def _():
-        t_ref[0, :] = acc_ref[0, :]
-        nx_ref[0, :] = acc_ref[1, :]
-        ny_ref[0, :] = acc_ref[2, :]
-        nz_ref[0, :] = acc_ref[3, :]
-        # pend folded into the material payload (m*2 + pend, exact in
-        # f32 for m < 2^22): one fewer back-sort operand at Ppad rows
-        # (~1.6 ms per operand per 2M rows) and one fewer output
-        # stream.
-        mp_ref[0, :] = acc_ref[4, :] * 2.0 + acc_ref[6, :]
+        if thin:
+            t_ref, gp_ref = out_refs
+            t_ref[0, :] = acc_ref[0, :]
+            # g*2 + pend, exact in f32 for g < 2^23 (g < C*cs ~ 2^17).
+            gp_ref[0, :] = acc_ref[5, :] * 2.0 + acc_ref[6, :]
+        else:
+            t_ref, nx_ref, ny_ref, nz_ref, mp_ref = out_refs
+            t_ref[0, :] = acc_ref[0, :]
+            nx_ref[0, :] = acc_ref[1, :]
+            ny_ref[0, :] = acc_ref[2, :]
+            nz_ref[0, :] = acc_ref[3, :]
+            # pend folded into the material payload (m*2 + pend, exact
+            # in f32 for m < 2^22): one fewer back-sort operand at Ppad
+            # rows (~1.6 ms per operand per 2M rows) and one fewer
+            # output stream.
+            mp_ref[0, :] = acc_ref[4, :] * 2.0 + acc_ref[6, :]
 
 
-def _pair_visit_kernel_infeat(vb_ref, vc_ref, ray_ref, trig_ref,
-                              tric_ref, tab3_ref, t_ref, nx_ref,
-                              ny_ref, nz_ref, mp_ref, acc_ref, *,
-                              cs: int, V: int):
-    _pair_visit_kernel(vb_ref, vc_ref, ray_ref, None, trig_ref,
-                       tric_ref, tab3_ref, t_ref, nx_ref, ny_ref,
-                       nz_ref, mp_ref, acc_ref, cs=cs, V=V)
+def _mk_pair_visit_kernel(cs: int, V: int, thin: bool, infeat: bool):
+    """Positional-signature wrapper: Pallas passes refs positionally,
+    and the (thin, infeat) combinations differ in input/output arity."""
+    n_out = 2 if thin else 5
+
+    def kern(vb_ref, vc_ref, *refs):
+        if infeat:
+            ray_ref, feat_ref, i = refs[0], None, 1
+        else:
+            ray_ref, feat_ref, i = refs[0], refs[1], 2
+        trig_ref, tric_ref, tab3_ref = refs[i:i + 3]
+        out_refs = refs[i + 3:i + 3 + n_out]
+        acc_ref = refs[i + 3 + n_out]
+        _pair_visit_core(vb_ref, vc_ref, ray_ref, feat_ref, trig_ref,
+                         tric_ref, tab3_ref, out_refs, acc_ref, cs=cs,
+                         V=V, thin=thin)
+
+    return kern
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def _run_pair_visits(vb, vc, rays8p, featp, scene, cs: int, trp: int,
-                     interpret: bool, infeat: bool = False):
+                     interpret: bool, infeat: bool = False,
+                     thin: bool = False):
     """rays8p: (8, Ppad) sorted pairs; featp: (32, Ppad) bf16 Plucker
     features of the pair rays (None with infeat=True — the kernel
     computes them per visit from rays8p, trading ~40 VPU ops/pair for
-    the whole featp HBM stream). Returns 5 rows (1, Ppad):
-    t (BIG = miss), nx, ny, nz, m*2+pend."""
+    the whole featp HBM stream). Returns (1, Ppad) rows:
+    thin=False — 5: t (BIG = miss), nx, ny, nz, m*2+pend;
+    thin=True  — 2: t, g*2+pend (g = cluster-ordered global tri id)."""
     ppad = rays8p.shape[1]
     V = vb.shape[0]
+    n_out = 2 if thin else 5
     feat_specs = [] if infeat else [
         pl.BlockSpec((32, trp), lambda v, vb, vc: (0, vb[v])),
     ]
@@ -327,31 +354,136 @@ def _run_pair_visits(vb, vc, rays8p, featp, scene, cs: int, trp: int,
         ],
         out_specs=[
             pl.BlockSpec((1, trp), lambda v, vb, vc: (0, vb[v])),
-        ] * 5,
+        ] * n_out,
         scratch_shapes=[pltpu.VMEM((8, trp), jnp.float32)],
     )
-    kern = (functools.partial(_pair_visit_kernel_infeat, cs=cs, V=V)
-            if infeat
-            else functools.partial(_pair_visit_kernel, cs=cs, V=V))
+    kern = _mk_pair_visit_kernel(cs, V, thin, infeat)
     operands = ([vb, vc, rays8p] if infeat
                 else [vb, vc, rays8p, featp])
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((1, ppad), jnp.float32)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((1, ppad), jnp.float32)]
+                  * n_out,
         interpret=interpret,
     )(*operands, scene.trig, scene.tric, scene.tab3)
     return outs
 
 
+def _attr_fetch_kernel(vb_ref, vc_ref, key_ref, loc_ref, tab3_ref,
+                       nx_ref, ny_ref, nz_ref, m_ref, acc_ref, *,
+                       cs: int, V: int):
+    """Visit v: rows of tile vb[v] whose cluster key equals vc[v] get
+    their triangle's (nx, ny, nz, m) via the SAME tab3 3-split one-hot
+    MXU fetch the pair kernel's exact refine uses — the recovered
+    values are bit-identical to what the non-thin kernel streams out.
+    Rows of other runs in the tile are masked out of the one-hot (a
+    row is served exactly by the visit of its own cluster)."""
+    v = pl.program_id(0)
+    b = vb_ref[v]
+    cid = vc_ref[v]
+    prev_b = vb_ref[jnp.maximum(v - 1, 0)]
+    first = (v == 0) | (prev_b != b)
+    nxt_b = vb_ref[jnp.minimum(v + 1, V - 1)]
+    last = (v == V - 1) | (nxt_b != b)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when(cid >= 0)
+    def _():
+        keys = key_ref[:]                       # (1, TRF) i32
+        loc = loc_ref[:]                        # (1, TRF) i32
+        mask = keys == cid                      # (1, TRF)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+        onehot = jnp.where(
+            (sub == loc) & mask, 1.0, 0.0
+        ).astype(jnp.bfloat16)                  # (cs, TRF)
+        rows3 = jax.lax.dot_general(
+            tab3_ref[:], onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rows = rows3[0:17] + rows3[17:34] + rows3[34:51]
+        mk = mask[0, :]
+        acc_ref[0, :] = jnp.where(mk, rows[0, :], acc_ref[0, :])
+        acc_ref[1, :] = jnp.where(mk, rows[1, :], acc_ref[1, :])
+        acc_ref[2, :] = jnp.where(mk, rows[2, :], acc_ref[2, :])
+        acc_ref[3, :] = jnp.where(mk, rows[16, :], acc_ref[3, :])
+
+    @pl.when(last)
+    def _():
+        nx_ref[0, :] = acc_ref[0, :]
+        ny_ref[0, :] = acc_ref[1, :]
+        nz_ref[0, :] = acc_ref[2, :]
+        m_ref[0, :] = acc_ref[3, :]
+
+
+def fetch_attrs(g, scene, cs: int, c: int, trf: int, interpret: bool):
+    """Recover (nx, ny, nz, m) for per-ray winning triangle ids.
+
+    g: (R,) f32/i32 cluster-ordered global tri ids; negative = no
+    fetch (row returns zeros). One 3-operand sort groups rays by
+    cluster, one visit-list Pallas pass one-hot-fetches from tab3,
+    one 5-operand sort returns to ray order — ~3 sorts of bounded
+    width replacing the 3 attribute operands that otherwise ride
+    EVERY pair-row and escalation back sort (pair v6 'thin' mode)."""
+    r = g.shape[0]
+    gi = g.astype(jnp.int32)
+    rpad = -(-r // trf) * trf
+    slot = jnp.arange(rpad, dtype=jnp.int32)
+    if rpad != r:
+        gi = jnp.concatenate(
+            [gi, jnp.full((rpad - r,), -1, jnp.int32)]
+        )
+    valid = gi >= 0
+    cid = jnp.where(valid, gi // cs, c)
+    loc = jnp.where(valid, gi - (gi // cs) * cs, 0)
+    key_s, slot_s, loc_s = jax.lax.sort([cid, slot, loc], num_keys=1)
+    vb, vc = build_visits(key_s, trf, c)
+    V = vb.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(V,),
+        in_specs=[
+            pl.BlockSpec((1, trf), lambda v, vb, vc: (0, vb[v])),
+            pl.BlockSpec((1, trf), lambda v, vb, vc: (0, vb[v])),
+            pl.BlockSpec(
+                (64, cs),
+                lambda v, vb, vc: (0, jnp.maximum(vc[v], 0)),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, trf), lambda v, vb, vc: (0, vb[v])),
+        ] * 4,
+        scratch_shapes=[pltpu.VMEM((4, trf), jnp.float32)],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_attr_fetch_kernel, cs=cs, V=V),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, rpad), jnp.float32)] * 4,
+        interpret=interpret,
+    )(vb, vc, key_s.reshape(1, -1), loc_s.reshape(1, -1), scene.tab3)
+    back = jax.lax.sort(
+        [slot_s, outs[0][0], outs[1][0], outs[2][0], outs[3][0]],
+        num_keys=1,
+    )
+    return back[1][:r], back[2][:r], back[3][:r], back[4][:r]
+
+
 def pairs_round_mxu(comps, ids, scene, c: int, cs: int, trp: int,
-                    interpret: bool, infeat: bool = False):
+                    interpret: bool, infeat: bool = False,
+                    thin: bool = False):
     """MXU twin of sorted_intersect._pairs_round. comps: 6 (R,) ray
     component arrays; ids: (L, R) rank-major candidate cluster ids
     (c = none); cs = cluster size of the scene packs. Returns
     ((t, nx, ny, nz, m) per-ray best, pend (R,) bool — some tested
     cluster of the ray ended pend, so its result may be incomplete
-    and the ray must stay unresolved)."""
+    and the ray must stay unresolved). thin=True returns
+    ((t, g), pend) instead, g = winning cluster-ordered global tri
+    id as f32 (junk on miss rows — the caller's strict-< min-merge
+    never consumes it)."""
     l, r = ids.shape
     p = r * l
     keys = ids.reshape(-1)
@@ -375,11 +507,25 @@ def pairs_round_mxu(comps, ids, scene, c: int, cs: int, trp: int,
     rays8p = jnp.stack([*comps_s, zeros, zeros], axis=0)
     featp = None if infeat else plucker_feat(rays8p)
     vb, vc = build_visits(keys_s, trp, c)
-    t, nx, ny, nz, mp = (
-        o[0] for o in _run_pair_visits(
-            vb, vc, rays8p, featp, scene, cs, trp, interpret, infeat,
-        )
+    outs = _run_pair_visits(
+        vb, vc, rays8p, featp, scene, cs, trp, interpret, infeat,
+        thin,
     )
+    if thin:
+        t, gp = (o[0] for o in outs)
+        back = jax.lax.sort([pslot_s, t, gp], num_keys=1)
+        back = [a[:p] for a in back]
+        t_lr = back[1].reshape(l, r)
+        best = jnp.min(t_lr, axis=0)
+        which = jnp.argmin(t_lr, axis=0)
+        onehot = (jnp.arange(l, dtype=jnp.int32)[:, None]
+                  == which[None, :]).astype(jnp.float32)
+        gp_lr = back[2].reshape(l, r)
+        pend_lr = gp_lr - 2.0 * jnp.floor(gp_lr / 2.0)
+        pend = jnp.max(pend_lr, axis=0) > 0.0
+        g_win = jnp.floor(jnp.sum(gp_lr * onehot, axis=0) / 2.0)
+        return (best, g_win), pend
+    t, nx, ny, nz, mp = (o[0] for o in outs)
     back = jax.lax.sort([pslot_s, t, nx, ny, nz, mp], num_keys=1)
     back = [a[:p] for a in back]
     t_lr = back[1].reshape(l, r)

@@ -629,7 +629,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                         u2_frac: int = 2, u3_frac: int = 32,
                         tail: int = 8192, mxu: bool = False,
                         dop: bool = False, move: str = "gather",
-                        infeat: bool = False,
+                        infeat: bool = False, thin: bool = False,
                         interpret: bool = False):
     """Pair-expansion intersector for large scenes (hundreds of
     clusters, incoherent rays).
@@ -678,6 +678,18 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
     hits are exact either way — overflow rays are absorbed by later
     iterations or the unconditional dense tail.
 
+    `thin=True` (requires mxu) shrinks every data-movement payload to
+    (t, g) with g the winning cluster-ordered global triangle id: the
+    visit kernel streams 2 rows instead of 5, pair-row back sorts
+    carry 3 operands instead of 6, escalation back sorts 5 instead of
+    9. The attributes are recovered ONCE per ray at the end
+    (pair_mxu.fetch_attrs — the same tab3 one-hot dot the kernel's
+    refine uses, so recovered values are bit-identical); seed and
+    dense-tail results, which arrive in attribute form, live in a
+    full-width overlay selected wherever the winning source was not a
+    pair round (g = -1). Merge rules (strict <, monotone done, sticky
+    pend, unconditional tail) are unchanged, so exactness is too.
+
     Hit results equal the dense kernel's for all inputs; capacities
     and schedule only trade time. Defaults (v5e-measured, 100k-tri
     stress scene): l1=8 certifies 86% of real wavefront rays in round
@@ -704,6 +716,9 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         raise ValueError(f"unknown move mode {move!r}")
     if infeat and not mxu:
         raise ValueError("infeat=True requires mxu=True")
+    if thin and not mxu:
+        raise ValueError("thin=True requires mxu=True (triangle ids "
+                         "come from the cluster-ordered march packs)")
     big, rest = split_by_size(tris)
     if rest is None:   # degenerate: everything is scene-spanning
         return make_pallas_intersect(tris, interpret=interpret)
@@ -736,7 +751,18 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         def run_pairs_fn(comps_in, ids):
             return pairs_round_mxu(comps_in, ids, mscene, c,
                                    cluster_size, trp, interpret,
-                                   infeat)
+                                   infeat, thin)
+
+        if thin:
+            from opencl_path_tracer_tpu.ops.pallas.pair_mxu import (
+                fetch_attrs,
+            )
+
+            def fetch_fn(g):
+                return fetch_attrs(g, mscene, cluster_size, c, trp,
+                                   interpret)
+        else:
+            fetch_fn = None
     else:
         scene, c, _k = build_clusters(rest, cluster_size,
                                       split_large=False)
@@ -779,17 +805,24 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         ]
 
         # Seed best with the scene-spanning triangles (brute, ~free).
+        # thin mode keeps only (t, g) hot; attribute-domain sources
+        # (this seed, the dense tail) live in the `overlay` arrays and
+        # mark themselves with g = -1.
+        zeros = jnp.zeros((rpad,), jnp.float32)
         if big_isect is not None:
             hb = big_isect(Rays(p=tuple(comps[:3]), d=tuple(comps[3:])))
-            best0 = (
-                jnp.where(hb.valid, hb.t, BIG),
-                hb.n[0], hb.n[1], hb.n[2],
-                hb.mati.astype(jnp.float32),
-            )
+            seed_t = jnp.where(hb.valid, hb.t, BIG)
+            seed_attrs = (hb.n[0], hb.n[1], hb.n[2],
+                          hb.mati.astype(jnp.float32))
         else:
-            zeros = jnp.zeros((rpad,), jnp.float32)
-            best0 = (jnp.full((rpad,), BIG, jnp.float32),
-                     zeros, zeros, zeros, zeros)
+            seed_t = jnp.full((rpad,), BIG, jnp.float32)
+            seed_attrs = (zeros, zeros, zeros, zeros)
+        if thin:
+            best0 = (seed_t, jnp.full((rpad,), -1.0, jnp.float32))
+            overlay = seed_attrs
+        else:
+            best0 = (seed_t,) + seed_attrs
+            overlay = None
 
         # Round 1: l1 nearest candidates for every ray (fused kernel).
         rays8t = pack_rays(tuple(comps[:3]), tuple(comps[3:]), rpad)
@@ -938,6 +971,30 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                     [x, jnp.full((pad,), fill, x.dtype)]
                 )
 
+            if thin:
+                # 5-operand back sort: (t, g*2+pend) replace the 5
+                # attribute payloads (g junk on miss rows — strict-<
+                # merge never consumes it; pend guarded by `touched`
+                # so the -1 fill can't raise it).
+                g2p = (new_sub[1] * 2.0
+                       + pend_sub.astype(jnp.float32))
+                back = jax.lax.sort(
+                    [slot_s, ext(new_sub[0], BIG), ext(g2p, -1.0),
+                     ext(bound, -1.0),
+                     ext(jnp.maximum(d0, d1), jnp.int32(-1))],
+                    num_keys=1,
+                )
+                t_b, g2p_b, bound_b, done_b = back[1:]
+                touched = done_b >= 0
+                g_b = jnp.floor(g2p_b / 2.0)
+                best = _merge_best(best, (t_b, g_b))
+                done2 = jnp.where(touched,
+                                  jnp.maximum(done, done_b), done)
+                pend = pend | (touched & (g2p_b - 2.0 * g_b > 0.0))
+                res_new = (touched
+                           & ((best[0] <= bound_b) | (bound_b >= BIG))
+                           & ~pend)
+                return best, resolved | res_new, done2, pend
             pend_i = (pend_sub.astype(jnp.int32) if pend_sub is not None
                       else jnp.zeros((u,), jnp.int32))
             back = jax.lax.sort(
@@ -1070,6 +1127,80 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             )
             best = _merge_best(best, tuple(back[1:6]))
             return (best, resolved | (back[6] > 0))
+
+        def body4_thin(carry):
+            best, ov, resolved = carry
+            idx = unresolved_prefix(resolved, u4)
+            subrays = Rays(p=tuple(x[idx] for x in comps[:3]),
+                           d=tuple(x[idx] for x in comps[3:]))
+            ht = tail_isect(subrays)
+            new_t = jnp.where(ht.valid, ht.t, BIG)
+            t_cur = best[0][idx]
+            better = new_t < t_cur
+            best = (
+                best[0].at[idx].set(jnp.where(better, new_t, t_cur)),
+                best[1].at[idx].set(
+                    jnp.where(better, -1.0, best[1][idx])
+                ),
+            )
+            attrs = (ht.n[0], ht.n[1], ht.n[2],
+                     ht.mati.astype(jnp.float32))
+            ov = tuple(
+                o.at[idx].set(jnp.where(better, a, o[idx]))
+                for o, a in zip(ov, attrs)
+            )
+            return (best, ov, resolved.at[idx].set(True))
+
+        def body4_sort_thin(carry):
+            best, ov, resolved = carry
+            srt = jax.lax.sort(
+                [resolved.astype(jnp.int32), slot, *comps],
+                num_keys=2,
+            )
+            slot_s = srt[1]
+            sub = [x[:u4] for x in srt[2:8]]
+            ht = tail_isect(Rays(p=tuple(sub[:3]), d=tuple(sub[3:])))
+            pad = rpad - u4
+
+            def ext(x, fill):
+                if not pad:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.full((pad,), fill, x.dtype)]
+                )
+
+            back = jax.lax.sort(
+                [slot_s,
+                 ext(jnp.where(ht.valid, ht.t, BIG), BIG),
+                 ext(ht.n[0], 0.0), ext(ht.n[1], 0.0),
+                 ext(ht.n[2], 0.0),
+                 ext(ht.mati.astype(jnp.float32), 0.0),
+                 ext(jnp.ones((u4,), jnp.int32), jnp.int32(0))],
+                num_keys=1,
+            )
+            t_b = back[1]
+            better = t_b < best[0]
+            best = (jnp.where(better, t_b, best[0]),
+                    jnp.where(better, -1.0, best[1]))
+            ov = tuple(
+                jnp.where(better, a, o) for o, a in zip(ov, back[2:6])
+            )
+            return (best, ov, resolved | (back[6] > 0))
+
+        if thin:
+            best, overlay, resolved = jax.lax.while_loop(
+                lambda ca: jnp.any(~ca[2]),
+                body4_sort_thin if move == "sort" else body4_thin,
+                (best, overlay, resolved),
+            )
+            fnx, fny, fnz, fm = fetch_fn(best[1])
+            use = best[1] >= 0.0
+            n3 = tuple(
+                jnp.where(use, f, o)
+                for f, o in zip((fnx, fny, fnz), overlay[:3])
+            )
+            m = jnp.where(use, fm, overlay[3])
+            return _hits_from_raw(rays, best[0], n3, m, r)
 
         best, resolved = jax.lax.while_loop(
             lambda ca: jnp.any(~ca[1]),

@@ -168,13 +168,17 @@ def test_pair_intersect_nondivisible_pair_tiles(mxu):
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
 
 
-def test_pair_mxu_forced_pend_funnels_through_tail(monkeypatch):
+@pytest.mark.parametrize("thin", [False, True])
+def test_pair_mxu_forced_pend_funnels_through_tail(monkeypatch, thin):
     """The pend contract: a ray whose pair test ends pend must stay
     unresolved until the dense tail certifies it. Force pend=True for
     EVERY ray (worst case — e.g. a pathological eps band) and require
     the result to still equal brute force; this exercises the sticky
     flag through every escalation round and the tail's capacity loop
-    (tail=256 << the 2048 forced rays)."""
+    (tail=256 << the 2048 forced rays). thin=True additionally
+    exercises the g*2+pend fold in the sort-free (gather) escalation
+    and the final fetch on a workload where the TAIL supplies most
+    winners (overlay path)."""
     from opencl_path_tracer_tpu.ops.pallas import pair_mxu
     from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
         make_pair_intersect,
@@ -183,9 +187,9 @@ def test_pair_mxu_forced_pend_funnels_through_tail(monkeypatch):
     real = pair_mxu.pairs_round_mxu
 
     def all_pend(comps, ids, scene, c, cs, trp, interpret,
-                 infeat=False):
+                 infeat=False, thin=False):
         best, pend = real(comps, ids, scene, c, cs, trp, interpret,
-                          infeat)
+                          infeat, thin)
         return best, jnp.ones_like(pend)
 
     monkeypatch.setattr(pair_mxu, "pairs_round_mxu", all_pend)
@@ -193,7 +197,7 @@ def test_pair_mxu_forced_pend_funnels_through_tail(monkeypatch):
     rays = _rand_rays(2048, seed=5, lo=-60.0, hi=60.0)
     pi = make_pair_intersect(tris, cluster_size=256, l1=4, l2=12,
                              trp=512, u2_frac=2, u3_frac=4, tail=256,
-                             mxu=True, interpret=True)
+                             mxu=True, thin=thin, interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, tris))
 
 
@@ -228,12 +232,13 @@ def test_pair_mxu_visit_list_properties():
         assert set(vb.tolist()) == set(range(b))    # every tile flushed
 
 
-@pytest.mark.parametrize("mxu,dop,move", [
-    (False, False, "gather"), (True, False, "gather"),
-    (True, True, "gather"),
-    (False, False, "sort"), (True, True, "sort"),
+@pytest.mark.parametrize("mxu,dop,move,thin", [
+    (False, False, "gather", False), (True, False, "gather", False),
+    (True, True, "gather", False),
+    (False, False, "sort", False), (True, True, "sort", False),
+    (True, True, "sort", True), (True, False, "gather", True),
 ])
-def test_pair_intersect_corridor_rays_deep_march(mxu, dop, move):
+def test_pair_intersect_corridor_rays_deep_march(mxu, dop, move, thin):
     """The adversarial workload that broke v3 on TPU: rays starting
     OUTSIDE the populated region marching a long corridor of cluster
     boxes before their (far) hit — most rays uncertified after round 1
@@ -266,7 +271,7 @@ def test_pair_intersect_corridor_rays_deep_march(mxu, dop, move):
     pi = make_pair_intersect(scene.tris, cluster_size=256, l1=1, l2=1,
                              trp=256, trb=256, u2_frac=64, u3_frac=64,
                              tail=256, mxu=mxu, dop=dop, move=move,
-                             interpret=True)
+                             thin=thin, interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
 
 
@@ -292,6 +297,32 @@ def test_pair_tpu_winner_config_exact():
     pi2 = make_pair_intersect(scene.tris, interpret=True,
                               **PAIR_TPU_WINNER)
     _check(pi2(rays2), intersect.first_intersect(rays2, scene.tris))
+
+
+def test_pair_thin_matches_nonthin_bitexact():
+    """thin=True's deferred attribute fetch uses the SAME tab3 3-split
+    one-hot dot the non-thin kernel's refine uses, and the merge/
+    rank-reduce order is identical — so on every hit lane the two
+    modes must agree BIT-FOR-BIT on t, normals, and material (not
+    just to tolerance). Guards the 'attributes recovered exactly'
+    claim that justifies the thin payload redesign."""
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    tris = _rand_tris(3000, seed=17)
+    rays = _rand_rays(1024, seed=23, lo=-70.0, hi=70.0)
+    kw = dict(cluster_size=256, trp=256, l1=2, l2=8, l3=24, tail=512,
+              mxu=True, dop=True, move="sort", interpret=True)
+    h0 = make_pair_intersect(tris, thin=False, **kw)(rays)
+    h1 = make_pair_intersect(tris, thin=True, **kw)(rays)
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    hit = np.asarray(h0.t) >= 0
+    np.testing.assert_array_equal(np.asarray(h0.mati)[hit],
+                                  np.asarray(h1.mati)[hit])
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(h0.n[k])[hit],
+                                      np.asarray(h1.n[k])[hit])
+    assert hit.sum() > 50  # the comparison must cover real hit lanes
 
 
 def test_pair_intersect_random_config_gauntlet():
@@ -323,6 +354,7 @@ def test_pair_intersect_random_config_gauntlet():
             mxu=mxu,
             dop=bool(rs.integers(0, 2)) and mxu,
             infeat=bool(rs.integers(0, 2)) and mxu,
+            thin=bool(rs.integers(0, 2)) and mxu,
             move=str(rs.choice(["gather", "sort"])),
         )
         pi = make_pair_intersect(tris, interpret=True, **cfg)
