@@ -931,13 +931,26 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             `escalation` exactly per ray (min-merge, monotone done,
             sticky pend, OR-resolved); only the overflow ray SET can
             differ, which exactness does not depend on."""
-            srt = jax.lax.sort(
-                [resolved.astype(jnp.int32), slot, *comps, done],
-                num_keys=2,
-            )
-            slot_s = srt[1]
-            sub = [x[:u] for x in srt[2:8]]
-            d0 = srt[8][:u]
+            fold_done = thin and maxrank < 64 and rpad < (1 << 25)
+            if fold_done:
+                # done rides the slot key (slot*64+done — same order,
+                # done is per-slot unique): one fewer 2M-row operand.
+                srt = jax.lax.sort(
+                    [resolved.astype(jnp.int32), slot * 64 + done,
+                     *comps],
+                    num_keys=2,
+                )
+                slot_s = srt[1] // 64
+                d0 = (srt[1] - slot_s * 64)[:u]
+                sub = [x[:u] for x in srt[2:8]]
+            else:
+                srt = jax.lax.sort(
+                    [resolved.astype(jnp.int32), slot, *comps, done],
+                    num_keys=2,
+                )
+                slot_s = srt[1]
+                sub = [x[:u] for x in srt[2:8]]
+                d0 = srt[8][:u]
             sub8t = pack_rays(tuple(sub[:3]), tuple(sub[3:]), u)
             ids_all, ents_all, nxt = _run_candidates(
                 sub8t, boxes_r, sel, c, trb, interpret

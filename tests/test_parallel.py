@@ -125,7 +125,8 @@ def test_tiled_wavefront_with_pair_mxu_backend():
     cam = library.cornell_camera(w, h)
     isect = make_pair_intersect(
         scene.tris, cluster_size=128, l1=2, l2=4, l3=8, trp=128,
-        trb=128, tail=128, mxu=True, interpret=True,
+        trb=128, tail=128, mxu=True, thin=True, move="sort",
+        interpret=True,
     )
     mesh = make_render_mesh()
     n = w * h
