@@ -31,6 +31,7 @@ d==0 axis tests containment instead).
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -712,13 +713,22 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             "dop=True requires mxu=True (DOP supports are built from "
             "the march scene's cluster-ordered triangles)"
         )
-    if move not in ("gather", "sort"):
+    if move not in ("gather", "sort", "chain"):
         raise ValueError(f"unknown move mode {move!r}")
     if infeat and not mxu:
         raise ValueError("infeat=True requires mxu=True")
     if thin and not mxu:
         raise ValueError("thin=True requires mxu=True (triangle ids "
                          "come from the cluster-ordered march packs)")
+    if move == "chain":
+        if not thin:
+            raise ValueError(
+                "move='chain' requires thin=True (the chain carries "
+                "the (t, tri-id) payload; attribute payloads would "
+                "void its sort-volume economics)")
+        if l3 >= 64:
+            raise ValueError("move='chain' folds march progress into "
+                             "a *128 sort key; l3 must be < 64")
     big, rest = split_by_size(tris)
     if rest is None:   # degenerate: everything is scene-spanning
         return make_pallas_intersect(tris, interpret=interpret)
@@ -763,6 +773,28 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                                    interpret)
         else:
             fetch_fn = None
+
+        if move == "chain":
+            # Chain-mode dense tail: min+argmin over the MARCH-ordered
+            # triangles (`_rt` is the cluster-major reorder, so the
+            # argmin row index IS the cluster-ordered global id that
+            # `fetch_attrs` decodes — cluster k occupies rows
+            # [k*cs, (k+1)*cs), only the last cluster is partial, and
+            # `build_tri_pack` pad rows never hit). Scene-spanning
+            # triangles are excluded on purpose: their exact result
+            # already seeded `best0` via `big_isect`, so min-merging
+            # the rest-only tail keeps the union exhaustive.
+            from opencl_path_tracer_tpu.ops.pallas.intersect_kernel \
+                import _run_minarg, build_tri_pack
+            tail_pack = build_tri_pack(_rt, 1024)
+            tt_tail = min(1024, tail_pack.shape[0])
+
+            def tail_minarg_fn(rays8, u):
+                tr = math.gcd(u, 1024)   # divides u, <= 1024
+                return _run_minarg(rays8, tail_pack, tr, tt_tail,
+                                   interpret)
+        else:
+            tail_minarg_fn = None
     else:
         scene, c, _k = build_clusters(rest, cluster_size,
                                       split_large=False)
@@ -1037,8 +1069,171 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
 
         # Round 2: one wide pass over a large unresolved prefix.
         unit = max(trp, trb)
-        if l2 > l1:
-            u2 = max(unit, (rpad // u2_frac // unit) * unit)
+        u2 = max(unit, (rpad // u2_frac // unit) * unit)
+
+        if move == "chain":
+            # -- Sort-resident escalation chain (pair v7) ----------
+            # ONE full-width compaction sort moves the wavefront into
+            # chain space (unresolved-first; march progress and pend
+            # fold into the slot key; the running (t, g) best rides as
+            # payload). Each escalation updates its prefix IN PLACE
+            # (concatenate — no per-call back sort), and between tiers
+            # only the shrinking live region is re-sorted. The dense
+            # tail is also chain-resident: after one region compaction
+            # it dense-tests fixed-size chunks with the march-ordered
+            # min+argmin kernel (argmin row ids are exactly
+            # fetch_attrs' id space), replacing the two full-width
+            # sorts every tail iteration pays in move="sort". ONE
+            # slot-keyed back sort restores ray order. The shared
+            # full-width tail below remains compiled-in as the
+            # unconditional safety net for rays that overflow every
+            # region capacity (normally zero iterations). Escalation
+            # semantics per ray (strict-< merge, monotone done, sticky
+            # pend, OR-resolved, certificate bounds) are identical to
+            # escalation_sort; only the overflow ray SET can differ,
+            # which exactness does not depend on.
+            assert rpad < (1 << 24), "chain slot-key fold needs r<16M"
+            pendf = pend_ray.astype(jnp.int32)
+
+            def _foldkey(slot_a, done_a, pend_a):
+                return slot_a * 128 + done_a * 2 + pend_a
+
+            def _unfold(key2):
+                slot_a = key2 // 128
+                rem = key2 - slot_a * 128
+                return slot_a, rem // 2, rem - (rem // 2) * 2
+
+            srt = jax.lax.sort(
+                [resolved.astype(jnp.int32),
+                 _foldkey(slot, done, pendf), *comps,
+                 best[0], best[1]],
+                num_keys=2,
+            )
+            slot_s, done_s, pend_s = _unfold(srt[1])
+            state = (srt[0], done_s, pend_s, slot_s, list(srt[2:8]),
+                     srt[8], srt[9])
+
+            def chain_escalate(state, u, w, sel):
+                """escalation_sort per-ray semantics on the chain-space
+                prefix [:u]; write-back by concatenation."""
+                res_s, done_s, pend_s, slot_s, comps_s, t_s, g_s = \
+                    state
+                sub = [x[:u] for x in comps_s]
+                d0 = done_s[:u]
+                sub8t = pack_rays(tuple(sub[:3]), tuple(sub[3:]), u)
+                ids_all, ents_all, nxt = _run_candidates(
+                    sub8t, boxes_r, sel, c, trb, interpret
+                )
+                rows = (d0[None, :]
+                        + jnp.arange(w, dtype=jnp.int32)[:, None])
+                in_rank = rows < sel
+                ids = jnp.where(
+                    in_rank,
+                    jnp.take_along_axis(
+                        ids_all, jnp.clip(rows, 0, sel - 1), axis=0
+                    ),
+                    c,
+                )
+                (t_new, g_new), pend_sub = run_pairs_fn(sub, ids)
+                t0 = t_s[:u]
+                better = t_new < t0
+                t1 = jnp.where(better, t_new, t0)
+                g1 = jnp.where(better, g_new, g_s[:u])
+                d1 = jnp.minimum(d0 + w, sel)
+                bound = jnp.where(
+                    d1 < sel,
+                    jnp.take_along_axis(
+                        ents_all, jnp.clip(d1, 0, sel - 1)[None, :],
+                        axis=0,
+                    )[0],
+                    nxt,
+                )
+                p1 = pend_s[:u] | pend_sub.astype(jnp.int32)
+                r1_ = res_s[:u] | (
+                    ((t1 <= bound) | (bound >= BIG)) & (p1 == 0)
+                ).astype(jnp.int32)
+
+                def cat(a, b):
+                    return jnp.concatenate([a, b])
+
+                return (cat(r1_, res_s[u:]),
+                        cat(jnp.maximum(d0, d1), done_s[u:]),
+                        cat(p1, pend_s[u:]), slot_s, comps_s,
+                        cat(t1, t_s[u:]), cat(g1, g_s[u:]))
+
+            def region_sort(state, R):
+                res_s, done_s, pend_s, slot_s, comps_s, t_s, g_s = \
+                    state
+                srt = jax.lax.sort(
+                    [res_s[:R],
+                     _foldkey(slot_s[:R], done_s[:R], pend_s[:R]),
+                     *[x[:R] for x in comps_s], t_s[:R], g_s[:R]],
+                    num_keys=2,
+                )
+                sl2, dn2, pn2 = _unfold(srt[1])
+
+                def cat(a, b):
+                    return jnp.concatenate([a, b])
+
+                return (cat(srt[0], res_s[R:]), cat(dn2, done_s[R:]),
+                        cat(pn2, pend_s[R:]), cat(sl2, slot_s[R:]),
+                        [cat(srt[2 + i], comps_s[i][R:])
+                         for i in range(6)],
+                        cat(srt[8], t_s[R:]), cat(srt[9], g_s[R:]))
+
+            if l2 > l1:
+                state = chain_escalate(state, u2, l2 - l1,
+                                       min(maxrank, l2))
+            if maxrank > l2:
+                u3a_c = max(unit,
+                            (rpad // u2_frac // 4 // unit) * unit)
+                u3b_c = max(unit,
+                            (rpad // u2_frac // 16 // unit) * unit)
+                state = region_sort(state, u2)
+                state = chain_escalate(state, u3a_c, 8,
+                                       min(maxrank, l2 + 8))
+                state = region_sort(state, u3a_c)
+                state = chain_escalate(state, u3b_c, maxrank - l2,
+                                       maxrank)
+            # Chain-resident dense tail over the [0:u2] region: every
+            # ray the fwd sort placed within escalation range lives
+            # there; anything deeper (fwd-sort overflow) falls to the
+            # full-width safety net below.
+            state = region_sort(state, u2)
+            res_s, done_s, pend_s, slot_s, comps_s, t_s, g_s = state
+            unres = jnp.sum(1 - res_s[:u2])
+            u4c = min(tail, u2)
+
+            def tail_body(carry):
+                t_s, g_s, res_s, k = carry
+                off = k * u4c
+                sub = [jax.lax.dynamic_slice(x, (off,), (u4c,))
+                       for x in comps_s]
+                rays8 = pack_rays(tuple(sub[:3]), tuple(sub[3:]),
+                                  u4c)
+                tt_, gg_ = tail_minarg_fn(rays8, u4c)
+                t0 = jax.lax.dynamic_slice(t_s, (off,), (u4c,))
+                g0 = jax.lax.dynamic_slice(g_s, (off,), (u4c,))
+                better = tt_[0] < t0
+                t_s = jax.lax.dynamic_update_slice(
+                    t_s, jnp.where(better, tt_[0], t0), (off,))
+                g_s = jax.lax.dynamic_update_slice(
+                    g_s, jnp.where(better, gg_[0], g0), (off,))
+                res_s = jax.lax.dynamic_update_slice(
+                    res_s, jnp.ones((u4c,), jnp.int32), (off,))
+                return (t_s, g_s, res_s, k + 1)
+
+            t_s, g_s, res_s, _ = jax.lax.while_loop(
+                lambda ca: ca[3] * u4c < unres, tail_body,
+                (t_s, g_s, res_s, jnp.int32(0)),
+            )
+            back = jax.lax.sort(
+                [slot_s, t_s, g_s, res_s], num_keys=1,
+            )
+            best = (back[1], back[2])
+            resolved = back[3] > 0
+
+        if move != "chain" and l2 > l1:
             best, resolved, done, pend_ray = escalation(
                 best, resolved, done, pend_ray, u2, l2 - l1,
                 min(maxrank, l2)
@@ -1051,7 +1246,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         # graph the way isolated microbenchmarks suggested), so one
         # wide call beats any multi-round march schedule even though
         # its pair list is dummy-heavy.
-        if maxrank > l2:
+        if move != "chain" and maxrank > l2:
             w3 = maxrank - l2
             # Tier A: most uncertified rays need only a few more ranks
             # (cert p90 = 11 on the stress wavefront) — wide capacity,
@@ -1203,7 +1398,8 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         if thin:
             best, overlay, resolved = jax.lax.while_loop(
                 lambda ca: jnp.any(~ca[2]),
-                body4_sort_thin if move == "sort" else body4_thin,
+                body4_sort_thin if move in ("sort", "chain")
+                else body4_thin,
                 (best, overlay, resolved),
             )
             fnx, fny, fnz, fm = fetch_fn(best[1])

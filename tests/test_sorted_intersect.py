@@ -87,10 +87,12 @@ def _rand_tris(t, seed=0, spread=50.0):
     )
 
 
-@pytest.mark.parametrize("mxu,move", [(False, "gather"),
-                                      (True, "gather"),
-                                      (False, "sort"), (True, "sort")])
-def test_pair_intersect_exact_with_full_capacity(mxu, move):
+@pytest.mark.parametrize("mxu,move,thin", [
+    (False, "gather", False), (True, "gather", False),
+    (False, "sort", False), (True, "sort", False),
+    (True, "chain", True),
+])
+def test_pair_intersect_exact_with_full_capacity(mxu, move, thin):
     """Escalation to every rank with full prefix capacity == brute."""
     from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
         make_pair_intersect,
@@ -99,7 +101,7 @@ def test_pair_intersect_exact_with_full_capacity(mxu, move):
     rays = _rand_rays(2048, seed=5, lo=-60.0, hi=60.0)
     pi = make_pair_intersect(tris, cluster_size=256, l1=4, l2=12,
                              trp=512, u2_frac=1, u3_frac=1, mxu=mxu,
-                             move=move, interpret=True)
+                             move=move, thin=thin, interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, tris))
 
 
@@ -168,8 +170,11 @@ def test_pair_intersect_nondivisible_pair_tiles(mxu):
     _check(pi(rays), intersect.first_intersect(rays, scene.tris))
 
 
-@pytest.mark.parametrize("thin", [False, True])
-def test_pair_mxu_forced_pend_funnels_through_tail(monkeypatch, thin):
+@pytest.mark.parametrize("thin,move", [
+    (False, "gather"), (True, "gather"), (True, "chain"),
+])
+def test_pair_mxu_forced_pend_funnels_through_tail(monkeypatch, thin,
+                                                   move):
     """The pend contract: a ray whose pair test ends pend must stay
     unresolved until the dense tail certifies it. Force pend=True for
     EVERY ray (worst case — e.g. a pathological eps band) and require
@@ -197,7 +202,8 @@ def test_pair_mxu_forced_pend_funnels_through_tail(monkeypatch, thin):
     rays = _rand_rays(2048, seed=5, lo=-60.0, hi=60.0)
     pi = make_pair_intersect(tris, cluster_size=256, l1=4, l2=12,
                              trp=512, u2_frac=2, u3_frac=4, tail=256,
-                             mxu=True, thin=thin, interpret=True)
+                             mxu=True, thin=thin, move=move,
+                             interpret=True)
     _check(pi(rays), intersect.first_intersect(rays, tris))
 
 
@@ -237,6 +243,7 @@ def test_pair_mxu_visit_list_properties():
     (True, True, "gather", False),
     (False, False, "sort", False), (True, True, "sort", False),
     (True, True, "sort", True), (True, False, "gather", True),
+    (True, True, "chain", True),
 ])
 def test_pair_intersect_corridor_rays_deep_march(mxu, dop, move, thin):
     """The adversarial workload that broke v3 on TPU: rays starting
@@ -355,8 +362,11 @@ def test_pair_intersect_random_config_gauntlet():
             dop=bool(rs.integers(0, 2)) and mxu,
             infeat=bool(rs.integers(0, 2)) and mxu,
             thin=bool(rs.integers(0, 2)) and mxu,
-            move=str(rs.choice(["gather", "sort"])),
         )
+        cfg["move"] = str(rs.choice(
+            ["gather", "sort", "chain"] if cfg["thin"]
+            else ["gather", "sort"]
+        ))
         pi = make_pair_intersect(tris, interpret=True, **cfg)
         try:
             _check(pi(rays), brute)
