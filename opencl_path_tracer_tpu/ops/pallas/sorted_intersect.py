@@ -613,15 +613,19 @@ def _merge_best(cur, new):
 
 
 # Production config for large scenes on TPU, from the round-3 on-device
-# sweep (scripts/tpu_pair_schedule_sweep.py + tpu_pair_e2e_bench.py,
-# v5e, 2026-08-18, sha a3697f6): kernel-level 312.9 ms / 4.24 Mrays/s
-# on the 1.33M-ray steady-state workload (v4 default: 414.6 ms), and
-# 4.53 Mrays/s end-to-end on the official 1080p stress bench (v4:
-# 3.24). Exactness: 0 t/mati/hit-normal flips vs the dense kernel on
-# the full real wavefront under this exact config. `bench.py` and
+# sweeps (scripts/tpu_pair_schedule_sweep.py, tpu_thin_sweep{,2}.py;
+# v5e, 2026-08-18, sha eac5d8f): 391.3 ms / 5.30 Mrays/s on the
+# 2.07M-ray steady-state 1080p workload (v5 sort winner: 487 ms /
+# 4.26; v4 default: ~640). The thin (t, tri-id) payload cuts every
+# sort's operand count, and l2=6 is a SHARP optimum (l2=4 -> 3.11,
+# l2=5 -> 3.90, l2=8 -> 4.60, l2=10 -> 3.96 Mrays/s): the round-2
+# pair width w = l2 - l1 = 4 halves the dominant 6M-row round-2
+# expansion of l2=8 while staying lane-aligned. Exactness: 0
+# t/mati/hit-normal flips vs the dense kernel on the full real
+# wavefront under this exact config. `bench.py` and
 # `runtime/engine.py` auto-select pass these kwargs verbatim.
-PAIR_TPU_WINNER = dict(mxu=True, dop=True, cluster_size=256, trp=512,
-                       l1=2, move="sort")
+PAIR_TPU_WINNER = dict(mxu=True, dop=True, cluster_size=256, trp=1024,
+                       l1=2, l2=6, thin=True, move="sort")
 
 
 def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,

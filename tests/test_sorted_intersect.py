@@ -284,16 +284,17 @@ def test_pair_intersect_corridor_rays_deep_march(mxu, dop, move, thin):
 
 def test_pair_tpu_winner_config_exact():
     """The production config (PAIR_TPU_WINNER — what accel='auto'
-    builds on TPU for large scenes; swept on-device, 4.53 Mrays/s
-    official) must be exact in interpret mode on both a random cloud
-    and the enclosed stress scene. Pins the exact kwargs the TPU
-    exactness record (docs/BENCHMARKS.md, sha a3697f6) was taken
-    under, so a default change can't silently dodge CI."""
+    builds on TPU for large scenes; swept on-device, 5.30 Mrays/s
+    kernel-level) must be exact in interpret mode on both a random
+    cloud and the enclosed stress scene. Pins the exact kwargs the TPU
+    exactness record (docs/BENCHMARKS.md, thin sweeps at sha eac5d8f)
+    was taken under, so a default change can't silently dodge CI."""
     from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
         PAIR_TPU_WINNER, make_pair_intersect,
     )
     assert PAIR_TPU_WINNER == dict(mxu=True, dop=True, cluster_size=256,
-                                   trp=512, l1=2, move="sort")
+                                   trp=1024, l1=2, l2=6, thin=True,
+                                   move="sort")
     tris = _rand_tris(3000, seed=9)
     rays = _rand_rays(1024, seed=31, lo=-70.0, hi=70.0)
     pi = make_pair_intersect(tris, interpret=True, **PAIR_TPU_WINNER)
