@@ -58,9 +58,18 @@ def rotate_x(v, gamma_deg):
 
 
 def triangle_normals(r1: jnp.ndarray, r2: jnp.ndarray, r3: jnp.ndarray):
-    """Unit face normals, cross(r2-r1, r3-r1) normalized (main.cpp:144-166)."""
+    """Unit face normals, cross(r2-r1, r3-r1) normalized (main.cpp:144-166).
+
+    Degenerate (zero-area) triangles get n = 0 instead of the
+    reference's NaN: both make every intersection test reject (the
+    reference's NaN comparisons are all false; n = 0 yields the
+    all-zero constant row that the Pallas packs already use as the
+    never-hit padding convention), but NaN constants poison the
+    bit-exact bf16 3-split tables' build-time equality assert
+    (NaN != NaN), so the never-hit encoding must be the finite one."""
     n = jnp.cross(r2 - r1, r3 - r1)
-    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return jnp.where(norm > 0.0, n / norm, 0.0)
 
 
 def _register(cls):

@@ -47,6 +47,50 @@ def test_triangle_normals():
     np.testing.assert_allclose(n, [[0, 0, 1]], atol=1e-7)
 
 
+def test_triangle_normals_degenerate_is_finite_never_hit():
+    """Zero-area triangles (e.g. pole fans with duplicate vertices in
+    OBJ models — 4 exist in the reference-scene Wineglass stand-in)
+    must produce n = 0, not NaN: both encodings never hit (reference
+    parity — its NaN comparisons all reject, main.cpp:144-166), but
+    NaN poisons the bf16 3-split tables' build-time equality assert,
+    which broke make_minarg_intersect on the ref-workload scene."""
+    from opencl_path_tracer_tpu.core.types import Rays
+    from opencl_path_tracer_tpu.ops import intersect
+
+    r1 = jnp.asarray([[0.0, 0.0, 0.0], [-1.0, -1.0, 1.0]])
+    r2 = jnp.asarray([[1.0, 0.0, 0.0], [1.0, -1.0, 1.0]])
+    r3 = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]])  # tri 0 degen
+    n = np.asarray(geometry.triangle_normals(r1, r2, r3))
+    assert np.isfinite(n).all()
+    np.testing.assert_allclose(n[0], [0, 0, 0])
+    tris = geometry.TrianglesSoA.build(r1, r2, r3, [0, 1])
+    assert all(
+        np.isfinite(np.asarray(getattr(tris, f))).all()
+        for f in ("n", "m1", "m2", "m3", "c0", "d1", "d2", "d3")
+    )
+    # A ray through both triangles' locations hits only the real one.
+    rays = Rays(p=(jnp.asarray([0.3]), jnp.asarray([0.0]),
+                   jnp.asarray([-1.0])),
+                d=(jnp.asarray([0.0]), jnp.asarray([0.0]),
+                   jnp.asarray([1.0])))
+    h = intersect.first_intersect(rays, tris)
+    assert float(h.t[0]) == 2.0 and int(h.mati[0]) == 1
+
+
+def test_reference_scene_builds_minarg_tables():
+    """The ref-workload bench path: reference_scene (with the committed
+    model stand-ins) must build the bit-exact minarg fetch tables —
+    this is what the degenerate-triangle NaN broke."""
+    from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+        make_minarg_intersect,
+    )
+    from opencl_path_tracer_tpu.scene import library
+
+    scene = library.reference_scene("tests/assets/models")
+    assert scene.num_triangles > 1000
+    make_minarg_intersect(scene.tris, interpret=True)
+
+
 def test_triangles_soa_precompute():
     tris = geometry.TrianglesSoA.build(
         [[0, 0, 0]], [[2, 0, 0]], [[0, 2, 0]], [0]
