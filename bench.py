@@ -305,7 +305,8 @@ def bench_scene(scene_name: str, args) -> dict:
             f"{mrays:.1f} Mrays/s", file=sys.stderr,
         )
         return {"scene": scene_name, "w": w, "h": h,
-                "mrays": round(mrays, 2)}
+                "mrays": round(mrays, 2),
+                "spp_per_sec": round(spp / dt, 2)}
     if args.model == "lazy":
         mrays, dt, spp = run_lazy(
             scene, cam, n, iters=args.iters, steps=args.steps,
@@ -318,7 +319,8 @@ def bench_scene(scene_name: str, args) -> dict:
             file=sys.stderr,
         )
         return {"scene": scene_name, "w": w, "h": h,
-                "mrays": round(mrays, 2)}
+                "mrays": round(mrays, 2),
+                "spp_per_sec": round(spp / dt, 2)}
     isect = make_isect(scene, args.accel, on_cpu)
     if args.model == "wavefront":
         mrays, dt, spp = run_wavefront(
@@ -335,7 +337,9 @@ def bench_scene(scene_name: str, args) -> dict:
         f"{mrays:.1f} Mrays/s",
         file=sys.stderr,
     )
-    return {"scene": scene_name, "w": w, "h": h, "mrays": round(mrays, 2)}
+    return {"scene": scene_name, "w": w, "h": h,
+            "mrays": round(mrays, 2),
+            "spp_per_sec": round(spp / dt, 2)}
 
 
 def main() -> int:
@@ -391,15 +395,18 @@ def main() -> int:
             print(f"# stress bench failed: {exc}", file=sys.stderr)
 
     head = results[0]
-    extra = {
-        f"{r['scene']}_mrays": r["mrays"] for r in results[1:]
-    }
+    # BASELINE.md per-chip metrics: Mrays/sec/chip AND spp/sec.
+    extra = {f"{head['scene']}_spp_per_sec": head["spp_per_sec"]}
+    for r in results[1:]:
+        extra[f"{r['scene']}_mrays"] = r["mrays"]
+        extra[f"{r['scene']}_spp_per_sec"] = r["spp_per_sec"]
     print(json.dumps({
         "metric": (
             f"Mrays/sec/chip ({args.model}+{args.accel}, "
             f"{head['scene']} {head['w']}x{head['h']}, "
             f"iters={args.iters}"
-            + (", + stress in extra" if extra else "") + ")"
+            + (", + stress in extra" if len(results) > 1 else "")
+            + ")"
         ),
         "value": head["mrays"],
         "unit": "Mrays/s",
