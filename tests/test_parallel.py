@@ -218,3 +218,50 @@ def test_tiled_wavefront_matches_single_device():
     np.testing.assert_allclose(
         float(lum), float(_c(st).mean()), rtol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_tiled_wavefront_4k_shapes():
+    """BASELINE.json milestone 5 shape check: a full-size 4K (3840x2160
+    = 8.29M lanes) tiled wavefront step over the 8-device mesh — each
+    chip owns a contiguous 1.04M-lane tile and the meter psum crosses
+    the mesh. A 2-triangle scene keeps CPU compute trivial; the point
+    is the real 4K partitioning, layouts, and collective."""
+    from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
+    from opencl_path_tracer_tpu.models import wavefront
+    from opencl_path_tracer_tpu.parallel import make_tiled_wavefront_step
+    from opencl_path_tracer_tpu.parallel.shard import (
+        shard_wavefront_state,
+    )
+    from opencl_path_tracer_tpu.scene import library
+
+    w, h = 3840, 2160
+    scene = library.cornell_box(with_spheres=False)
+    # Two huge triangles (the light + one floor-ish plane) so every
+    # lane still shades/bounces against real geometry.
+    tris = TrianglesSoA.build(
+        [[0.0, 0.0, 0.0], [0.0, 999.8, 0.0]],
+        [[1000.0, 0.0, 1000.0], [1000.0, 999.8, 0.0]],
+        [[0.0, 0.0, 1000.0], [0.0, 999.8, 1000.0]],
+        [0, 7],
+    )
+    isect = functools.partial(intersect.first_intersect, tris=tris)
+    cam = library.cornell_camera(w, h)
+    mesh = make_render_mesh()
+    n = w * h
+    assert n % len(jax.devices()) == 0
+
+    key = jax.random.key(3)
+    st = shard_wavefront_state(
+        wavefront.init_wavefront(cam, n, mode="fast", key=key), mesh
+    )
+    step = make_tiled_wavefront_step(
+        cam, scene.mats, mesh, intersect_fn=isect, iterations=2,
+        mode="fast", key=key,
+    )
+    st, lum = step(st)
+    # Every per-lane array is sharded across all 8 devices.
+    assert len(st.colors[0].sharding.device_set) == 8
+    assert st.colors[0].shape == (n,)
+    assert np.isfinite(float(lum))
+    assert np.isfinite(_c(st)).all()
