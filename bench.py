@@ -40,10 +40,11 @@ def make_isect(scene, accel: str, on_cpu: bool):
         # Small scenes: exact min+argmin kernel + one-hot attribute
         # fetch (measured 23.8 vs 30.6 ms/2M-ray batch for the
         # attribute-extracting kernel). Large scenes: the pair
-        # intersector at the TPU-swept winner config (pair v5: MXU
-        # pairs round + 14-DOP culling + sort-carried escalations —
-        # 4.53 vs v4's 3.24 Mrays/s on this exact workload, 0 hit
-        # flips; sorted_intersect.PAIR_TPU_WINNER).
+        # intersector at the TPU-swept winner config (pair v6 thin:
+        # MXU pairs round + 14-DOP culling + sort-carried escalations
+        # + (t, tri-id) payloads — 5.32 vs v4's 3.24 Mrays/s official
+        # on this exact workload, 0 hit flips;
+        # sorted_intersect.PAIR_TPU_WINNER).
         accel = "minarg" if scene.num_triangles <= 4096 else "pairwin"
         print(f"# accel auto -> {accel}", file=sys.stderr)
     if accel == "minarg":
