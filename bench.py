@@ -129,8 +129,7 @@ def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk,
     state = wavefront.init_wavefront(cam, n, mode="fast", key=key,
                                      ids=ids)
 
-    @jax.jit
-    def run(state, k):
+    def run_raw(state, k):
         def body(_, st):
             return wavefront.wavefront_step(
                 cam, scene.mats, st, intersect_fn=isect,
@@ -138,6 +137,18 @@ def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk,
             )
         st = jax.lax.fori_loop(0, k, body, state)
         return st, jnp.sum(st.colors[0][:8])
+
+    # Lift the scene packs out of the program: as closure constants
+    # they lower to dense MLIR literals (100k-tri step: ~100 MB module,
+    # 51 MB constants; 300k+/1M scenes fail the remote compile service
+    # on size alone). Lifted, the module is O(code) and the packs ride
+    # as device-resident runtime args — bit-exact (test_constlift).
+    from opencl_path_tracer_tpu.utils.constlift import lift_consts
+    lifted, consts = lift_consts(run_raw, state, 2)
+    run_j = jax.jit(lifted)
+
+    def run(state, k):
+        return run_j(consts, state, k)
 
     t0 = time.time()
     # The remote TPU compile service occasionally returns transient

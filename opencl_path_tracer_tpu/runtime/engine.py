@@ -195,13 +195,31 @@ class RenderEngine:
             mode = self.cfg.mode
             key = self._key
 
-            @jax.jit
-            def step(state, cam: Camera):
+            def step_raw(state, cam: Camera):
                 return megakernel.trace_sample(
                     cam, self.scene.mats, state,
                     intersect_fn=self.intersect_fn,
                     iterations=iterations, mode=mode, key=key,
                 )
+
+            # Lift scene packs to runtime args: closure-captured packs
+            # lower to dense literals and the module grows with the
+            # scene (~100 MB at 100k tris; >=300k fails the remote
+            # compile service on size). utils/constlift.py.
+            from opencl_path_tracer_tpu.utils.constlift import (
+                lift_consts,
+            )
+            example_cam = self.controller.camera(
+                self.cfg.width, self.cfg.height
+            )
+            lifted, consts = lift_consts(
+                step_raw, self.state, example_cam
+            )
+            jitted = jax.jit(lifted)
+
+            def step(state, cam):
+                return jitted(consts, state, cam)
+
             self._steps[iterations] = step
         return self._steps[iterations]
 
