@@ -37,8 +37,18 @@ from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
     PAIR_TPU_WINNER, make_pair_intersect,
 )
 from opencl_path_tracer_tpu.scene import library
+from opencl_path_tracer_tpu.utils.constlift import lift_consts
 
 RAYS_NPZ = "/tmp/stress_rays5.npz"
+
+
+def _jit_lifted(isect, rays):
+    """jit with the scene packs as runtime args (program size must not
+    scale with the scene — the first run of this job failed at 300k
+    tris on compile-request size from the baked literals alone)."""
+    lifted, consts = lift_consts(isect, rays)
+    j = jax.jit(lifted)
+    return lambda r: j(consts, r)
 
 
 def _time(fn, rays, reps=3):
@@ -89,8 +99,9 @@ def main() -> int:
                           (1_000_000, False)):
         try:
             scene = library.stress_scene(tcount)
-            f = jax.jit(make_pair_intersect(scene.tris,
-                                            **PAIR_TPU_WINNER))
+            f = _jit_lifted(
+                make_pair_intersect(scene.tris, **PAIR_TPU_WINNER),
+                rays)
             t0 = time.perf_counter()
             hh = f(rays)
             jax.block_until_ready(hh.t)
@@ -100,7 +111,8 @@ def main() -> int:
                    "mrays_s": round(n / tt / 1e6, 2),
                    "warmup_s": round(warm, 1)}
             if check:
-                dense = jax.jit(make_pallas_intersect(scene.tris))
+                dense = _jit_lifted(
+                    make_pallas_intersect(scene.tris), rays)
                 hd = dense(rays)
                 jax.block_until_ready(hd.t)
                 rec["fields"] = _flips(hd, hh)
