@@ -96,10 +96,16 @@ def _hits_from_raw(rays: Rays, best_t, n3, m, r: int) -> Hits:
         jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
         for k in range(3)
     )
+    # Miss-lane normals are pinned to 0 (not left as kernel latch
+    # junk): consumers never read them for dead lanes, but unspecified
+    # values make bitwise contracts compile-sensitive — constant
+    # lifting of the sharded pair step reordered the junk and broke
+    # the sharded-vs-single bit-equality test. Three fused selects,
+    # measurement-noise cost.
     return Hits(
         t=jnp.where(any_hit, best_t, -1.0),
         p=hit_p,
-        n=tuple(a[:r] for a in n3),
+        n=tuple(jnp.where(any_hit, a[:r], z) for a in n3),
         mati=jnp.where(any_hit, m[:r], 0.0).astype(jnp.int32),
     )
 

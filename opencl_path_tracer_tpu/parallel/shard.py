@@ -32,6 +32,7 @@ from jax import shard_map
 from opencl_path_tracer_tpu.core.camera import Camera
 from opencl_path_tracer_tpu.core.materials import MaterialsSoA
 from opencl_path_tracer_tpu.models import megakernel
+from opencl_path_tracer_tpu.utils.constlift import lazy_lift_jit
 from opencl_path_tracer_tpu.models.megakernel import TraceState
 from opencl_path_tracer_tpu.parallel.mesh import RENDER_AXIS
 
@@ -86,7 +87,7 @@ def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
         out_specs=(state_spec, P()),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return lazy_lift_jit(fn)
 
 
 def shard_wavefront_state(state, mesh: Mesh):
@@ -150,7 +151,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
         out_specs=(state_spec, P()),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return lazy_lift_jit(fn)
 
 
 def make_sample_sharded_render(cam: Camera, mats: MaterialsSoA,
@@ -190,7 +191,7 @@ def make_sample_sharded_render(cam: Camera, mats: MaterialsSoA,
 
     fn = shard_map(per_shard, mesh=mesh, in_specs=(), out_specs=P(),
                    check_vma=False)
-    return jax.jit(fn)
+    return lazy_lift_jit(fn)
 
 
 def gather_colors(state: TraceState) -> jnp.ndarray:

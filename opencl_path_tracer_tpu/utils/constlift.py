@@ -51,3 +51,21 @@ def lift_consts(fn, *example):
         return tree_util.tree_unflatten(out_tree, out_flat)
 
     return lifted, list(closed.consts)
+
+
+def lazy_lift_jit(fn):
+    """jit(fn) with constants lifted, deferred to the first call (for
+    factories that have no example arguments at build time, e.g. the
+    parallel/shard.py step makers). The first call traces fn at the
+    given arguments and caches (jitted, consts); later calls must
+    match the first call's avals — same contract as a jitted step."""
+    box = {}
+
+    def wrapped(*args):
+        if not box:
+            lifted, consts = lift_consts(fn, *args)
+            box["j"] = jax.jit(lifted)
+            box["c"] = consts
+        return box["j"](box["c"], *args)
+
+    return wrapped

@@ -17,6 +17,7 @@ from opencl_path_tracer_tpu.parallel import (
 )
 from opencl_path_tracer_tpu.parallel.shard import shard_state
 from opencl_path_tracer_tpu.scene import library
+from opencl_path_tracer_tpu.utils.constlift import lazy_lift_jit
 
 
 def _c(state_or_colors):
@@ -132,7 +133,7 @@ def test_tiled_wavefront_with_pair_mxu_backend():
     n = w * h
 
     ref = wavefront.init_wavefront(cam, n, seed=1, mode="parity")
-    step1 = jax.jit(lambda st: wavefront.wavefront_step(
+    step1 = lazy_lift_jit(lambda st: wavefront.wavefront_step(
         cam, scene.mats, st, intersect_fn=isect, iterations=2,
         mode="parity",
     ))
@@ -190,7 +191,7 @@ def test_tiled_wavefront_matches_single_device():
     n = w * h
 
     ref = wavefront.init_wavefront(cam, n, seed=1, mode="parity")
-    step1 = jax.jit(lambda st: wavefront.wavefront_step(
+    step1 = lazy_lift_jit(lambda st: wavefront.wavefront_step(
         cam, scene.mats, st, intersect_fn=isect, iterations=3,
         mode="parity",
     ))
