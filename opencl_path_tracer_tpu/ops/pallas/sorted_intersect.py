@@ -822,6 +822,14 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                                 interpret, resident), None
 
     cp = -(-c // 128) * 128
+    # Scoped-VMEM budget of the candidates kernel: its live
+    # temporaries are (CP, TRB) f32 tiles (~6.5 of them), against
+    # Mosaic's 16 MB scoped limit — measured OOM at cp=1280 x trb=512
+    # (17.04 M requested; 300k-tri scene). Halve the ray tile until
+    # the footprint fits with headroom, so the same winner config
+    # scales from 100k to 1M+ triangles without manual retuning.
+    while cp * trb > 480_000 and trb > 64:
+        trb //= 2
     boxes_r = jnp.zeros(
         (cp, boxes.shape[1]), jnp.float32
     ).at[:c, :].set(boxes)
