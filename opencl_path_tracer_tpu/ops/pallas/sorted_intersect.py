@@ -828,7 +828,8 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
     # (17.04 M requested; 300k-tri scene). Halve the ray tile until
     # the footprint fits with headroom, so the same winner config
     # scales from 100k to 1M+ triangles without manual retuning.
-    while cp * trb > 480_000 and trb > 64:
+    while cp * trb > 480_000 and trb > 128:
+        # floor 128: Pallas requires the block's minor dim % 128 == 0
         trb //= 2
     boxes_r = jnp.zeros(
         (cp, boxes.shape[1]), jnp.float32
