@@ -515,6 +515,20 @@ def _run_candidates(rays8t, boxes_r, l: int, c: int, trb: int,
     return ids_f[:l].astype(jnp.int32), ent[:l], ent[l]
 
 
+def _auto_cluster_size(n_tris: int, cluster_size: int) -> int:
+    """Scoped-VMEM budget, cluster axis: the candidates kernel's
+    (CP, TRB) temporaries cannot shrink below TRB=128 (Pallas minor-
+    dim floor), so CP itself must fit the 16 MB scoped limit —
+    measured OOM at cp=3968 x trb=128 (18.39 M requested; 1M-tri
+    scene at cs=256). Doubling the cluster size halves CP; bigger
+    clusters for bigger scenes is the right scaling direction anyway
+    (selection work per candidate rank grows, but candidate-set and
+    sort volumes stay bounded)."""
+    while _round_up(-(-n_tris // cluster_size), 128) * 128 > 480_000:
+        cluster_size *= 2
+    return cluster_size
+
+
 def split_by_size(tris: TrianglesSoA, frac: float = 0.25,
                   median_mult: float = 50.0, max_big: int = 64):
     """Partition triangles into (big, rest) by bbox diagonal. Large
@@ -742,6 +756,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
     big, rest = split_by_size(tris)
     if rest is None:   # degenerate: everything is scene-spanning
         return make_pallas_intersect(tris, interpret=interpret)
+    cluster_size = _auto_cluster_size(rest.count, cluster_size)
     big_isect = (make_pallas_intersect(big, interpret=interpret)
                  if big is not None else None)
 

@@ -373,3 +373,21 @@ def test_pair_intersect_random_config_gauntlet():
             _check(pi(rays), brute)
         except AssertionError as e:
             raise AssertionError(f"config {cfg} failed: {e}") from e
+
+
+def test_auto_cluster_size_bounds_candidate_vmem():
+    """The candidates kernel's (CP, TRB) temporaries must fit Mosaic's
+    16 MB scoped limit at the TRB=128 floor: cluster_size auto-doubles
+    until the padded cluster count satisfies cp*128 <= 480k (measured
+    OOM boundary: cp=3968 x trb=128 on a 1M-tri scene at cs=256)."""
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        _auto_cluster_size, _round_up,
+    )
+    assert _auto_cluster_size(100_000, 256) == 256   # untouched
+    assert _auto_cluster_size(300_000, 256) == 256
+    cs_1m = _auto_cluster_size(1_000_000, 256)
+    assert cs_1m == 512
+    for n in (1, 10_000, 1_000_000, 10_000_000):
+        cs = _auto_cluster_size(n, 256)
+        cp = _round_up(-(-n // cs), 128)
+        assert cp * 128 <= 480_000, (n, cs, cp)
