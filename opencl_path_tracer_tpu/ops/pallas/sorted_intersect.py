@@ -5,9 +5,17 @@ collapses on incoherent bounce rays — a tile of random directions spans
 the scene, so its interval frustum passes every cluster. Tile
 granularity is dead; only per-RAY candidate sets cull.
 
-Round-2 measurements that shape this design (v5e):
-  * lax.sort is FAST: 2M keys + 8 payloads ~ 3 ms, 16M ~ 58 ms;
-  * gathers/scatters are SLOW: 16M-row gather 91 ms, scatter-min 40 ms.
+Round-2 measurements that shape this design (v5e, corrected timer —
+docs/BENCHMARKS.md primitive table):
+  * lax.sort is comparatively CHEAP: 2M keys + 7 payloads ~ 13 ms;
+  * gathers/scatters are SLOW and do not fuse: ~14 ms per 1M rows,
+    (2M, 8) row scatter 93 ms.
+
+CI coverage note: Pallas interpret mode has no DMA emulation, so every
+CPU test of these kernels runs the VMEM-resident branch
+(resident=True); the HBM-DMA branch (`_pair_kernel`'s scratch path) is
+exercised only on real TPU via scripts/tpu_pair_exactness.py — results
+recorded in docs/BENCHMARKS.md ("Pair-path TPU exactness record").
 
 So: compute each ray's exact passing-cluster set, then GROUP rays by
 that set with a sort (carrying the ray through as sort payloads — never
