@@ -42,7 +42,7 @@ class RenderConfig:
     # Samples per pixel to accumulate (progressive; reference runs forever).
     spp: int = 16
     # 'parity' = bit-faithful reference math (Lehmer LCG RNG, exact tonemap
-    # quirks); 'fast' = counter-based threefry RNG + numerically-safe tonemap.
+    # quirks); 'fast' = counter-hash RNG + numerically-safe tonemap.
     mode: str = "fast"
     # RNG seed for the host-side std::minstd_rand0-equivalent seeder
     # (main.cpp:45,522-527). The C++ default ctor seed is 1.

@@ -12,15 +12,16 @@ Two engines:
    TPU-native twist: the modulus is the Mersenne prime 2^31 - 1, so
    x mod m folds as (x >> 31) + (x & 0x7fffffff); a full 62-bit modular
    product decomposes into 16-bit limbs in pure uint32 — no int64, no
-   Schrage divisions, fully vectorizable on the VPU. O(log k) sequence
-   jump-ahead (multiply by a^k mod m) comes for free; note that exact
-   reference parity CANNOT be sample-sharded this way (per-pixel draw
-   counts are data-dependent), so jump-ahead serves reproducible
-   decorrelated Lehmer streams, while bit-parity sharding uses
-   framebuffer tiles (each pixel's whole stream on one chip).
+   Schrage divisions, fully vectorizable on the VPU. Note that exact
+   reference parity CANNOT be sample-sharded (per-pixel draw counts are
+   data-dependent, so no O(log k) jump-ahead can place chip boundaries);
+   bit-parity sharding therefore uses framebuffer tiles — each pixel's
+   whole stream lives on one chip (parallel/shard.py).
 
-2. FAST engine — counter-based threefry via jax.random: stateless,
-   order-independent, the idiomatic TPU choice when parity is not needed.
+2. FAST engine — counter-based double murmur3-finalizer hash over
+   (lane, sample, bounce, draw): stateless, order-independent, the
+   idiomatic TPU choice when parity is not needed (replaced threefry,
+   which measured 5.4 ms/step at 2M lanes — see below).
 """
 
 from __future__ import annotations

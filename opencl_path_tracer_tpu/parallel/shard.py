@@ -14,7 +14,8 @@ a jax.sharding.Mesh with XLA collectives over ICI:
 
   * SAMPLE sharding (`make_sample_sharded_render`): every chip renders
     the full frame with its own slice of sample indices (chip k renders
-    samples k, k+n, k+2n, ...) using the stateless threefry engine, and
+    samples k, k+n, k+2n, ...) using the stateless counter-hash engine,
+    and
     one `psum` at the end averages the framebuffers — the
     communication-optimal layout for high-spp offline renders (one
     all-reduce per render, not per sample). Fast mode only: parity mode's
@@ -159,7 +160,7 @@ def make_sample_sharded_render(cam: Camera, mats: MaterialsSoA,
                                iterations: int, num_pixels: int,
                                samples_per_device: int, key):
     """Offline high-spp render: chip k renders samples k + i*n_dev of the
-    FULL frame (fast/threefry engine), one psum averages at the end.
+    FULL frame (fast counter-hash engine), one psum averages at the end.
 
     Returns render() -> (num_pixels, 3) replicated mean framebuffer of
     samples_per_device * n_dev total samples."""
