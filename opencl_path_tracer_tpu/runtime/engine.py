@@ -188,6 +188,11 @@ class RenderEngine:
         self._steps: dict[int, object] = {}
         self._rays_traced = 0.0
         self._rays_per_sample = None
+        # Host mirror of state.sample (trace_sample adds exactly 1 per
+        # step): reading the device counter every frame costs a full
+        # backend round-trip BEFORE the frame's blocking sync — through
+        # a tunneled backend that serialized every frame on two RTTs.
+        self._sample_host = 0
 
     # --- jitted steps ---------------------------------------------------
     def _step(self, iterations: int):
@@ -235,7 +240,8 @@ class RenderEngine:
         st = ctl.state
         step = self._step(st.iterations)
         self.state = step(self.state, cam)
-        sample = int(self.state.sample)
+        self._sample_host += 1
+        sample = self._sample_host
         if st.real_time or sample % 3 == 0:
             # realtime blocks per frame; offline syncs every 3rd sample
             # (main.cpp:670-681).
@@ -259,6 +265,7 @@ class RenderEngine:
         step = self._step(self.controller.state.iterations)
         for i in range(spp):
             self.state = step(self.state, cam)
+            self._sample_host += 1
             if (i + 1) % 3 == 0 or i == spp - 1:
                 jax.block_until_ready(self.state.colors[0])
             if autosave_every and autosave_path and (
@@ -273,12 +280,10 @@ class RenderEngine:
                 os.replace(tmp, autosave_path)
             if progress:
                 self.meter.tick(
-                    int(self.state.sample),
+                    self._sample_host,
                     iterations=self.controller.state.iterations,
                     real_time=False,
-                    rays_traced=self.estimated_rays(
-                        int(self.state.sample)
-                    ),
+                    rays_traced=self.estimated_rays(self._sample_host),
                 )
         jax.block_until_ready(self.state.colors)
 
@@ -290,6 +295,7 @@ class RenderEngine:
             rng_state=self.state.rng_state,
             sample=jax.numpy.int32(0),
         )
+        self._sample_host = 0
 
     @property
     def _colors_np(self) -> np.ndarray:
@@ -346,3 +352,4 @@ class RenderEngine:
                 f"{self.cfg.width}x{self.cfg.height}"
             )
         self.state = state
+        self._sample_host = int(state.sample)

@@ -166,7 +166,7 @@ class ViewerServer:
                     eng = viewer.engine
                     st = eng.controller.state
                     body = json.dumps({
-                        "samples": int(eng.state.sample),
+                        "samples": eng._sample_host,
                         "samples_per_sec":
                             eng.meter.last_samples_per_sec,
                         "iterations": st.iterations,

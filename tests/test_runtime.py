@@ -274,3 +274,23 @@ def test_accel_pairwin_builds_and_config_accepts():
         RenderConfig(width=64, height=64, accel=accel).validate()
     scene = library.stress_scene(3000)
     assert engine.make_intersect_fn(scene, "pairwin") is not None
+
+
+@pytest.mark.slow
+def test_engine_host_sample_mirror(tmp_path):
+    """The host-side sample counter (which the frame loop and viewer
+    report from, to avoid a per-frame device round-trip) must track
+    the device counter through frame/render/reset/load."""
+    scene = library.cornell_box(with_spheres=False)
+    eng = RenderEngine(scene, _cfg())
+    eng.frame(0.016)
+    eng.render(2, progress=False)
+    assert eng._sample_host == int(eng.state.sample) == 3
+    eng.controller.key_down("w")
+    eng.frame(0.016)  # movement resets accumulation, then traces 1
+    assert eng._sample_host == int(eng.state.sample) == 1
+    p = tmp_path / "m.npz"
+    eng.save(str(p))
+    eng2 = RenderEngine(scene, _cfg())
+    eng2.load(str(p))
+    assert eng2._sample_host == int(eng2.state.sample) == 1
