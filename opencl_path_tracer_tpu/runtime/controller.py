@@ -57,6 +57,8 @@ class CameraController:
         self._keys_down: set[str] = set()
         self._mouse_down = False
         self._last_xy: tuple[int, int] | None = None
+        self._cam_key: tuple | None = None
+        self._cam = None
 
     # --- input events ------------------------------------------------
     def key_down(self, key: str) -> None:
@@ -164,8 +166,18 @@ class CameraController:
         return r
 
     def camera(self, width: int, height: int) -> Camera:
+        """Device camera for the current pose; memoized on the pose so
+        an idle frame reuses the SAME device arrays (make_camera is a
+        dozen eager device ops — rebuilding it per frame costs real
+        dispatch round-trips on remote backends, for an unchanged
+        pose)."""
         st = self.state
-        return make_camera(
-            width, height, fov=st.fov, yaw=st.yaw, pitch=st.pitch,
-            shift=tuple(float(x) for x in st.shift),
-        )
+        key = (width, height, st.fov, st.yaw, st.pitch,
+               tuple(float(x) for x in st.shift))
+        if key != self._cam_key:
+            self._cam_key = key
+            self._cam = make_camera(
+                width, height, fov=st.fov, yaw=st.yaw, pitch=st.pitch,
+                shift=key[5],
+            )
+        return self._cam
