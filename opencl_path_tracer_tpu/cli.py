@@ -65,6 +65,7 @@ def cmd_render(args) -> int:
             width=w, height=h, iterations=args.iters, spp=args.spp,
             mode=args.mode, seed=args.seed, tonemap=args.tonemap,
             accel=args.accel, accel_force=args.accel_force,
+            model=args.model,
             camera=_camera_preset(args.scene, w, h, args),
         )
     eng = RenderEngine(scene, cfg)
@@ -187,6 +188,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("render", help="offline render to PNG")
     common(p)
     p.add_argument("--spp", type=int, default=64)
+    p.add_argument("--model", default="megakernel",
+                   choices=["megakernel", "wavefront"],
+                   help="wavefront = path regeneration (the flagship "
+                        "throughput model; every pixel still gets "
+                        "exactly --spp samples)")
     p.add_argument("--config", default=None,
                    help="JSON RenderConfig (overrides other flags)")
     p.add_argument("--autosave-every", type=int, default=0)

@@ -59,6 +59,12 @@ class RenderConfig:
     # Override the TPU footgun gate (engine.make_intersect_fn): run
     # measured-dominated or device-unsafe backends anyway.
     accel_force: bool = False
+    # Render model: 'megakernel' (reference frame semantics — one full
+    # sample per step, required for the interactive loop) or
+    # 'wavefront' (path regeneration, the flagship throughput model —
+    # offline renders only; bit-identical to megakernel at equal
+    # per-pixel spp in parity mode).
+    model: str = "megakernel"
 
     def validate(self) -> "RenderConfig":
         if self.width <= 0 or self.height <= 0:
@@ -76,6 +82,8 @@ class RenderConfig:
                               "pairmx", "pairwin", "minarg", "march",
                               "flat"):
             raise ValueError(f"unknown accel {self.accel!r}")
+        if self.model not in ("megakernel", "wavefront"):
+            raise ValueError(f"unknown model {self.model!r}")
         return self
 
     def to_json(self) -> str:

@@ -183,8 +183,18 @@ class RenderEngine:
             scene, config.accel, force=config.accel_force
         )
         self.num_pixels = config.width * config.height
-        self.state = megakernel.init_state(self.num_pixels, config.seed)
         self._key = jax.random.key(config.seed)
+        if config.model == "wavefront":
+            from opencl_path_tracer_tpu.models import wavefront
+            cam0 = self.controller.camera(config.width, config.height)
+            self.state = wavefront.init_wavefront(
+                cam0, self.num_pixels,
+                seed=config.seed, mode=config.mode, key=self._key,
+            )
+            self._wf_pose = self.controller._cam_key
+        else:
+            self.state = megakernel.init_state(
+                self.num_pixels, config.seed)
         self._steps: dict[int, object] = {}
         self._rays_traced = 0.0
         self._rays_per_sample = None
@@ -228,10 +238,52 @@ class RenderEngine:
             self._steps[iterations] = step
         return self._steps[iterations]
 
+    def _wf_step(self, iterations: int):
+        """Jitted wavefront step (model='wavefront'). The per-pixel
+        sample cap rides as a runtime arg so successive render() calls
+        (growing targets) never recompile."""
+        ck = ("wf", iterations)
+        if ck not in self._steps:
+            from opencl_path_tracer_tpu.models import wavefront
+            from opencl_path_tracer_tpu.utils.constlift import (
+                lift_consts,
+            )
+            mode = self.cfg.mode
+            key = self._key
+
+            def step_raw(state, cam: Camera, cap):
+                return wavefront.wavefront_step(
+                    cam, self.scene.mats, state,
+                    intersect_fn=self.intersect_fn,
+                    iterations=iterations, mode=mode, key=key,
+                    max_samples=cap,
+                )
+
+            example_cam = self.controller.camera(
+                self.cfg.width, self.cfg.height
+            )
+            lifted, consts = lift_consts(
+                step_raw, self.state, example_cam,
+                jax.numpy.int32(1),
+            )
+            jitted = jax.jit(lifted)
+
+            def step(state, cam, cap):
+                return jitted(consts, state, cam, cap)
+
+            self._steps[ck] = step
+        return self._steps[ck]
+
     # --- frame API (the onIdle loop) -------------------------------------
     def frame(self, dt: float = 0.0) -> None:
         """One interactive frame: integrate input, maybe reset
         accumulation, trace one sample."""
+        if self.cfg.model == "wavefront":
+            raise ValueError(
+                "the interactive loop needs model='megakernel' (the "
+                "reference's one-sample-per-frame semantics); "
+                "model='wavefront' is for offline render()"
+            )
         ctl = self.controller
         ctl.update(dt)
         if ctl.consume_reset():
@@ -260,7 +312,17 @@ class RenderEngine:
         autosave_every > 0 checkpoints the progressive state every that
         many samples (crash-safe long renders — the recovery mechanism
         the reference lacks entirely, SURVEY.md §5). Writes to a temp
-        file and renames, so a checkpoint is never half-written."""
+        file and renames, so a checkpoint is never half-written.
+
+        model='wavefront': path-regeneration steps run until EVERY
+        pixel has accumulated spp more samples (capped there exactly,
+        so parity-mode results stay bit-comparable to the megakernel);
+        autosave cadence is per convergence check, not per sample."""
+        if self.cfg.model == "wavefront":
+            return self._render_wavefront(
+                spp, progress=progress, autosave_every=autosave_every,
+                autosave_path=autosave_path,
+            )
         cam = self.controller.camera(self.cfg.width, self.cfg.height)
         step = self._step(self.controller.state.iterations)
         for i in range(spp):
@@ -287,9 +349,68 @@ class RenderEngine:
                 )
         jax.block_until_ready(self.state.colors)
 
+    def _render_wavefront(self, spp: int, progress: bool,
+                          autosave_every: int,
+                          autosave_path: str | None) -> None:
+        import jax.numpy as jnp
+
+        if self.controller._cam_key != self._wf_pose:
+            # The in-flight rays belong to the old pose; reference
+            # semantics reset accumulation on any camera change anyway.
+            self.reset_accumulation()
+        cam = self.controller.camera(self.cfg.width, self.cfg.height)
+        iters = self.controller.state.iterations
+        step = self._wf_step(iters)
+        target = self._sample_host + spp
+        cap = jax.numpy.int32(target)
+        # A lane finishes a sample in <= iters steps (terminate +
+        # regenerate happen in one step), so this bound is loose.
+        max_steps = spp * (iters + 1) + 16
+        chunk = max(2 * iters, 8)
+        done = 0
+        while done < max_steps:
+            for _ in range(chunk):
+                self.state = step(self.state, cam, cap)
+            done += chunk
+            self._rays_traced += float(chunk * self.num_pixels)
+            floor = int(jax.device_get(jnp.min(self.state.samples)))
+            if autosave_every and autosave_path:
+                import os
+                tmp = autosave_path + ".tmp.npz"
+                save_checkpoint(tmp, self.state, meta={
+                    "width": self.cfg.width, "height": self.cfg.height,
+                    "mode": self.cfg.mode, "seed": self.cfg.seed,
+                })
+                os.replace(tmp, autosave_path)
+            if progress:
+                self.meter.tick(
+                    floor, iterations=iters, real_time=False,
+                    rays_traced=self._rays_traced,
+                )
+            if floor >= target:
+                break
+        else:
+            raise RuntimeError(
+                f"wavefront render did not converge to {target} spp "
+                f"in {max_steps} steps — lanes stuck?"
+            )
+        self._sample_host = target
+        jax.block_until_ready(self.state.colors)
+
     def reset_accumulation(self) -> None:
         """current_sample = 0 (main.cpp:1100-1148): restart averaging,
         keep the RNG streams running (rnds[] is never reseeded)."""
+        if self.cfg.model == "wavefront":
+            from opencl_path_tracer_tpu.models import wavefront
+            cam = self.controller.camera(self.cfg.width,
+                                         self.cfg.height)
+            self.state = wavefront.init_wavefront(
+                cam, self.num_pixels, seed=self.cfg.seed,
+                mode=self.cfg.mode, key=self._key,
+            )
+            self._wf_pose = self.controller._cam_key
+            self._sample_host = 0
+            return
         self.state = megakernel.TraceState(
             colors=self.state.colors,
             rng_state=self.state.rng_state,
@@ -299,10 +420,19 @@ class RenderEngine:
 
     @property
     def _colors_np(self) -> np.ndarray:
+        if self.cfg.model == "wavefront":
+            from opencl_path_tracer_tpu.models import wavefront
+            return np.asarray(
+                wavefront.colors_by_pixel(self.state, self.num_pixels)
+            )
         return np.asarray(megakernel.colors_array(self.state))
 
     def estimated_rays(self, samples: int) -> float:
         """Rays traced so far, using a one-off instrumented calibration."""
+        if self.cfg.model == "wavefront":
+            # Exact, not estimated: every wavefront step traces one
+            # ray per lane (path regeneration keeps lanes live).
+            return self._rays_traced
         if self._rays_per_sample is None:
             cam = self.controller.camera(self.cfg.width, self.cfg.height)
             instrumented = jax.jit(functools.partial(
@@ -351,5 +481,17 @@ class RenderEngine:
                 f"{meta.get('width')}x{meta.get('height')} vs "
                 f"{self.cfg.width}x{self.cfg.height}"
             )
+        ck_model = meta.get("model", "megakernel")
+        if ck_model != self.cfg.model:
+            raise ValueError(
+                f"checkpoint model {ck_model!r} != engine model "
+                f"{self.cfg.model!r}"
+            )
         self.state = state
-        self._sample_host = int(state.sample)
+        if self.cfg.model == "wavefront":
+            import jax.numpy as jnp
+            self._sample_host = int(
+                jax.device_get(jnp.min(state.samples)))
+            self._wf_pose = self.controller._cam_key
+        else:
+            self._sample_host = int(state.sample)

@@ -294,3 +294,48 @@ def test_engine_host_sample_mirror(tmp_path):
     eng2 = RenderEngine(scene, _cfg())
     eng2.load(str(p))
     assert eng2._sample_host == int(eng2.state.sample) == 1
+
+
+@pytest.mark.slow
+def test_engine_wavefront_model_matches_megakernel():
+    """model='wavefront' through the ENGINE: exact-spp capped renders
+    are bit-identical to the megakernel engine in parity mode (the
+    model-level guarantee, wired end to end)."""
+    scene = library.cornell_box(with_spheres=False)
+    mk = RenderEngine(scene, _cfg())
+    mk.render(3, progress=False)
+    wf = RenderEngine(scene, _cfg(model="wavefront"))
+    wf.render(3, progress=False)
+    assert wf._sample_host == 3
+    assert int(np.min(np.asarray(wf.state.samples))) == 3
+    assert int(np.max(np.asarray(wf.state.samples))) == 3
+    np.testing.assert_array_equal(wf._colors_np, mk._colors_np)
+
+
+@pytest.mark.slow
+def test_engine_wavefront_checkpoint_roundtrip(tmp_path):
+    scene = library.cornell_box(with_spheres=False)
+    straight = RenderEngine(scene, _cfg(model="wavefront"))
+    straight.render(4, progress=False)
+
+    eng = RenderEngine(scene, _cfg(model="wavefront"))
+    eng.render(2, progress=False)
+    p = tmp_path / "wf.npz"
+    eng.save(str(p))
+    eng2 = RenderEngine(scene, _cfg(model="wavefront"))
+    eng2.load(str(p))
+    assert eng2._sample_host == 2
+    eng2.render(2, progress=False)
+    np.testing.assert_array_equal(straight._colors_np, eng2._colors_np)
+
+    # Model mismatch is refused, not silently misread.
+    mk = RenderEngine(scene, _cfg())
+    with pytest.raises(ValueError, match="model"):
+        mk.load(str(p))
+
+
+def test_engine_wavefront_refuses_interactive():
+    scene = library.cornell_box(with_spheres=False)
+    eng = RenderEngine(scene, _cfg(model="wavefront"))
+    with pytest.raises(ValueError, match="megakernel"):
+        eng.frame(0.016)
