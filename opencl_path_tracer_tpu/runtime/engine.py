@@ -239,9 +239,10 @@ class RenderEngine:
         return self._steps[iterations]
 
     def _wf_step(self, iterations: int):
-        """Jitted wavefront step (model='wavefront'). The per-pixel
-        sample cap rides as a runtime arg so successive render() calls
-        (growing targets) never recompile."""
+        """Jitted wavefront k-step runner (model='wavefront'). The
+        per-pixel sample cap AND the step count ride as runtime args
+        (fori_loop with a traced trip count), so successive render()
+        calls never recompile and each macro-step is ONE dispatch."""
         ck = ("wf", iterations)
         if ck not in self._steps:
             from opencl_path_tracer_tpu.models import wavefront
@@ -251,27 +252,30 @@ class RenderEngine:
             mode = self.cfg.mode
             key = self._key
 
-            def step_raw(state, cam: Camera, cap):
-                return wavefront.wavefront_step(
-                    cam, self.scene.mats, state,
-                    intersect_fn=self.intersect_fn,
-                    iterations=iterations, mode=mode, key=key,
-                    max_samples=cap,
-                )
+            def run_raw(state, cam: Camera, cap, k):
+                def body(_, st):
+                    return wavefront.wavefront_step(
+                        cam, self.scene.mats, st,
+                        intersect_fn=self.intersect_fn,
+                        iterations=iterations, mode=mode, key=key,
+                        max_samples=cap,
+                    )
+                return jax.lax.fori_loop(0, k, body, state)
 
             example_cam = self.controller.camera(
                 self.cfg.width, self.cfg.height
             )
             lifted, consts = lift_consts(
-                step_raw, self.state, example_cam,
-                jax.numpy.int32(1),
+                run_raw, self.state, example_cam,
+                jax.numpy.int32(1), jax.numpy.int32(1),
             )
             jitted = jax.jit(lifted)
 
-            def step(state, cam, cap):
-                return jitted(consts, state, cam, cap)
+            def run(state, cam, cap, k):
+                return jitted(consts, state, cam, cap,
+                              jax.numpy.int32(k))
 
-            self._steps[ck] = step
+            self._steps[ck] = run
         return self._steps[ck]
 
     # --- frame API (the onIdle loop) -------------------------------------
@@ -360,21 +364,18 @@ class RenderEngine:
             self.reset_accumulation()
         cam = self.controller.camera(self.cfg.width, self.cfg.height)
         iters = self.controller.state.iterations
-        step = self._wf_step(iters)
+        run = self._wf_step(iters)
         target = self._sample_host + spp
         cap = jax.numpy.int32(target)
-        # A lane finishes a sample in <= iters steps (terminate +
-        # regenerate happen in one step), so this bound is loose.
-        max_steps = spp * (iters + 1) + 16
-        chunk = max(2 * iters, 8)
+        # A lane finishes a sample in [1, iters] steps (terminate +
+        # regenerate happen in one step), so (target - floor) steps
+        # are always useful and spp * iters bounds the whole render:
+        # geometric convergence with ONE host round-trip per check.
+        max_steps = spp * iters + 16
         done = 0
         while done < max_steps:
-            for _ in range(chunk):
-                self.state = step(self.state, cam, cap)
-            done += chunk
-            self._rays_traced += float(chunk * self.num_pixels)
             floor = int(jax.device_get(jnp.min(self.state.samples)))
-            if autosave_every and autosave_path:
+            if autosave_every and autosave_path and done:
                 import os
                 tmp = autosave_path + ".tmp.npz"
                 save_checkpoint(tmp, self.state, meta={
@@ -382,18 +383,24 @@ class RenderEngine:
                     "mode": self.cfg.mode, "seed": self.cfg.seed,
                 })
                 os.replace(tmp, autosave_path)
-            if progress:
+            if progress and done:
                 self.meter.tick(
                     floor, iterations=iters, real_time=False,
                     rays_traced=self._rays_traced,
                 )
             if floor >= target:
                 break
+            k = min(max(target - floor, 1), max_steps - done)
+            self.state = run(self.state, cam, cap, k)
+            done += k
+            self._rays_traced += float(k * self.num_pixels)
         else:
-            raise RuntimeError(
-                f"wavefront render did not converge to {target} spp "
-                f"in {max_steps} steps — lanes stuck?"
-            )
+            floor = int(jax.device_get(jnp.min(self.state.samples)))
+            if floor < target:
+                raise RuntimeError(
+                    f"wavefront render stuck at {floor}/{target} spp "
+                    f"after {done} steps"
+                )
         self._sample_host = target
         jax.block_until_ready(self.state.colors)
 
