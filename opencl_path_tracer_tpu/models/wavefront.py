@@ -2,8 +2,13 @@
 
 The reference megakernel gives every pixel a fixed bounce budget per
 sample and lets work-items idle after a miss (`break`, prog.cl:375) —
-on a lockstep TPU that idling is pure waste: with bounce depth 5 and
-mean path length ~3, ~40% of every intersection batch is dead lanes.
+on a lockstep TPU that idling is wasted lanes whenever mean path
+length < budget. (Measured caveat, docs/BENCHMARKS.md "Engine model
+A/B": on the reference's OWN scenes the reference's termination rules
+— miss-only death, emitter-continues, roulette compensation — push
+mean path length to ~the budget, so regeneration reclaims little
+there; its standing wins are steady-state progressive throughput with
+no end-of-render tail, lane-local sharding, and exact-spp capping.)
 
 This model keeps the machine saturated with PATH REGENERATION: one lane
 per pixel, and the moment a lane's path terminates (miss, or bounce
