@@ -65,7 +65,7 @@ def cmd_render(args) -> int:
             width=w, height=h, iterations=args.iters, spp=args.spp,
             mode=args.mode, seed=args.seed, tonemap=args.tonemap,
             accel=args.accel, accel_force=args.accel_force,
-            model=args.model,
+            model=args.model, devices=args.devices,
             camera=_camera_preset(args.scene, w, h, args),
         )
     eng = RenderEngine(scene, cfg)
@@ -193,6 +193,10 @@ def main(argv=None) -> int:
                    help="wavefront = path regeneration (the flagship "
                         "throughput model; every pixel still gets "
                         "exactly --spp samples)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the render over N devices "
+                        "(0 = all visible; tile sharding is bit-exact "
+                        "vs single device)")
     p.add_argument("--config", default=None,
                    help="JSON RenderConfig (overrides other flags)")
     p.add_argument("--autosave-every", type=int, default=0)

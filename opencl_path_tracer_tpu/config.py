@@ -65,6 +65,12 @@ class RenderConfig:
     # offline renders only; bit-identical to megakernel at equal
     # per-pixel spp in parity mode).
     model: str = "megakernel"
+    # Offline multi-chip rendering: shard the framebuffer (megakernel)
+    # or the lane axis (wavefront) over this many devices (0 = all
+    # visible devices; 1 = single device, the default). Tile sharding
+    # is bit-exact vs single device; checkpoints save gathered and
+    # re-shard on load, so renders resume across device counts.
+    devices: int = 1
 
     def validate(self) -> "RenderConfig":
         if self.width <= 0 or self.height <= 0:
@@ -84,6 +90,8 @@ class RenderConfig:
             raise ValueError(f"unknown accel {self.accel!r}")
         if self.model not in ("megakernel", "wavefront"):
             raise ValueError(f"unknown model {self.model!r}")
+        if self.devices < 0:
+            raise ValueError("devices must be >= 0 (0 = all)")
         return self
 
     def to_json(self) -> str:

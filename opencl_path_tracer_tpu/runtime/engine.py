@@ -184,6 +184,20 @@ class RenderEngine:
         )
         self.num_pixels = config.width * config.height
         self._key = jax.random.key(config.seed)
+        if config.devices != 1:
+            from opencl_path_tracer_tpu.parallel.mesh import (
+                make_render_mesh,
+            )
+            self.mesh = make_render_mesh(config.devices or None)
+            nd = self.mesh.devices.size
+            if self.num_pixels % nd:
+                raise ValueError(
+                    f"{config.width}x{config.height} = "
+                    f"{self.num_pixels} pixels must divide evenly "
+                    f"over {nd} devices"
+                )
+        else:
+            self.mesh = None
         if config.model == "wavefront":
             from opencl_path_tracer_tpu.models import wavefront
             cam0 = self.controller.camera(config.width, config.height)
@@ -195,6 +209,8 @@ class RenderEngine:
         else:
             self.state = megakernel.init_state(
                 self.num_pixels, config.seed)
+        if self.mesh is not None:
+            self.state = self._shard(self.state)
         self._steps: dict[int, object] = {}
         self._rays_traced = 0.0
         self._rays_per_sample = None
@@ -203,6 +219,15 @@ class RenderEngine:
         # backend round-trip BEFORE the frame's blocking sync — through
         # a tunneled backend that serialized every frame on two RTTs.
         self._sample_host = 0
+
+    def _shard(self, state):
+        """Place a (mega/wavefront) state sharded over self.mesh."""
+        from opencl_path_tracer_tpu.parallel.shard import (
+            shard_state, shard_wavefront_state,
+        )
+        if self.cfg.model == "wavefront":
+            return shard_wavefront_state(state, self.mesh)
+        return shard_state(state, self.mesh)
 
     # --- jitted steps ---------------------------------------------------
     def _step(self, iterations: int):
@@ -278,6 +303,38 @@ class RenderEngine:
             self._steps[ck] = run
         return self._steps[ck]
 
+    def _tiled_step(self, iterations: int):
+        """Framebuffer-tiled megakernel step over self.mesh (the
+        camera is baked per pose — offline renders hold it fixed)."""
+        ck = ("tiled", iterations, self.controller._cam_key)
+        if ck not in self._steps:
+            from opencl_path_tracer_tpu.parallel.shard import (
+                make_tiled_step,
+            )
+            cam = self.controller.camera(self.cfg.width,
+                                         self.cfg.height)
+            self._steps[ck] = make_tiled_step(
+                cam, self.scene.mats, self.mesh,
+                intersect_fn=self.intersect_fn, iterations=iterations,
+                mode=self.cfg.mode, key=self._key,
+            )
+        return self._steps[ck]
+
+    def _tiled_wf_step(self, iterations: int, target: int):
+        ck = ("wft", iterations, self.controller._cam_key, target)
+        if ck not in self._steps:
+            from opencl_path_tracer_tpu.parallel.shard import (
+                make_tiled_wavefront_step,
+            )
+            cam = self.controller.camera(self.cfg.width,
+                                         self.cfg.height)
+            self._steps[ck] = make_tiled_wavefront_step(
+                cam, self.scene.mats, self.mesh,
+                intersect_fn=self.intersect_fn, iterations=iterations,
+                mode=self.cfg.mode, key=self._key, max_samples=target,
+            )
+        return self._steps[ck]
+
     # --- frame API (the onIdle loop) -------------------------------------
     def frame(self, dt: float = 0.0) -> None:
         """One interactive frame: integrate input, maybe reset
@@ -287,6 +344,11 @@ class RenderEngine:
                 "the interactive loop needs model='megakernel' (the "
                 "reference's one-sample-per-frame semantics); "
                 "model='wavefront' is for offline render()"
+            )
+        if self.mesh is not None:
+            raise ValueError(
+                "the interactive loop is single-device; devices>1 is "
+                "for offline render()"
             )
         ctl = self.controller
         ctl.update(dt)
@@ -328,7 +390,14 @@ class RenderEngine:
                 autosave_path=autosave_path,
             )
         cam = self.controller.camera(self.cfg.width, self.cfg.height)
-        step = self._step(self.controller.state.iterations)
+        if self.mesh is not None:
+            tstep = self._tiled_step(self.controller.state.iterations)
+
+            def step(state, _cam):
+                new, _lum = tstep(state)
+                return new
+        else:
+            step = self._step(self.controller.state.iterations)
         for i in range(spp):
             self.state = step(self.state, cam)
             self._sample_host += 1
@@ -364,8 +433,16 @@ class RenderEngine:
             self.reset_accumulation()
         cam = self.controller.camera(self.cfg.width, self.cfg.height)
         iters = self.controller.state.iterations
-        run = self._wf_step(iters)
         target = self._sample_host + spp
+        if self.mesh is not None:
+            tstep = self._tiled_wf_step(iters, target)
+
+            def run(state, _cam, _cap, k):
+                for _ in range(int(k)):
+                    state, _lum = tstep(state)
+                return state
+        else:
+            run = self._wf_step(iters)
         cap = jax.numpy.int32(target)
         # A lane finishes a sample in [1, iters] steps (terminate +
         # regenerate happen in one step), so (target - floor) steps
@@ -417,6 +494,8 @@ class RenderEngine:
             )
             self._wf_pose = self.controller._cam_key
             self._sample_host = 0
+            if self.mesh is not None:
+                self.state = self._shard(self.state)
             return
         self.state = megakernel.TraceState(
             colors=self.state.colors,
@@ -424,6 +503,8 @@ class RenderEngine:
             sample=jax.numpy.int32(0),
         )
         self._sample_host = 0
+        if self.mesh is not None:
+            self.state = self._shard(self.state)
 
     @property
     def _colors_np(self) -> np.ndarray:
@@ -495,6 +576,10 @@ class RenderEngine:
                 f"{self.cfg.model!r}"
             )
         self.state = state
+        if self.mesh is not None:
+            # Checkpoints save gathered; re-shard onto this engine's
+            # mesh — renders resume across device counts.
+            self.state = self._shard(self.state)
         if self.cfg.model == "wavefront":
             import jax.numpy as jnp
             self._sample_host = int(

@@ -339,3 +339,41 @@ def test_engine_wavefront_refuses_interactive():
     eng = RenderEngine(scene, _cfg(model="wavefront"))
     with pytest.raises(ValueError, match="megakernel"):
         eng.frame(0.016)
+
+
+@pytest.mark.slow
+def test_engine_multi_device_tiled_matches_single(tmp_path):
+    """devices=8 through the ENGINE: framebuffer-tiled megakernel
+    renders are bit-identical to single-device, and a single-device
+    checkpoint resumes onto the mesh (re-sharded on load)."""
+    scene = library.cornell_box(with_spheres=False)
+    one = RenderEngine(scene, _cfg())
+    one.render(4, progress=False)
+
+    eight = RenderEngine(scene, _cfg(devices=8))
+    eight.render(4, progress=True)  # progress covers estimated_rays
+    np.testing.assert_array_equal(one._colors_np, eight._colors_np)
+
+    # Resume a SINGLE-device checkpoint onto the 8-device mesh.
+    half = RenderEngine(scene, _cfg())
+    half.render(2, progress=False)
+    p = tmp_path / "x.npz"
+    half.save(str(p))
+    resumed = RenderEngine(scene, _cfg(devices=8))
+    resumed.load(str(p))
+    resumed.render(2, progress=False)
+    np.testing.assert_array_equal(one._colors_np, resumed._colors_np)
+
+    with pytest.raises(ValueError, match="single-device"):
+        eight.frame(0.016)
+
+
+@pytest.mark.slow
+def test_engine_multi_device_wavefront_matches_single():
+    scene = library.cornell_box(with_spheres=False)
+    one = RenderEngine(scene, _cfg(model="wavefront"))
+    one.render(3, progress=False)
+    eight = RenderEngine(scene, _cfg(model="wavefront", devices=8))
+    eight.render(3, progress=False)
+    assert eight._sample_host == 3
+    np.testing.assert_array_equal(one._colors_np, eight._colors_np)
