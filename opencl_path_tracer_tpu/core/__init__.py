@@ -13,8 +13,10 @@ from opencl_path_tracer_tpu.core.materials import (
     conductor_f0,
 )
 from opencl_path_tracer_tpu.core.camera import Camera, make_camera
+from opencl_path_tracer_tpu.core.spheres import SpheresSoA
 
 __all__ = [
+    "SpheresSoA",
     "Rays",
     "Hits",
     "TrianglesSoA",

@@ -41,7 +41,26 @@ from opencl_path_tracer_tpu.scene.builder import Scene
 
 
 def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
-    """Build the intersector for `accel`.
+    """Build the intersector for `accel`, min-merging the analytic
+    sphere stream when the scene carries one (scene.spheres)."""
+    tri_fn = _make_tri_intersect_fn(scene, accel, force=force)
+    if scene.spheres is None:
+        return tri_fn
+    from opencl_path_tracer_tpu.ops import intersect as _isect
+    spheres = scene.spheres
+
+    def with_spheres(rays):
+        # Triangle stream first: merge_hits keeps `a` on exact-t ties,
+        # making the combined contract deterministic.
+        return _isect.merge_hits(tri_fn(rays),
+                                 _isect.sphere_intersect(rays, spheres))
+
+    return with_spheres
+
+
+def _make_tri_intersect_fn(scene: Scene, accel: str, *,
+                           force: bool = False):
+    """Build the triangle intersector for `accel`.
 
     Footgun gating (measured, docs/BENCHMARKS.md): on TPU some backends
     are strictly dominated ('group', 'cluster'), device-unsafe ('bvh',

@@ -62,6 +62,12 @@ class Scene:
     # one subtree per object (accel='median'), like the reference's
     # per-shape kd trees + kd_tree_shift (main.cpp:536-551).
     object_ranges: np.ndarray
+    # Analytic spheres (no reference counterpart — the reference
+    # tessellates, main.cpp:1002,1009; BASELINE.json north-star item).
+    # None when the scene is triangle-only; intersected by
+    # ops.intersect.sphere_intersect and min-merged with the triangle
+    # stream by runtime.engine.make_intersect_fn.
+    spheres: "object | None" = None
 
     @property
     def num_triangles(self) -> int:
@@ -81,6 +87,9 @@ class SceneBuilder:
         self._materials: list[dict] = []
         self._object_ranges: list[tuple[int, int]] = []
         self._tri_shift = 0
+        self._sph_c: list[np.ndarray] = []
+        self._sph_r: list[float] = []
+        self._sph_m: list[int] = []
 
     # --- reference API ---------------------------------------------------
     def add_material(self, kd, ks, emission, N, K, shininess, type) -> int:
@@ -99,6 +108,16 @@ class SceneBuilder:
         self._r2.append(np.asarray(r2, np.float32))
         self._r3.append(np.asarray(r3, np.float32))
         self._mati.append(int(mati))
+
+    def add_analytic_sphere(self, center, radius: float,
+                            mati: int) -> None:
+        """Add an analytic sphere primitive (exact quadric, not a
+        tessellation — for the reference-parity tessellated spheres
+        use scene.library.add_sphere). Shares the material table with
+        triangles."""
+        self._sph_c.append(np.asarray(center, np.float32))
+        self._sph_r.append(float(radius))
+        self._sph_m.append(int(mati))
 
     def end_obj(self) -> None:
         """Close the current object (main.cpp:536-551). Records the
@@ -156,7 +175,15 @@ class SceneBuilder:
             np.asarray(self._mati, np.int32),
         )
         mats = stack_materials(self._materials)
+        spheres = None
+        if self._sph_c:
+            from opencl_path_tracer_tpu.core.spheres import SpheresSoA
+            spheres = SpheresSoA.build(
+                np.stack(self._sph_c), np.asarray(self._sph_r),
+                np.asarray(self._sph_m),
+            )
         return Scene(
             tris=tris, mats=mats,
             object_ranges=np.asarray(self._object_ranges, np.int64),
+            spheres=spheres,
         )

@@ -38,10 +38,15 @@ def _add_archetypes(b: SceneBuilder) -> None:
 
 
 def cornell_box(*, with_spheres: bool = True,
-                light_scale: float = 1.0) -> Scene:
+                light_scale: float = 1.0,
+                analytic_spheres: bool = False) -> Scene:
     """Cornell-style box in reference coordinates (the commented scene at
     main.cpp:793-816: box spanning x in [-100, 1100], y in [0, 1000],
-    red left / green right / white elsewhere, lamp quad at y=999.9)."""
+    red left / green right / white elsewhere, lamp quad at y=999.9).
+
+    analytic_spheres=True swaps the reference-parity tessellated
+    spheres for exact analytic quadrics (core/spheres.py) at the same
+    centers/radii/materials — no reference counterpart."""
     b = SceneBuilder()
     _add_archetypes(b)
 
@@ -78,7 +83,10 @@ def cornell_box(*, with_spheres: bool = True,
                    (-10000.0, 0.0, -10000.0), WHITE_DIFFUSE)
     b.end_obj()
 
-    if with_spheres:
+    if with_spheres and analytic_spheres:
+        b.add_analytic_sphere((250.0, 180.0, 500.0), 180.0, CHROMIUM)
+        b.add_analytic_sphere((720.0, 160.0, 350.0), 160.0, GLASS)
+    elif with_spheres:
         add_sphere(b, center=(250.0, 180.0, 500.0), radius=180.0,
                    mat=CHROMIUM, lat=12, lon=18)
         add_sphere(b, center=(720.0, 160.0, 350.0), radius=160.0,
