@@ -18,20 +18,27 @@ import sys
 import time
 
 
-def _build_scene(name: str, models_dir: str | None):
+def _build_scene(name: str, models_dir: str | None,
+                 smooth: bool = False):
     from opencl_path_tracer_tpu.scene import library
     if name == "cornell":
-        return library.cornell_box(with_spheres=True)
+        return library.cornell_box(with_spheres=True,
+                                   smooth_spheres=smooth)
     if name == "cornell-empty":
         return library.cornell_box(with_spheres=False)
     if name == "reference":
-        return library.reference_scene(models_dir)
+        return library.reference_scene(models_dir, smooth=smooth)
     if name == "stress":
+        if smooth:
+            raise SystemExit("--smooth is not supported for the "
+                             "stress scene (its pair intersector "
+                             "does not report triangle ids)")
         return library.stress_scene(100_000)
     if name.endswith(".obj"):
         from opencl_path_tracer_tpu.scene.builder import SceneBuilder
         b = SceneBuilder()
-        b.add_obj(name, pos=(0, 0, 0), scale=(1, 1, 1))
+        b.add_obj(name, pos=(0, 0, 0), scale=(1, 1, 1),
+                  smooth_normals=smooth)
         return b.build()
     raise SystemExit(f"unknown scene {name!r}")
 
@@ -57,7 +64,8 @@ def cmd_render(args) -> int:
     from opencl_path_tracer_tpu.runtime.engine import RenderEngine
 
     w, h = (int(x) for x in args.size.split("x"))
-    scene = _build_scene(args.scene, args.models_dir)
+    scene = _build_scene(args.scene, args.models_dir,
+                         smooth=args.smooth)
     if args.config:
         cfg = RenderConfig.from_json(open(args.config).read())
     else:
@@ -65,6 +73,7 @@ def cmd_render(args) -> int:
             width=w, height=h, iterations=args.iters, spp=args.spp,
             mode=args.mode, seed=args.seed, tonemap=args.tonemap,
             accel=args.accel, accel_force=args.accel_force,
+            smooth=args.smooth,
             model=args.model, devices=args.devices,
             camera=_camera_preset(args.scene, w, h, args),
         )
@@ -111,10 +120,12 @@ def cmd_view(args) -> int:
     from opencl_path_tracer_tpu.runtime.engine import RenderEngine
 
     w, h = (int(x) for x in args.size.split("x"))
-    scene = _build_scene(args.scene, args.models_dir)
+    scene = _build_scene(args.scene, args.models_dir,
+                         smooth=args.smooth)
     cfg = RenderConfig(
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
+        smooth=args.smooth,
         camera=_camera_preset(args.scene, w, h, args),
     )
     eng = RenderEngine(scene, cfg)
@@ -135,10 +146,12 @@ def cmd_serve(args) -> int:
     from opencl_path_tracer_tpu.runtime.viewer import ViewerServer
 
     w, h = (int(x) for x in args.size.split("x"))
-    scene = _build_scene(args.scene, args.models_dir)
+    scene = _build_scene(args.scene, args.models_dir,
+                         smooth=args.smooth)
     cfg = RenderConfig(
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
+        smooth=args.smooth,
         camera=_camera_preset(args.scene, w, h, args),
     )
     ViewerServer(RenderEngine(scene, cfg), port=args.port).serve()
@@ -181,6 +194,12 @@ def main(argv=None) -> int:
                             "measured-dominated or device-unsafe "
                             "backends anyway)")
         p.add_argument("--seed", type=int, default=1)
+        p.add_argument("--smooth", action="store_true",
+                       help="smooth shading: build the scene with "
+                            "vertex normals (OBJ vn or computed) and "
+                            "interpolate them at hit points "
+                            "(ops/shading.py; needs accel auto/"
+                            "bruteforce/minarg)")
         p.add_argument("--fov", type=float, default=None)
         p.add_argument("--yaw", type=float, default=None)
         p.add_argument("--pitch", type=float, default=None)

@@ -59,6 +59,12 @@ class RenderConfig:
     # Override the TPU footgun gate (engine.make_intersect_fn): run
     # measured-dominated or device-unsafe backends anyway.
     accel_force: bool = False
+    # Smooth shading: interpolate vertex normals at hit points
+    # (ops/shading.py). Requires a scene built with vertex normals
+    # (add_obj(smooth_normals=True) / add_sphere(smooth=True)) and an
+    # ids-reporting accel (engine.SMOOTH_ACCELS). False = reference
+    # face-normal shading (prog.cl:11-16).
+    smooth: bool = False
     # Render model: 'megakernel' (reference frame semantics — one full
     # sample per step, required for the interactive loop) or
     # 'wavefront' (path regeneration, the flagship throughput model —

@@ -508,6 +508,7 @@ def make_plucker_intersect(tris: TrianglesSoA, *, tr: int = 1024,
 def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
                           tt: int = 1024, chunk: int = 512,
                           fuse_fetch: bool = False,
+                          with_ids: bool = False,
                           interpret: bool = False):
     """Exact-f32 min+argmin kernel + one-hot attribute fetch: the
     fastest EXACT small-scene intersector (measured round 3: 23.8 ms
@@ -520,7 +521,14 @@ def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
     3-split one-hot fetch. Because the winner passed the EXACT f32
     test inside the kernel, the refine's re-validation always
     succeeds: no pending, a plain drop-in intersect_fn. Returns
-    intersect(rays) -> Hits."""
+    intersect(rays) -> Hits, or -> (Hits, ids) with with_ids=True:
+    ids (R,) int32 winner triangle index, -1 on miss (the
+    ops.intersect.first_intersect_ids contract, free here — the
+    minarg kernel already materializes g1 for the one-hot fetch).
+    with_ids requires the two-kernel form (fuse_fetch=False)."""
+    if with_ids and fuse_fetch:
+        raise ValueError("with_ids needs fuse_fetch=False (the fused "
+                         "kernel never materializes the winner index)")
     from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
         _run_minarg,
     )
@@ -573,12 +581,16 @@ def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
             jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
             for k in range(3)
         )
-        return Hits(
+        hits = Hits(
             t=best_t,
             p=hit_p,
             n=(nx[0, :r], ny[0, :r], nz[0, :r]),
             mati=jnp.where(any_hit, m[0, :r], 0.0).astype(jnp.int32),
         )
+        if not with_ids:
+            return hits
+        ids = jnp.where(any_hit, g1[0, :r], -1.0).astype(jnp.int32)
+        return hits, ids
 
     return intersect
 

@@ -1,0 +1,184 @@
+"""Hit-point attribute interpolation: barycentrics + smooth shading.
+
+The reference shades with face normals only — its Hit struct carries
+the triangle's plane normal (prog.cl:11-16) and tinyobj's parsed
+per-vertex normals are never consumed (main.cpp:595-611 reads
+attrib.vertices exclusively). This module closes that gap: OBJ `vn`
+data (io/obj.py parses it) and computed smooth normals become shading
+normals via barycentric interpolation.
+
+TPU-first design: barycentric coordinates are NOT recomputed from the
+three vertices at shading time (that would be 2 cross products + a
+solve per hit). For a triangle the barycentric weight of each vertex
+is an affine function of the hit point, so we precompute per-triangle
+gradient rows (gu, gv) and offsets (u0, v0) once on the host:
+
+    u(p) = dot(p, gu) + u0      (weight of r2)
+    v(p) = dot(p, gv) + v0      (weight of r3)
+    w(p) = 1 - u - v            (weight of r1)
+
+At shading time the cost per hit is two gathers of 3 floats and two
+dot products — the same gather-light shape as the material fetch
+(core/materials.py take_select). Interpolation itself is 3 fused
+multiply-adds per component.
+
+Exactness contract: the (u, v) returned here agree with the
+Möller–Trumbore barycentrics (ops.intersect.ray_tri_mt) up to float
+rounding; tests/test_shading.py pins that equivalence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opencl_path_tracer_tpu.core.types import Hits, V3, vwhere
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields,
+                                     meta_fields=[])
+    return cls
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class VertexAttribs:
+    """Per-triangle corner attributes + barycentric gradients, SoA.
+
+    n1, n2, n3: V3 of (T,) — unit shading normal at corners r1/r2/r3.
+        An all-zero corner triple marks "no vertex normals": the
+        interpolated vector is 0 and smooth_hit_normals falls back to
+        the face normal for that triangle.
+    gu, gv: V3 of (T,) — barycentric gradient rows (see module doc).
+    u0, v0: (T,) — the affine offsets.
+    """
+
+    n1: V3
+    n2: V3
+    n3: V3
+    gu: V3
+    gv: V3
+    u0: jnp.ndarray
+    v0: jnp.ndarray
+
+    @property
+    def count(self) -> int:
+        return int(self.u0.shape[0])
+
+
+def build_vertex_attribs(r1, r2, r3, n1, n2, n3) -> VertexAttribs:
+    """Host-side build. r*/n*: (T, 3) float arrays.
+
+    Gradients are computed in float64 (the denominator
+    d00*d11 - d01^2 loses half its bits in f32 for thin triangles)
+    then stored f32. Degenerate triangles get zero gradients — they
+    are never hit (core/geometry.py encodes their face normal as the
+    never-hit 0), so the value never reaches shading.
+    """
+    r1 = np.asarray(r1, np.float64).reshape(-1, 3)
+    r2 = np.asarray(r2, np.float64).reshape(-1, 3)
+    r3 = np.asarray(r3, np.float64).reshape(-1, 3)
+    e1 = r2 - r1
+    e2 = r3 - r1
+    d00 = np.sum(e1 * e1, -1)
+    d01 = np.sum(e1 * e2, -1)
+    d11 = np.sum(e2 * e2, -1)
+    denom = d00 * d11 - d01 * d01
+    safe = np.where(denom > 0.0, denom, 1.0)
+    gu = (d11[:, None] * e1 - d01[:, None] * e2) / safe[:, None]
+    gv = (d00[:, None] * e2 - d01[:, None] * e1) / safe[:, None]
+    dead = denom <= 0.0
+    gu[dead] = 0.0
+    gv[dead] = 0.0
+    u0 = -np.sum(r1 * gu, -1)
+    v0 = -np.sum(r1 * gv, -1)
+
+    def v3cols(a):
+        a = np.asarray(a, np.float32).reshape(-1, 3)
+        return (jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
+                jnp.asarray(a[:, 2]))
+
+    return VertexAttribs(
+        n1=v3cols(n1), n2=v3cols(n2), n3=v3cols(n3),
+        gu=v3cols(gu.astype(np.float32)),
+        gv=v3cols(gv.astype(np.float32)),
+        u0=jnp.asarray(u0.astype(np.float32)),
+        v0=jnp.asarray(v0.astype(np.float32)),
+    )
+
+
+def barycentrics(p: V3, ids: jnp.ndarray, attribs: VertexAttribs):
+    """(u, v) barycentric coordinates of hit points `p` on triangles
+    `ids` (int32, already clamped to >= 0). u weights r2, v weights
+    r3; the r1 weight is 1 - u - v (the ray_tri_mt convention)."""
+    def fetch(comp):
+        return tuple(jnp.take(comp[k], ids) for k in range(3))
+
+    gu = fetch(attribs.gu)
+    gv = fetch(attribs.gv)
+    u = p[0] * gu[0] + p[1] * gu[1] + p[2] * gu[2] \
+        + jnp.take(attribs.u0, ids)
+    v = p[0] * gv[0] + p[1] * gv[1] + p[2] * gv[2] \
+        + jnp.take(attribs.v0, ids)
+    return u, v
+
+
+def interpolate(ids: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                a1: V3, a2: V3, a3: V3) -> V3:
+    """Barycentric blend of any per-corner V3 attribute table:
+    (1-u-v)*a1[id] + u*a2[id] + v*a3[id]."""
+    w = 1.0 - u - v
+    return tuple(
+        w * jnp.take(a1[k], ids) + u * jnp.take(a2[k], ids)
+        + v * jnp.take(a3[k], ids)
+        for k in range(3)
+    )
+
+
+def smooth_hit_normals(hits: Hits, ids: jnp.ndarray,
+                       attribs: VertexAttribs) -> Hits:
+    """Replace face normals with interpolated vertex normals.
+
+    ids: (R,) int32 triangle index per hit, -1 on miss (the
+    first_intersect_ids contract). Triangles whose corner normals are
+    all zero (no vn data) keep the face normal, as do misses. The
+    interpolated vector is renormalized; sidedness is NOT forced here —
+    models/megakernel.shade flips the normal toward the incoming ray
+    (prog.cl:326-328), which handles silhouette-grazing smooth normals
+    the same way it handles back-face hits.
+    """
+    ok = hits.valid & (ids >= 0)
+    idx = jnp.maximum(ids, 0)
+    u, v = barycentrics(hits.p, idx, attribs)
+    ns = interpolate(idx, u, v, attribs.n1, attribs.n2, attribs.n3)
+    nn2 = ns[0] * ns[0] + ns[1] * ns[1] + ns[2] * ns[2]
+    use = ok & (nn2 > 1e-12)
+    inv = jax.lax.rsqrt(jnp.where(nn2 > 1e-12, nn2, 1.0))
+    n = vwhere(use, tuple(ns[k] * inv for k in range(3)), hits.n)
+    return Hits(t=hits.t, p=hits.p, n=n, mati=hits.mati)
+
+
+def compute_vertex_normals(vertices: np.ndarray,
+                           faces: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals for an indexed mesh
+    (host-side; the standard accumulation tinyobj leaves to the app).
+
+    vertices: (V, 3) float; faces: (F, 3) int indices.
+    Each face contributes its unnormalized cross product (2x area
+    weighted) to its three vertices; rows with no area end up 0.
+    """
+    vertices = np.asarray(vertices, np.float64).reshape(-1, 3)
+    faces = np.asarray(faces, np.int64).reshape(-1, 3)
+    v0 = vertices[faces[:, 0]]
+    fn = np.cross(vertices[faces[:, 1]] - v0, vertices[faces[:, 2]] - v0)
+    acc = np.zeros_like(vertices)
+    for k in range(3):
+        np.add.at(acc, faces[:, k], fn)
+    norm = np.linalg.norm(acc, axis=1, keepdims=True)
+    out = np.where(norm > 0.0, acc / np.where(norm > 0.0, norm, 1.0), 0.0)
+    return out.astype(np.float32)

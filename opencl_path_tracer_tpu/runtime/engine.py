@@ -40,10 +40,30 @@ from opencl_path_tracer_tpu.runtime.meter import PerfMeter
 from opencl_path_tracer_tpu.scene.builder import Scene
 
 
-def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
+SMOOTH_ACCELS = ("bruteforce", "minarg")
+
+
+def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
+                      smooth: bool = False):
     """Build the intersector for `accel`, min-merging the analytic
-    sphere stream when the scene carries one (scene.spheres)."""
-    tri_fn = _make_tri_intersect_fn(scene, accel, force=force)
+    sphere stream when the scene carries one (scene.spheres).
+
+    smooth=True interpolates vertex shading normals at hit points
+    (ops/shading.py; scene.attribs must be present — built when any
+    triangle carried vn data). Needs an ids-reporting triangle
+    intersector: supported accels are SMOOTH_ACCELS ('auto' resolves
+    within them). Analytic spheres already have exact normals and are
+    unaffected."""
+    if smooth:
+        if scene.attribs is None:
+            raise ValueError(
+                "smooth=True but the scene has no vertex normals — "
+                "build it with add_obj(smooth_normals=True), "
+                "add_sphere(smooth=True), or add_triangle(vn=...)"
+            )
+        tri_fn = _make_smooth_tri_fn(scene, accel, force=force)
+    else:
+        tri_fn = _make_tri_intersect_fn(scene, accel, force=force)
     if scene.spheres is None:
         return tri_fn
     from opencl_path_tracer_tpu.ops import intersect as _isect
@@ -56,6 +76,41 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False):
                                  _isect.sphere_intersect(rays, spheres))
 
     return with_spheres
+
+
+def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
+    """Ids-reporting triangle intersector + vertex-normal interpolation
+    (ops.shading.smooth_hit_normals)."""
+    from opencl_path_tracer_tpu.ops.shading import smooth_hit_normals
+
+    on_tpu = jax.default_backend() != "cpu"
+    if accel == "auto":
+        accel = "minarg" if on_tpu else "bruteforce"
+    if accel == "bruteforce":
+        from opencl_path_tracer_tpu.ops import intersect
+
+        def ids_fn(rays, tris=scene.tris):
+            return intersect.first_intersect_ids(rays, tris)
+    elif accel == "minarg":
+        from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+            make_minarg_intersect,
+        )
+        ids_fn = make_minarg_intersect(
+            scene.tris, with_ids=True, interpret=not on_tpu
+        )
+    else:
+        raise ValueError(
+            f"smooth shading needs an ids-reporting intersector: "
+            f"accel must be one of {SMOOTH_ACCELS} (or 'auto'), "
+            f"got {accel!r}"
+        )
+    attribs = scene.attribs
+
+    def smooth_fn(rays):
+        hits, ids = ids_fn(rays)
+        return smooth_hit_normals(hits, ids, attribs)
+
+    return smooth_fn
 
 
 def _make_tri_intersect_fn(scene: Scene, accel: str, *,
@@ -199,7 +254,8 @@ class RenderEngine:
         self.controller = CameraController(config)
         self.meter = PerfMeter()
         self.intersect_fn = intersect_fn or make_intersect_fn(
-            scene, config.accel, force=config.accel_force
+            scene, config.accel, force=config.accel_force,
+            smooth=config.smooth,
         )
         self.num_pixels = config.width * config.height
         self._key = jax.random.key(config.seed)

@@ -68,6 +68,13 @@ class Scene:
     # ops.intersect.sphere_intersect and min-merged with the triangle
     # stream by runtime.engine.make_intersect_fn.
     spheres: "object | None" = None
+    # Per-corner shading normals + barycentric gradients
+    # (ops.shading.VertexAttribs) — present when any triangle carried
+    # vertex normals (OBJ `vn`, add_obj(smooth_normals=True), or
+    # add_triangle(vn=...)). The reference parses vn via tinyobj but
+    # never consumes it (main.cpp:595-611); here it powers smooth
+    # shading (engine make_intersect_fn(smooth=True)).
+    attribs: "object | None" = None
 
     @property
     def num_triangles(self) -> int:
@@ -86,6 +93,7 @@ class SceneBuilder:
         self._mati: list[int] = []
         self._materials: list[dict] = []
         self._object_ranges: list[tuple[int, int]] = []
+        self._vn: list = []
         self._tri_shift = 0
         self._sph_c: list[np.ndarray] = []
         self._sph_r: list[float] = []
@@ -103,11 +111,18 @@ class SceneBuilder:
         self._materials.append(row)
         return len(self._materials) - 1
 
-    def add_triangle(self, r1, r2, r3, mati: int) -> None:
+    def add_triangle(self, r1, r2, r3, mati: int, vn=None) -> None:
+        """vn: optional (3, 3) per-corner shading normals (row k is the
+        unit normal at corner r{k+1}); None = face-normal shading for
+        this triangle (the reference's only mode, prog.cl:11-16)."""
         self._r1.append(np.asarray(r1, np.float32))
         self._r2.append(np.asarray(r2, np.float32))
         self._r3.append(np.asarray(r3, np.float32))
         self._mati.append(int(mati))
+        self._vn.append(
+            None if vn is None
+            else np.asarray(vn, np.float32).reshape(3, 3)
+        )
 
     def add_analytic_sphere(self, center, radius: float,
                             mati: int) -> None:
@@ -128,8 +143,18 @@ class SceneBuilder:
             self._tri_shift = n
 
     def add_obj(self, path: str, pos, scale, pitch: float = 0.0,
-                yaw: float = 0.0) -> None:
-        """Load an OBJ with the reference transforms (main.cpp:552-617)."""
+                yaw: float = 0.0,
+                smooth_normals: bool = False) -> None:
+        """Load an OBJ with the reference transforms (main.cpp:552-617).
+
+        smooth_normals=True attaches per-corner shading normals: the
+        file's `vn` data when present (transformed by the
+        inverse-transpose of the vertex transform: x-flip and the
+        rotations apply as-is, nonuniform scale divides), otherwise
+        area-weighted normals computed over each shape's index-welded
+        mesh (ops.shading.compute_vertex_normals). False keeps the
+        reference's face-normal shading exactly.
+        """
         attrib, shapes, materials = load_obj(path)
         mat_offset = len(self._materials)
 
@@ -157,11 +182,50 @@ class SceneBuilder:
             v = _np_rot_x(v, pitch)
             v = _np_rot_y(v, yaw)
             v = v * scale[None, :] + pos[None, :]
+            vn = self._shape_normals(
+                attrib, shape, pitch, yaw, scale, v
+            ) if smooth_normals else None
             v = v.reshape(-1, 3, 3)
             mids = mat_offset + shape.material_ids
             for f in range(v.shape[0]):
-                self.add_triangle(v[f, 0], v[f, 1], v[f, 2], int(mids[f]))
+                self.add_triangle(
+                    v[f, 0], v[f, 1], v[f, 2], int(mids[f]),
+                    vn=None if vn is None else vn[f],
+                )
             self.end_obj()  # per shape, like main.cpp:615
+
+    @staticmethod
+    def _shape_normals(attrib, shape, pitch, yaw, scale,
+                       v_transformed) -> np.ndarray:
+        """(F, 3, 3) per-corner shading normals for one OBJ shape.
+
+        File `vn` (when every corner has one) transforms by the
+        inverse-transpose of v' = S R F v: F and R are orthogonal so
+        they apply directly, diag scale divides; renormalized after.
+        Otherwise normals are computed area-weighted on the shape's
+        ALREADY-TRANSFORMED vertices (so nonuniform scale is handled
+        for free), welded by the OBJ vertex index.
+        """
+        ni = shape.normal_indices
+        if attrib.normals.shape[0] and (ni >= 0).all():
+            n = attrib.normals[ni].copy()           # (F*3, 3)
+            n[:, 0] = -n[:, 0]                      # X flip
+            n = _np_rot_x(n, pitch)
+            n = _np_rot_y(n, yaw)
+            n = n / np.where(scale != 0.0, scale, 1.0)[None, :]
+        else:
+            from opencl_path_tracer_tpu.ops.shading import (
+                compute_vertex_normals,
+            )
+            vi = shape.vertex_indices
+            # Weld by original vertex index; rows of `verts` that the
+            # shape never touches stay 0 and are never gathered.
+            verts = np.zeros((int(vi.max()) + 1, 3), np.float32)
+            verts[vi] = v_transformed
+            n = compute_vertex_normals(verts, vi.reshape(-1, 3))[vi]
+        norm = np.linalg.norm(n, axis=1, keepdims=True)
+        n = np.where(norm > 0.0, n / np.where(norm > 0.0, norm, 1.0), 0.0)
+        return n.reshape(-1, 3, 3).astype(np.float32)
 
     # --- build ------------------------------------------------------------
     def build(self) -> Scene:
@@ -182,8 +246,21 @@ class SceneBuilder:
                 np.stack(self._sph_c), np.asarray(self._sph_r),
                 np.asarray(self._sph_m),
             )
+        attribs = None
+        if any(vn is not None for vn in self._vn):
+            from opencl_path_tracer_tpu.ops.shading import (
+                build_vertex_attribs,
+            )
+            zero3 = np.zeros((3, 3), np.float32)
+            vn = np.stack([z if z is not None else zero3
+                           for z in self._vn])      # (T, 3, 3)
+            attribs = build_vertex_attribs(
+                np.stack(self._r1), np.stack(self._r2),
+                np.stack(self._r3),
+                vn[:, 0], vn[:, 1], vn[:, 2],
+            )
         return Scene(
             tris=tris, mats=mats,
             object_ranges=np.asarray(self._object_ranges, np.int64),
-            spheres=spheres,
+            spheres=spheres, attribs=attribs,
         )

@@ -39,14 +39,17 @@ def _add_archetypes(b: SceneBuilder) -> None:
 
 def cornell_box(*, with_spheres: bool = True,
                 light_scale: float = 1.0,
-                analytic_spheres: bool = False) -> Scene:
+                analytic_spheres: bool = False,
+                smooth_spheres: bool = False) -> Scene:
     """Cornell-style box in reference coordinates (the commented scene at
     main.cpp:793-816: box spanning x in [-100, 1100], y in [0, 1000],
     red left / green right / white elsewhere, lamp quad at y=999.9).
 
     analytic_spheres=True swaps the reference-parity tessellated
     spheres for exact analytic quadrics (core/spheres.py) at the same
-    centers/radii/materials — no reference counterpart."""
+    centers/radii/materials — no reference counterpart.
+    smooth_spheres=True keeps the tessellation but attaches analytic
+    vertex normals for smooth shading (engine smooth=True)."""
     b = SceneBuilder()
     _add_archetypes(b)
 
@@ -88,9 +91,9 @@ def cornell_box(*, with_spheres: bool = True,
         b.add_analytic_sphere((720.0, 160.0, 350.0), 160.0, GLASS)
     elif with_spheres:
         add_sphere(b, center=(250.0, 180.0, 500.0), radius=180.0,
-                   mat=CHROMIUM, lat=12, lon=18)
+                   mat=CHROMIUM, lat=12, lon=18, smooth=smooth_spheres)
         add_sphere(b, center=(720.0, 160.0, 350.0), radius=160.0,
-                   mat=GLASS, lat=12, lon=18)
+                   mat=GLASS, lat=12, lon=18, smooth=smooth_spheres)
         b.end_obj()
     return b.build()
 
@@ -132,9 +135,15 @@ def sphere_mesh(center, radius: float, lat: int = 12, lon: int = 18):
 
 
 def add_sphere(b: SceneBuilder, center, radius: float, mat: int,
-               lat: int = 12, lon: int = 18) -> None:
+               lat: int = 12, lon: int = 18,
+               smooth: bool = False) -> None:
+    """smooth=True attaches the exact analytic normal (corner - center)
+    / radius at every corner — smooth shading over the tessellation
+    (ops/shading.py); False keeps reference face-normal shading."""
+    c = np.asarray(center, np.float32)
     for t in sphere_mesh(center, radius, lat, lon):
-        b.add_triangle(t[0], t[1], t[2], mat)
+        vn = (t - c[None, :]) / np.float32(radius) if smooth else None
+        b.add_triangle(t[0], t[1], t[2], mat, vn=vn)
 
 
 def write_sphere_obj(path: str, *, radius: float = 1.0, lat: int = 16,
@@ -174,13 +183,19 @@ def write_sphere_obj(path: str, *, radius: float = 1.0, lat: int = 16,
             fh.write(f"f {f[0]} {f[1]} {f[2]}\n")
 
 
-def reference_scene(models_dir: str | None = None) -> Scene:
+def reference_scene(models_dir: str | None = None,
+                    smooth: bool = False) -> Scene:
     """The default scene of onInitialization (main.cpp:745-1017): huge
     ground plane + 10 archetypes + seven OBJ models (main.cpp:1002-1010).
     The model files are not in the reference repo; missing ones are
     replaced by procedural tessellated spheres at the same positions and
     scales so the scene always loads (the reference would exit(1),
-    main.cpp:560)."""
+    main.cpp:560).
+
+    smooth=True builds vertex shading normals for every model (OBJ vn
+    or computed, builder._shape_normals; analytic for the sphere
+    stand-ins) — the capability the reference lacks (face normals
+    only, prog.cl:11-16)."""
     b = SceneBuilder()
     _add_archetypes(b)
 
@@ -210,11 +225,12 @@ def reference_scene(models_dir: str | None = None) -> Scene:
     for name, pos, scale, pitch, yaw, fallback_mat, fb_rad in objs:
         path = os.path.join(models_dir, name) if models_dir else None
         if path and os.path.exists(path):
-            b.add_obj(path, pos, scale, pitch, yaw)
+            b.add_obj(path, pos, scale, pitch, yaw,
+                      smooth_normals=smooth)
         else:
             r = fb_rad * float(np.mean(scale))
             add_sphere(b, center=pos, radius=max(r, 40.0),
-                       mat=fallback_mat, lat=10, lon=16)
+                       mat=fallback_mat, lat=10, lon=16, smooth=smooth)
             b.end_obj()
     return b.build()
 
