@@ -156,6 +156,16 @@ def sphere_intersect(rays: Rays, spheres) -> Hits:
     normalized directions), so the quadratic's leading coefficient is
     1. Normals point outward; inside-ness is carried path state
     (models/fused_step.py), matching tessellated-mesh behavior.
+
+    Precision contract (measured, job zr_shading_check on v5e): t is
+    within 2.3e-4 RELATIVE of the float64 oracle on 175k cornell-scale
+    hits, with the worst error confined to grazing lanes — the
+    discriminant b^2 - cc cancels catastrophically near tangency and
+    no (R,S)-outer-product-shaped formulation avoids it (the stable
+    |oc - (oc.d)d|^2 form needs per-pair vectors, i.e. the (R,S,3)
+    HBM layout this kernel exists to avoid). Non-grazing hits are at
+    f32 rounding (~1e-6 relative); hit/miss flips vs float64 occur
+    only at the tangency boundary (1 lane in 2.07M measured).
     """
     from opencl_path_tracer_tpu.core.spheres import SpheresSoA  # noqa: F401
 

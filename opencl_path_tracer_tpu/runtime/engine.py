@@ -79,38 +79,41 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
 
 
 def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
-    """Ids-reporting triangle intersector + vertex-normal interpolation
-    (ops.shading.smooth_hit_normals)."""
-    from opencl_path_tracer_tpu.ops.shading import smooth_hit_normals
+    """Smooth-shading triangle intersector.
 
+    'minarg' (and 'auto' on TPU) uses the fused Pallas kernel
+    (ops/pallas/shading_kernel.py) — the XLA gather form costs ~9x a
+    flat step on TPU (257 ms of gathers at 2.07M rays, job
+    zr_shading_check), the fused one-hot fetch ~none. 'bruteforce'
+    composes first_intersect_ids with ops.shading.smooth_hit_normals
+    (gathers are cheap on CPU hosts)."""
     on_tpu = jax.default_backend() != "cpu"
     if accel == "auto":
         accel = "minarg" if on_tpu else "bruteforce"
     if accel == "bruteforce":
         from opencl_path_tracer_tpu.ops import intersect
-
-        def ids_fn(rays, tris=scene.tris):
-            return intersect.first_intersect_ids(rays, tris)
-    elif accel == "minarg":
-        from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
-            make_minarg_intersect,
+        from opencl_path_tracer_tpu.ops.shading import (
+            smooth_hit_normals,
         )
-        ids_fn = make_minarg_intersect(
-            scene.tris, with_ids=True, interpret=not on_tpu
-        )
-    else:
-        raise ValueError(
-            f"smooth shading needs an ids-reporting intersector: "
-            f"accel must be one of {SMOOTH_ACCELS} (or 'auto'), "
-            f"got {accel!r}"
-        )
-    attribs = scene.attribs
+        tris, attribs = scene.tris, scene.attribs
 
-    def smooth_fn(rays):
-        hits, ids = ids_fn(rays)
-        return smooth_hit_normals(hits, ids, attribs)
+        def smooth_fn(rays):
+            hits, ids = intersect.first_intersect_ids(rays, tris)
+            return smooth_hit_normals(hits, ids, attribs)
 
-    return smooth_fn
+        return smooth_fn
+    if accel == "minarg":
+        from opencl_path_tracer_tpu.ops.pallas.shading_kernel import (
+            make_smooth_minarg_intersect,
+        )
+        return make_smooth_minarg_intersect(
+            scene.tris, scene.attribs, interpret=not on_tpu
+        )
+    raise ValueError(
+        f"smooth shading needs an ids-reporting intersector: "
+        f"accel must be one of {SMOOTH_ACCELS} (or 'auto'), "
+        f"got {accel!r}"
+    )
 
 
 def _make_tri_intersect_fn(scene: Scene, accel: str, *,

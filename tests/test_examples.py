@@ -70,3 +70,12 @@ def test_example_04_multi_device(tmp_path):
 def test_example_05_low_level():
     out = _run("05_low_level_ops.py", "--size", "32x32")
     assert "ok" in out and "hits" in out
+
+
+@pytest.mark.slow
+def test_example_06_smooth_and_spheres(tmp_path):
+    png = str(tmp_path / "e6.png")
+    out = _run("06_smooth_and_spheres.py", "--size", "32x32",
+               "--spp", "2", "--out", png)
+    assert os.path.exists(png)
+    assert "smooth-shaded" in out

@@ -283,3 +283,36 @@ def test_add_obj_smooth_normals_computed_and_from_vn(tmp_path):
     expect = np.float32([0.0, 0.25, 1.0])
     expect /= np.linalg.norm(expect)
     np.testing.assert_allclose(n[0], expect, atol=1e-5)
+
+
+def test_fused_smooth_kernel_matches_xla_path():
+    """make_smooth_minarg_intersect (one-hot 3-split fetch +
+    in-kernel interpolation) equals first_intersect_ids +
+    smooth_hit_normals on every field (interpret mode here; the
+    on-device record is job zr2 in docs/BENCHMARKS.md)."""
+    from opencl_path_tracer_tpu.ops.pallas.shading_kernel import (
+        make_smooth_minarg_intersect,
+    )
+    scene = library.cornell_box(with_spheres=True, smooth_spheres=True)
+    cam = library.cornell_camera(48, 48)
+    from opencl_path_tracer_tpu.ops import raygen
+    ids_px = raygen.pixel_ids(48, 48)
+    half = jnp.full(ids_px.shape, 0.5, jnp.float32)
+    rays = raygen.camera_rays(cam, ids_px, half, half)
+
+    h_bf, i_bf = intersect.first_intersect_ids(rays, scene.tris)
+    ref = shading.smooth_hit_normals(h_bf, i_bf, scene.attribs)
+    fused = make_smooth_minarg_intersect(
+        scene.tris, scene.attribs, interpret=True)(rays)
+    hit = np.asarray(ref.valid)
+    assert hit.all()  # enclosed box
+    np.testing.assert_allclose(np.asarray(fused.t), np.asarray(ref.t),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fused.mati),
+                                  np.asarray(ref.mati))
+    # Same f32 ops in the same order; the only divergence allowed is
+    # t's op-order difference inside the minarg kernel (~1 ulp),
+    # which perturbs the hit point by ~1e-5 scene units.
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(fused.n[k]),
+                                   np.asarray(ref.n[k]), atol=2e-5)
