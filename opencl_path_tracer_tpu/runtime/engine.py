@@ -68,12 +68,22 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
         return tri_fn
     from opencl_path_tracer_tpu.ops import intersect as _isect
     spheres = scene.spheres
+    if jax.default_backend() != "cpu":
+        # The XLA (R,S)-outer-product form round-trips HBM: measured
+        # 37.5 ms for 2 spheres x 2.07M rays on v5e vs ~1.3 ms for the
+        # baked-constant Pallas kernel (docs/BENCHMARKS.md).
+        from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
+            make_sphere_intersect,
+        )
+        sphere_fn = make_sphere_intersect(spheres)
+    else:
+        def sphere_fn(rays):
+            return _isect.sphere_intersect(rays, spheres)
 
     def with_spheres(rays):
         # Triangle stream first: merge_hits keeps `a` on exact-t ties,
         # making the combined contract deterministic.
-        return _isect.merge_hits(tri_fn(rays),
-                                 _isect.sphere_intersect(rays, spheres))
+        return _isect.merge_hits(tri_fn(rays), sphere_fn(rays))
 
     return with_spheres
 

@@ -215,3 +215,61 @@ def test_spheres_soa_validation():
         SpheresSoA.build([[0, 0, 0]], [0.0], [0])
     with pytest.raises(ValueError, match="mismatched"):
         SpheresSoA.build([[0, 0, 0]], [1.0, 2.0], [0])
+
+
+def test_sphere_kernel_matches_xla_form():
+    """The baked-constant Pallas kernel (interpret here) agrees with
+    ops.intersect.sphere_intersect on hit/miss and t to f32 rounding
+    (bitwise is not promised: MXU dots vs VPU chains round the 3-term
+    sums differently; on-device record is job zr3)."""
+    from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
+        make_sphere_intersect,
+    )
+    from opencl_path_tracer_tpu.scene import library as lib
+
+    scene = lib.cornell_box(with_spheres=True, analytic_spheres=True)
+    from opencl_path_tracer_tpu.ops import raygen
+    cam = lib.cornell_camera(64, 64)
+    ids = raygen.pixel_ids(64, 64)
+    half = jnp.full(ids.shape, 0.5, jnp.float32)
+    rays = raygen.camera_rays(cam, ids, half, half)
+
+    a = intersect.sphere_intersect(rays, scene.spheres)
+    b = make_sphere_intersect(scene.spheres, interpret=True)(rays)
+    va, vb = np.asarray(a.valid), np.asarray(b.valid)
+    # Hit/miss flips only possible at the tangency boundary; none on
+    # this centered-pixel grid.
+    np.testing.assert_array_equal(va, vb)
+    both = va & vb
+    assert both.sum() > 100
+    np.testing.assert_allclose(np.asarray(a.t)[both],
+                               np.asarray(b.t)[both], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.mati)[both],
+                                  np.asarray(b.mati)[both])
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(a.n[k])[both],
+                                   np.asarray(b.n[k])[both], atol=1e-4)
+    # Miss conventions match (t=-1, n=0, mati=0).
+    miss = ~va
+    if miss.any():
+        assert (np.asarray(b.t)[miss] == -1.0).all()
+        assert (np.asarray(b.mati)[miss] == 0).all()
+
+
+def test_sphere_kernel_two_sphere_order_and_caps():
+    from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
+        MAX_BAKED_SPHERES, make_sphere_intersect,
+    )
+    spheres = SpheresSoA.build([[0, 0, 2], [0, 0, 5]], [1.0, 1.0],
+                               [7, 8])
+    hits = make_sphere_intersect(spheres, interpret=True)(
+        _rays([0, 0, -3], [0, 0, 1]))
+    assert float(hits.t[0]) == pytest.approx(4.0, abs=1e-5)
+    assert int(hits.mati[0]) == 7
+    big = SpheresSoA.build(
+        np.zeros((MAX_BAKED_SPHERES + 1, 3)),
+        np.ones(MAX_BAKED_SPHERES + 1),
+        np.zeros(MAX_BAKED_SPHERES + 1, np.int32),
+    )
+    with pytest.raises(ValueError, match="MAX_BAKED_SPHERES"):
+        make_sphere_intersect(big, interpret=True)
