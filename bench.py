@@ -466,7 +466,8 @@ def main() -> int:
             f"Mrays/sec/chip ({args.model}+{args.accel}, "
             f"{head['scene']} {head['w']}x{head['h']}, "
             f"iters={args.iters}"
-            + (", + stress in extra" if len(results) > 1 else "")
+            + (", + " + "/".join(r["scene"] for r in results[1:])
+               + " in extra" if len(results) > 1 else "")
             + ")"
         ),
         "value": head["mrays"],
