@@ -328,6 +328,14 @@ def bench_scene(scene_name: str, args) -> dict:
         w, h = (int(x) for x in args.size.split("x"))
         scene = library.cornell_box(with_spheres=True,
                                     analytic_spheres=True)
+    elif scene_name == "stress-analytic":
+        # The stress CONTENT (identical shell + sphere grid) as ~20
+        # triangles + ~138 analytic quadrics (table-driven sphere
+        # kernel). NOT a replacement for 'stress' — config 4's purpose
+        # is the 100k-TRIANGLE acceleration path — but the native
+        # representation of the same scene.
+        w, h = (int(x) for x in args.size.split("x"))
+        scene = library.stress_scene(100_000, analytic=True)
     else:
         w, h = (int(x) for x in args.size.split("x"))
         scene = (library.cornell_box(with_spheres=True)
@@ -394,8 +402,9 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--scene", default=None,
                     choices=["cornell", "cornell-analytic", "stress",
-                             "ref-workload"],
-                    help="default: cornell AND stress in one run")
+                             "stress-analytic", "ref-workload"],
+                    help="default: cornell-analytic + cornell + "
+                         "stress in one run")
     ap.add_argument("--model", default="wavefront",
                     choices=["wavefront", "megakernel", "fused",
                              "lazy"])

@@ -110,14 +110,13 @@ def make_sphere_intersect(spheres, *, tr: int = 1024,
                           interpret: bool = False):
     """Kernel twin of ops.intersect.sphere_intersect: intersect(rays)
     -> Hits with the same conventions (t = -1, p = 0, n = 0, mati = 0
-    on miss)."""
+    on miss). Counts above MAX_BAKED_SPHERES dispatch to the
+    table-driven kernel (make_sphere_table_intersect) — same math
+    order, same tie rule."""
     s = int(spheres.count)
     if s > MAX_BAKED_SPHERES:
-        raise ValueError(
-            f"{s} spheres > MAX_BAKED_SPHERES={MAX_BAKED_SPHERES}: the "
-            "baked-constant kernel unrolls a python loop per sphere; "
-            "use ops.intersect.sphere_intersect for large counts"
-        )
+        return make_sphere_table_intersect(spheres, tr=tr,
+                                           interpret=interpret)
     cx, cy, cz = (np.asarray(spheres.c[k], np.float32) for k in range(3))
     rad = np.asarray(spheres.rad, np.float32)
     mati = np.asarray(spheres.mati, np.int32)
@@ -133,6 +132,161 @@ def make_sphere_intersect(spheres, *, tr: int = 1024,
         rpad = _round_up(r, tr)
         rays8 = pack_rays(rays.p, rays.d, rpad)
         t_, nx, ny, nz, m = _run_spheres(rays8, consts, tr, interpret)
+        best_t = t_[0, :r]
+        any_hit = best_t > 0.0
+        z = jnp.zeros_like(best_t)
+        safe_t = jnp.where(any_hit, best_t, 0.0)
+        hit_p = tuple(
+            jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
+            for k in range(3)
+        )
+        return Hits(
+            t=best_t,
+            p=hit_p,
+            n=(nx[0, :r], ny[0, :r], nz[0, :r]),
+            mati=m[0, :r].astype(jnp.int32),
+        )
+
+    return intersect
+
+
+# --- table-driven variant (many spheres) -------------------------------
+
+def _sphere_table_kernel(ray_ref, sph_ref, tab_ref, t_ref, nx_ref,
+                         ny_ref, nz_ref, m_ref, *, chunk: int):
+    """Chunked min+argmin over a VMEM sphere table + one one-hot
+    3-split fetch of the winner's constants.
+
+    sph_ref: (Spad, 8) f32 rows [cx, cy, cz, rad, inv_rad, ccdot,
+    mati, live]; padding rows have live = 0 (never hit).
+    tab_ref: (64, Spad) bf16 — hi/mid/lo 3-split of the first 7
+    columns (the fetch must return the f32 constants EXACTLY; a plain
+    f32->bf16 matmul would round them).
+
+    Math per (ray, sphere) is the same ops in the same order as the
+    baked-constant kernel (_sphere_kernel) — but NOT bitwise equal to
+    it: the compiler contracts the scalar-constant chains into FMAs
+    differently than the broadcast ones (~1-ulp t deltas measured).
+    Ties keep the lower sphere index (argmin first occurrence within
+    a chunk, strict < across chunks)."""
+    spad = sph_ref.shape[0]
+    rays = ray_ref[:]
+    px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    p_dot_d = px * dx + py * dy + pz * dz
+    p_dot_p = px * px + py * py + pz * pz
+
+    best_t = None
+    best_g = None
+    for c0 in range(0, spad, chunk):
+        cc = min(chunk, spad - c0)
+        sph = sph_ref[c0:c0 + cc, :]
+
+        def col(k, sph=sph):
+            return sph[:, k:k + 1]
+
+        cx, cy, cz = col(0), col(1), col(2)
+        d_dot_c = dx * cx + dy * cy + dz * cz
+        p_dot_c = px * cx + py * cy + pz * cz
+        b_half = p_dot_d - d_dot_c
+        cc_q = p_dot_p - 2.0 * p_dot_c + col(5)
+        disc = b_half * b_half - cc_q
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_near = -b_half - sq
+        t_far = -b_half + sq
+        t = jnp.where(t_near > 0.0, t_near, t_far)
+        valid = (disc > 0.0) & (t > 0.0) & (col(7) > 0.0)
+        tm = jnp.where(valid, t, BIG)
+        m1 = jnp.min(tm, axis=0)
+        a1 = jnp.argmin(tm, axis=0)
+        g1 = (c0 + a1).astype(jnp.float32)
+        if c0 == 0:
+            best_t, best_g = m1, g1
+        else:
+            bet = m1 < best_t
+            best_t = jnp.where(bet, m1, best_t)
+            best_g = jnp.where(bet, g1, best_g)
+
+    # Winner-constant fetch (exact 3-split one-hot, rides the MXU).
+    tiota = jax.lax.broadcasted_iota(jnp.int32, (spad, 1), 0)
+    gi = best_g[None, :].astype(jnp.int32)
+    onehot = jnp.where(tiota == gi, 1.0, 0.0).astype(jnp.bfloat16)
+    rows3 = jax.lax.dot_general(
+        tab_ref[:], onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = rows3[0:7] + rows3[7:14] + rows3[14:21]
+
+    hit = best_t < BIG
+    safe_t = jnp.where(hit, best_t, 0.0)
+    inv_r = rows[4, :]
+    nx = (px[0, :] + dx[0, :] * safe_t - rows[0, :]) * inv_r
+    ny = (py[0, :] + dy[0, :] * safe_t - rows[1, :]) * inv_r
+    nz = (pz[0, :] + dz[0, :] * safe_t - rows[2, :]) * inv_r
+    t_ref[0, :] = jnp.where(hit, best_t, -1.0)
+    nx_ref[0, :] = jnp.where(hit, nx, 0.0)
+    ny_ref[0, :] = jnp.where(hit, ny, 0.0)
+    nz_ref[0, :] = jnp.where(hit, nz, 0.0)
+    m_ref[0, :] = jnp.where(hit, rows[6, :], 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _run_sphere_table(rays8, sph, tab, tr: int, chunk: int,
+                      interpret: bool):
+    rpad = rays8.shape[1]
+    spad = sph.shape[0]
+    outs = pl.pallas_call(
+        functools.partial(_sphere_table_kernel, chunk=chunk),
+        grid=(rpad // tr,),
+        in_specs=[
+            pl.BlockSpec((8, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spad, 8), lambda rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, spad), lambda rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, tr), lambda rt: (0, rt),
+                                memory_space=pltpu.VMEM)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((1, rpad), jnp.float32)] * 5,
+        interpret=interpret,
+    )(rays8, sph, tab)
+    return outs
+
+
+def make_sphere_table_intersect(spheres, *, tr: int = 1024,
+                                chunk: int = 256,
+                                interpret: bool = False):
+    """Table-driven twin of make_sphere_intersect for LARGE sphere
+    counts (the baked variant unrolls a python loop per sphere).
+    Same Hits conventions; same math order; ties keep the lower
+    sphere index."""
+    from opencl_path_tracer_tpu.ops.pallas.shading_kernel import (
+        _split3_table,
+    )
+
+    s = int(spheres.count)
+    spad = _round_up(s, 8)
+    cols = np.zeros((spad, 8), np.float32)
+    for k in range(3):
+        cols[:s, k] = np.asarray(spheres.c[k], np.float32)
+    rad = np.asarray(spheres.rad, np.float32)
+    cols[:s, 3] = rad
+    cols[:s, 4] = np.float32(1.0) / rad
+    cols[:s, 5] = (cols[:s, 0] ** 2 + cols[:s, 1] ** 2
+                   + cols[:s, 2] ** 2 - rad * rad)
+    cols[:s, 6] = np.asarray(spheres.mati, np.float32)
+    cols[:s, 7] = 1.0
+    sph = jnp.asarray(cols)
+    tab = _split3_table(np.ascontiguousarray(cols[:, :7].T))
+
+    def intersect(rays: Rays) -> Hits:
+        r = rays.p[0].shape[0]
+        rpad = _round_up(r, tr)
+        rays8 = pack_rays(rays.p, rays.d, rpad)
+        t_, nx, ny, nz, m = _run_sphere_table(
+            rays8, sph, tab, tr, min(chunk, spad), interpret)
         best_t = t_[0, :r]
         any_hit = best_t > 0.0
         z = jnp.zeros_like(best_t)

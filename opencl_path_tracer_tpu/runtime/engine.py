@@ -113,6 +113,14 @@ def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
 
         return smooth_fn
     if accel == "minarg":
+        if scene.num_triangles > 4096:
+            raise ValueError(
+                f"smooth shading on TPU currently tops out at 4096 "
+                f"triangles (the smooth-refine kernel holds the whole "
+                f"one-hot table in VMEM; ops/pallas/shading_kernel.py)"
+                f" — scene has {scene.num_triangles}. The large-scene "
+                "pair intersector does not report ids yet."
+            )
         from opencl_path_tracer_tpu.ops.pallas.shading_kernel import (
             make_smooth_minarg_intersect,
         )

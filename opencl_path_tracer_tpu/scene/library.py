@@ -235,10 +235,19 @@ def reference_scene(models_dir: str | None = None,
     return b.build()
 
 
-def stress_scene(num_tris: int = 100_000, seed: int = 0) -> Scene:
+def stress_scene(num_tris: int = 100_000, seed: int = 0,
+                 analytic: bool = False) -> Scene:
     """BASELINE.json config 4: a ~num_tris-triangle scene (Cornell shell +
     a grid of tessellated spheres with mixed materials) for LBVH/wavefront
-    benchmarking."""
+    benchmarking.
+
+    analytic=True builds the SAME scene (identical shell triangles,
+    identical sphere centers/radii/materials — the grid is derived
+    from the same num_tris budget and RNG stream) with analytic
+    quadrics instead of the ~720-triangle tessellations: ~20 triangles
+    + ~138 spheres at the default budget. This is the stress content
+    in the framework's native representation; the tessellated form
+    remains THE config-4 acceleration-path benchmark."""
     b = SceneBuilder()
     _add_archetypes(b)
 
@@ -297,11 +306,13 @@ def stress_scene(num_tris: int = 100_000, seed: int = 0) -> Scene:
                     150.0 + 700.0 * gz / max(grid - 1, 1)
                     + rs.uniform(-30, 30),
                 )
-                add_sphere(
-                    b, center=c, radius=rs.uniform(40.0, 70.0),
-                    mat=mats_cycle[n_added % len(mats_cycle)],
-                    lat=lat, lon=lon,
-                )
+                radius = rs.uniform(40.0, 70.0)
+                mat = mats_cycle[n_added % len(mats_cycle)]
+                if analytic:
+                    b.add_analytic_sphere(c, radius, mat)
+                else:
+                    add_sphere(b, center=c, radius=radius, mat=mat,
+                               lat=lat, lon=lon)
                 n_added += 1
     b.end_obj()
     return b.build()

@@ -258,7 +258,7 @@ def test_sphere_kernel_matches_xla_form():
 
 def test_sphere_kernel_two_sphere_order_and_caps():
     from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
-        MAX_BAKED_SPHERES, make_sphere_intersect,
+        make_sphere_intersect,
     )
     spheres = SpheresSoA.build([[0, 0, 2], [0, 0, 5]], [1.0, 1.0],
                                [7, 8])
@@ -266,10 +266,74 @@ def test_sphere_kernel_two_sphere_order_and_caps():
         _rays([0, 0, -3], [0, 0, 1]))
     assert float(hits.t[0]) == pytest.approx(4.0, abs=1e-5)
     assert int(hits.mati[0]) == 7
+
+
+def test_sphere_table_kernel_matches_baked_and_xla():
+    """Many-sphere table kernel == baked kernel (same math order) and
+    tracks the XLA form; make_sphere_intersect auto-dispatches above
+    MAX_BAKED_SPHERES."""
+    from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
+        MAX_BAKED_SPHERES, make_sphere_intersect,
+        make_sphere_table_intersect,
+    )
+    rng = np.random.default_rng(5)
+    s = 37  # > one 32-chunk, forces the cross-chunk strict-< path
+    centers = rng.uniform(-4, 4, (s, 3)).astype(np.float32)
+    radii = rng.uniform(0.3, 1.2, s).astype(np.float32)
+    mats = (np.arange(s) % 9).astype(np.int32)
+    spheres = SpheresSoA.build(centers, radii, mats)
+    p = rng.uniform(-8, 8, (512, 3)).astype(np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    rays = _rays(p, d)
+
+    baked = make_sphere_intersect(spheres, interpret=True)(rays)
+    table = make_sphere_table_intersect(spheres, chunk=32,
+                                        interpret=True)(rays)
+    # Same ops but NOT bitwise: the compiler contracts the scalar-
+    # baked chains into FMAs differently than the broadcast ones; the
+    # disc cancellation amplifies that to ~1e-5 relative on grazing
+    # lanes (the sphere_intersect precision contract).
+    np.testing.assert_array_equal(np.asarray(baked.valid),
+                                  np.asarray(table.valid))
+    np.testing.assert_allclose(np.asarray(baked.t),
+                               np.asarray(table.t), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(baked.mati),
+                                  np.asarray(table.mati))
+    hit = np.asarray(baked.valid)
+    assert hit.sum() > 50
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(baked.n[k])[hit],
+                                   np.asarray(table.n[k])[hit],
+                                   atol=1e-4)
+    xla = intersect.sphere_intersect(rays, spheres)
+    agree = np.asarray(xla.valid) == hit
+    assert agree.mean() > 0.995  # tangency-boundary lanes only
+    b2 = np.asarray(xla.valid) & hit
+    np.testing.assert_allclose(np.asarray(xla.t)[b2],
+                               np.asarray(table.t)[b2], rtol=1e-4)
+
     big = SpheresSoA.build(
         np.zeros((MAX_BAKED_SPHERES + 1, 3)),
         np.ones(MAX_BAKED_SPHERES + 1),
         np.zeros(MAX_BAKED_SPHERES + 1, np.int32),
     )
-    with pytest.raises(ValueError, match="MAX_BAKED_SPHERES"):
-        make_sphere_intersect(big, interpret=True)
+    assert make_sphere_intersect(big, interpret=True) is not None
+
+
+def test_stress_scene_analytic_twin():
+    """stress_scene(analytic=True) has the same shell triangles and
+    the same sphere set (centers/radii/materials from the same RNG
+    stream) as the tessellated scene, as quadrics."""
+    tess = library.stress_scene(6000, seed=3)
+    quad = library.stress_scene(6000, seed=3, analytic=True)
+    assert quad.spheres is not None and tess.spheres is None
+    n_shell = quad.num_triangles
+    assert n_shell < 40
+    np.testing.assert_array_equal(np.asarray(quad.tris.r1),
+                                  np.asarray(tess.tris.r1[:n_shell]))
+    per_sphere = 2 * 16 * 24 - 2 * 24
+    expect = max(1, (6000 - n_shell) // per_sphere)
+    assert quad.spheres.count == expect
+    # Sphere centers land inside the tessellated scene's bounds.
+    cx = np.asarray(quad.spheres.c[0])
+    assert cx.min() > -100 and cx.max() < 1100
