@@ -450,7 +450,7 @@ def main() -> int:
         # number and the 100k-tri stress number ride in "extra" so
         # neither representation hides the other.
         results = [bench_scene("cornell-analytic", args)]
-        for name in ("cornell", "stress"):
+        for name in ("cornell", "stress", "stress-analytic"):
             try:
                 results.append(bench_scene(name, args))
             except Exception as exc:  # never lose the headline

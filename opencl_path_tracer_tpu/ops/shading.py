@@ -65,14 +65,22 @@ class VertexAttribs:
     gv: V3
     u0: jnp.ndarray
     v0: jnp.ndarray
+    # Per-corner texture coordinates, ((T,), (T,)) pairs — zeros when
+    # the mesh carries no vt (OBJ texcoords: the reference parses them
+    # via tinyobj and never consumes them, main.cpp:595-611).
+    uv1: tuple
+    uv2: tuple
+    uv3: tuple
 
     @property
     def count(self) -> int:
         return int(self.u0.shape[0])
 
 
-def build_vertex_attribs(r1, r2, r3, n1, n2, n3) -> VertexAttribs:
-    """Host-side build. r*/n*: (T, 3) float arrays.
+def build_vertex_attribs(r1, r2, r3, n1, n2, n3,
+                         uv1=None, uv2=None, uv3=None) -> VertexAttribs:
+    """Host-side build. r*/n*: (T, 3) float arrays; uv*: optional
+    (T, 2) per-corner texture coordinates (zeros when absent).
 
     Gradients are computed in float64 (the denominator
     d00*d11 - d01^2 loses half its bits in f32 for thin triangles)
@@ -103,12 +111,22 @@ def build_vertex_attribs(r1, r2, r3, n1, n2, n3) -> VertexAttribs:
         return (jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
                 jnp.asarray(a[:, 2]))
 
+    t = r1.shape[0]
+
+    def uvcols(a):
+        if a is None:
+            z = jnp.zeros((t,), jnp.float32)
+            return (z, z)
+        a = np.asarray(a, np.float32).reshape(-1, 2)
+        return (jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]))
+
     return VertexAttribs(
         n1=v3cols(n1), n2=v3cols(n2), n3=v3cols(n3),
         gu=v3cols(gu.astype(np.float32)),
         gv=v3cols(gv.astype(np.float32)),
         u0=jnp.asarray(u0.astype(np.float32)),
         v0=jnp.asarray(v0.astype(np.float32)),
+        uv1=uvcols(uv1), uv2=uvcols(uv2), uv3=uvcols(uv3),
     )
 
 
@@ -161,6 +179,27 @@ def smooth_hit_normals(hits: Hits, ids: jnp.ndarray,
     inv = jax.lax.rsqrt(jnp.where(nn2 > 1e-12, nn2, 1.0))
     n = vwhere(use, tuple(ns[k] * inv for k in range(3)), hits.n)
     return Hits(t=hits.t, p=hits.p, n=n, mati=hits.mati)
+
+
+def interpolate_uvs(hits: Hits, ids: jnp.ndarray,
+                    attribs: VertexAttribs):
+    """Texture coordinates at hit points: (s, t) arrays, 0 on miss.
+
+    The consumption path for OBJ `vt` data (tinyobj parses it, the
+    reference never reads it). Feed (s, t) to any texture function —
+    e.g. the procedural checker in examples/07_uv_checker.py."""
+    ok = hits.valid & (ids >= 0)
+    idx = jnp.maximum(ids, 0)
+    u, v = barycentrics(hits.p, idx, attribs)
+    w = 1.0 - u - v
+
+    def blend(comp):
+        return (w * jnp.take(attribs.uv1[comp], idx)
+                + u * jnp.take(attribs.uv2[comp], idx)
+                + v * jnp.take(attribs.uv3[comp], idx))
+
+    z = jnp.zeros_like(u)
+    return (jnp.where(ok, blend(0), z), jnp.where(ok, blend(1), z))
 
 
 def compute_vertex_normals(vertices: np.ndarray,

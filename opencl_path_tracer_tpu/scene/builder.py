@@ -94,6 +94,7 @@ class SceneBuilder:
         self._materials: list[dict] = []
         self._object_ranges: list[tuple[int, int]] = []
         self._vn: list = []
+        self._uv: list = []
         self._tri_shift = 0
         self._sph_c: list[np.ndarray] = []
         self._sph_r: list[float] = []
@@ -111,10 +112,14 @@ class SceneBuilder:
         self._materials.append(row)
         return len(self._materials) - 1
 
-    def add_triangle(self, r1, r2, r3, mati: int, vn=None) -> None:
+    def add_triangle(self, r1, r2, r3, mati: int, vn=None,
+                     uv=None) -> None:
         """vn: optional (3, 3) per-corner shading normals (row k is the
         unit normal at corner r{k+1}); None = face-normal shading for
-        this triangle (the reference's only mode, prog.cl:11-16)."""
+        this triangle (the reference's only mode, prog.cl:11-16).
+        uv: optional (3, 2) per-corner texture coordinates
+        (ops.shading.interpolate_uvs consumes them; the reference
+        never reads its parsed vt data)."""
         self._r1.append(np.asarray(r1, np.float32))
         self._r2.append(np.asarray(r2, np.float32))
         self._r3.append(np.asarray(r3, np.float32))
@@ -122,6 +127,10 @@ class SceneBuilder:
         self._vn.append(
             None if vn is None
             else np.asarray(vn, np.float32).reshape(3, 3)
+        )
+        self._uv.append(
+            None if uv is None
+            else np.asarray(uv, np.float32).reshape(3, 2)
         )
 
     def add_analytic_sphere(self, center, radius: float,
@@ -185,12 +194,20 @@ class SceneBuilder:
             vn = self._shape_normals(
                 attrib, shape, pitch, yaw, scale, v
             ) if smooth_normals else None
+            # Per-corner texture coordinates ride along whenever the
+            # file has them (vt + f v/vt/... indices) — UVs are
+            # transform-invariant so no pipeline needed.
+            uv = None
+            ti = shape.texcoord_indices
+            if attrib.texcoords.shape[0] and (ti >= 0).all():
+                uv = attrib.texcoords[ti].reshape(-1, 3, 2)
             v = v.reshape(-1, 3, 3)
             mids = mat_offset + shape.material_ids
             for f in range(v.shape[0]):
                 self.add_triangle(
                     v[f, 0], v[f, 1], v[f, 2], int(mids[f]),
                     vn=None if vn is None else vn[f],
+                    uv=None if uv is None else uv[f],
                 )
             self.end_obj()  # per shape, like main.cpp:615
 
@@ -247,17 +264,22 @@ class SceneBuilder:
                 np.asarray(self._sph_m),
             )
         attribs = None
-        if any(vn is not None for vn in self._vn):
+        if any(vn is not None for vn in self._vn) or any(
+                uv is not None for uv in self._uv):
             from opencl_path_tracer_tpu.ops.shading import (
                 build_vertex_attribs,
             )
             zero3 = np.zeros((3, 3), np.float32)
             vn = np.stack([z if z is not None else zero3
                            for z in self._vn])      # (T, 3, 3)
+            zero2 = np.zeros((3, 2), np.float32)
+            uv = np.stack([z if z is not None else zero2
+                           for z in self._uv])      # (T, 3, 2)
             attribs = build_vertex_attribs(
                 np.stack(self._r1), np.stack(self._r2),
                 np.stack(self._r3),
                 vn[:, 0], vn[:, 1], vn[:, 2],
+                uv1=uv[:, 0], uv2=uv[:, 1], uv3=uv[:, 2],
             )
         return Scene(
             tris=tris, mats=mats,

@@ -79,3 +79,11 @@ def test_example_06_smooth_and_spheres(tmp_path):
                "--spp", "2", "--out", png)
     assert os.path.exists(png)
     assert "smooth-shaded" in out
+
+
+@pytest.mark.slow
+def test_example_07_uv_checker(tmp_path):
+    png = str(tmp_path / "e7.png")
+    out = _run("07_uv_checker.py", "--size", "48x48", "--out", png)
+    assert os.path.exists(png)
+    assert "checker balance" in out

@@ -316,3 +316,47 @@ def test_fused_smooth_kernel_matches_xla_path():
     for k in range(3):
         np.testing.assert_allclose(np.asarray(fused.n[k]),
                                    np.asarray(ref.n[k]), atol=2e-5)
+
+
+def test_interpolate_uvs_recover_and_obj_vt(tmp_path):
+    """UV interpolation recovers per-corner vt values; add_obj carries
+    OBJ texcoords into Scene.attribs (the consumption path for the vt
+    data the reference parses but never reads, main.cpp:595-611)."""
+    obj = tmp_path / "quad.obj"
+    obj.write_text(
+        "v -1 -1 5\nv 1 -1 5\nv -1 1 5\nv 1 1 5\n"
+        "vt 0 0\nvt 1 0\nvt 0 1\nvt 1 1\n"
+        "f 1/1 2/2 3/3\nf 2/2 4/4 3/3\n"
+    )
+    b = SceneBuilder()
+    b.add_material((1, 1, 1), (0, 0, 0), (0, 0, 0),
+                   (1, 1, 1), (0, 0, 0), 1.0, 0)
+    b.add_obj(str(obj), pos=(0, 0, 0), scale=(1, 1, 1))
+    scene = b.build()
+    assert scene.attribs is not None
+
+    # Rays at known positions on the quad: uv should equal the
+    # position mapped through the corner uvs. The x-flip negates
+    # x, so world x = -file x; file u = (file_x + 1) / 2.
+    targets = np.float32([[-0.5, -0.5], [0.25, 0.75], [0.0, 0.0]])
+    p = np.concatenate([targets, np.zeros((3, 1), np.float32)], 1)
+    rays = Rays(
+        p=v3_from_array(jnp.asarray(p)),
+        d=v3_from_array(jnp.asarray([[0, 0, 1]] * 3, jnp.float32)),
+    )
+    hits, ids = intersect.first_intersect_ids(rays, scene.tris)
+    assert bool(hits.valid.all())
+    s, t = shading.interpolate_uvs(hits, ids, scene.attribs)
+    expect_u = (-targets[:, 0] + 1.0) / 2.0   # x-flip
+    expect_v = (targets[:, 1] + 1.0) / 2.0
+    np.testing.assert_allclose(np.asarray(s), expect_u, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), expect_v, atol=1e-6)
+
+    # Miss lanes return (0, 0).
+    miss_rays = Rays(
+        p=v3_from_array(jnp.asarray([[50, 50, 0]], jnp.float32)),
+        d=v3_from_array(jnp.asarray([[0, 0, 1]], jnp.float32)),
+    )
+    mh, mi = intersect.first_intersect_ids(miss_rays, scene.tris)
+    ms, mt = shading.interpolate_uvs(mh, mi, scene.attribs)
+    assert float(ms[0]) == 0.0 and float(mt[0]) == 0.0
