@@ -50,6 +50,14 @@ def make_fast_pipeline(scene, cam, *, width: int, height: int,
     per-pixel-id, sample-weighted)."""
     from opencl_path_tracer_tpu.ops import raygen
 
+    if getattr(scene, "spheres", None) is not None:
+        raise ValueError(
+            "the fused pipeline intersects triangles only; analytic-"
+            "sphere scenes would render silently wrong. Use the "
+            "wavefront model (bench --model wavefront / the engine), "
+            "which min-merges the sphere kernel."
+        )
+
     n_raw = width * height
     if width % 16 == 0 and height % 8 == 0:
         ids = raygen.tile_major_ids(width, height, 16, 8)

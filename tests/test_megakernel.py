@@ -151,3 +151,29 @@ def test_golden_statistics_full_bsdf():
         img.reshape(16, 16, 3), golden[3:].reshape(16, 16, 3),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_golden_statistics_analytic_spheres():
+    """Regression anchor for the analytic-sphere path: fixed seed,
+    cornell with quadric spheres, parity megakernel over the merged
+    intersector (first_intersect + sphere_intersect + merge_hits).
+    Locks the sphere math the headline bench rides on. Values were
+    produced by this implementation after the TPU exactness records
+    (jobs zr4/zr8, docs/BENCHMARKS.md)."""
+    from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+
+    scene = library.cornell_box(with_spheres=True,
+                                analytic_spheres=True)
+    cam = library.cornell_camera(16, 16)
+    isect = make_intersect_fn(scene, "bruteforce")
+    state = megakernel.render(cam, scene.mats, intersect_fn=isect,
+                              num_pixels=16 * 16, iterations=2, spp=4,
+                              mode="parity")
+    img = _c(state)
+    stats = np.array([img.mean(), img.std(), img.max()])
+    golden = np.load("tests/golden/cornell_analytic_16x16_i2_s4.npy")
+    np.testing.assert_allclose(stats, golden[:3], rtol=1e-5)
+    np.testing.assert_allclose(
+        img.reshape(16, 16, 3), golden[3:].reshape(16, 16, 3),
+        rtol=1e-4, atol=1e-6,
+    )
