@@ -15,9 +15,10 @@ Workload (BASELINE.md): progressive path tracing at 1080p, bounce depth
 Flagship model: wavefront path regeneration — every lane is a live ray
 every step, so rays/sec is exact, not estimated.
 
-Default (no --scene): runs ALL THREE and prints ONE JSON line whose
-headline value is the cornell-analytic number, with the parity-cornell
-and stress numbers in "extra". --scene picks a single scene.
+Default (no --scene): runs all four (the three above plus
+stress-analytic, the stress content as ~138 quadrics) and prints ONE
+JSON line whose headline value is the cornell-analytic number, with
+the other three in "extra". --scene picks a single scene.
 
 vs_baseline: the driver-set north star is >= 1 Grays/sec aggregate on a
 v5e-8, i.e. 125 Mrays/sec/chip; vs_baseline = value / 125.
@@ -342,6 +343,13 @@ def bench_scene(scene_name: str, args) -> dict:
                  if scene_name == "cornell"
                  else library.stress_scene(100_000))
     n = w * h
+    if getattr(scene, "spheres", None) is not None and args.model in (
+            "fused", "lazy"):
+        raise ValueError(
+            f"--model {args.model} intersects triangles only and "
+            f"would silently drop {scene_name!r}'s analytic spheres; "
+            "use --model wavefront/megakernel, or a tessellated scene"
+        )
     cam = library.cornell_camera(w, h)
     on_cpu = jax.devices()[0].platform == "cpu"
     print(f"# scene {scene_name}: {scene.num_triangles} tris @ {w}x{h}",
@@ -404,7 +412,8 @@ def main() -> int:
                     choices=["cornell", "cornell-analytic", "stress",
                              "stress-analytic", "ref-workload"],
                     help="default: cornell-analytic + cornell + "
-                         "stress in one run")
+                         "stress + stress-analytic in one run "
+                         "(fused/lazy models: cornell + stress)")
     ap.add_argument("--model", default="wavefront",
                     choices=["wavefront", "megakernel", "fused",
                              "lazy"])
@@ -441,14 +450,23 @@ def main() -> int:
 
     if args.scene:
         results = [bench_scene(args.scene, args)]
+    elif args.model in ("fused", "lazy"):
+        # Triangle-only research models: the analytic scenes would be
+        # rejected (spheres dropped), so default to the tessellated
+        # pair, like the pre-analytic bench.
+        results = [bench_scene("cornell", args)]
+        try:
+            results.append(bench_scene("stress", args))
+        except Exception as exc:
+            print(f"# stress bench failed: {exc}", file=sys.stderr)
     else:
         # Headline = cornell in the framework's NATIVE representation
         # (12 box tris + 2 analytic quadrics — same scene content,
         # same image up to tessellation error; the reference
         # tessellates only because prog.cl has no sphere primitive,
         # main.cpp:1002,1009). The reference-parity tessellated
-        # number and the 100k-tri stress number ride in "extra" so
-        # neither representation hides the other.
+        # number and the stress numbers (both representations) ride
+        # in "extra" so none hides another.
         results = [bench_scene("cornell-analytic", args)]
         for name in ("cornell", "stress", "stress-analytic"):
             try:

@@ -167,8 +167,6 @@ def sphere_intersect(rays: Rays, spheres) -> Hits:
     f32 rounding (~1e-6 relative); hit/miss flips vs float64 occur
     only at the tangency boundary (1 lane in 2.07M measured).
     """
-    from opencl_path_tracer_tpu.core.spheres import SpheresSoA  # noqa: F401
-
     px, py, pz = rays.p
     dx, dy, dz = rays.d
     cx, cy, cz = spheres.c

@@ -209,6 +209,30 @@ def pallas_first_intersect(rays: Rays, tris: TrianglesSoA, *,
     )
 
 
+def assemble_hits(rays, r: int, t_, nx, ny, nz, m):
+    """Shared (1, rpad)-outputs -> Hits assembly for the kernel-maker
+    wrappers (minarg, smooth-minarg, baked/table sphere kernels).
+
+    Convention: kernels emit t = -1.0 on miss; the normal rows pass
+    through as-is (miss-lane normals are unspecified latch junk, same
+    as the reference's uninitialized Hit fields); mati is forced to 0
+    on miss."""
+    best_t = t_[0, :r]
+    any_hit = best_t > 0.0
+    z = jnp.zeros_like(best_t)
+    safe_t = jnp.where(any_hit, best_t, 0.0)
+    hit_p = tuple(
+        jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
+        for k in range(3)
+    )
+    return Hits(
+        t=best_t,
+        p=hit_p,
+        n=(nx[0, :r], ny[0, :r], nz[0, :r]),
+        mati=jnp.where(any_hit, m[0, :r], 0.0).astype(jnp.int32),
+    )
+
+
 def build_tri_pack(tris: TrianglesSoA, tt: int = 512) -> jnp.ndarray:
     """(Tpad, 24) rows: 16 intersection constants + mati (col 16, float-
     exact) + pad; padding rows never hit (n = 0)."""

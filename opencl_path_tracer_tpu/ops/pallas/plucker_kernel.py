@@ -592,6 +592,9 @@ def make_minarg_intersect(tris: TrianglesSoA, *, tr: int = 1024,
         ids = jnp.where(any_hit, g1[0, :r], -1.0).astype(jnp.int32)
         return hits, ids
 
+    # Note: sphere/smooth kernel makers share intersect_kernel.
+    # assemble_hits for this block; this copy stays inline because the
+    # with_ids branch reuses any_hit/g1 locals.
     return intersect
 
 

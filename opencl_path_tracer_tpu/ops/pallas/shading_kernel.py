@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
 from opencl_path_tracer_tpu.core.types import Hits, Rays
 from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
-    BIG, _round_up, _run_minarg, build_tri_pack, pack_rays,
+    BIG, _round_up, _run_minarg, assemble_hits, build_tri_pack,
+    pack_rays,
 )
 
 
@@ -193,22 +194,8 @@ def make_smooth_minarg_intersect(tris: TrianglesSoA, attribs, *,
         rays8 = pack_rays(rays.p, rays.d, rpad)
         t1, g1 = _run_minarg(rays8, tri_pack, tr, tt_eff, interpret,
                              chunk)
-        t_, nx, ny, nz, m = _run_smooth_refine(
-            rays8, t1, g1, tabt, stab, tr, interpret,
-        )
-        best_t = t_[0, :r]
-        any_hit = best_t > 0.0
-        z = jnp.zeros_like(best_t)
-        safe_t = jnp.where(any_hit, best_t, 0.0)
-        hit_p = tuple(
-            jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
-            for k in range(3)
-        )
-        return Hits(
-            t=best_t,
-            p=hit_p,
-            n=(nx[0, :r], ny[0, :r], nz[0, :r]),
-            mati=jnp.where(any_hit, m[0, :r], 0.0).astype(jnp.int32),
-        )
+        outs = _run_smooth_refine(rays8, t1, g1, tabt, stab, tr,
+                                  interpret)
+        return assemble_hits(rays, r, *outs)
 
     return intersect

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from opencl_path_tracer_tpu.core.types import Hits, Rays
 from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
-    BIG, _round_up, pack_rays,
+    BIG, _round_up, assemble_hits, pack_rays,
 )
 
 MAX_BAKED_SPHERES = 64  # python-loop unroll bound (compile-time)
@@ -131,21 +131,8 @@ def make_sphere_intersect(spheres, *, tr: int = 1024,
         r = rays.p[0].shape[0]
         rpad = _round_up(r, tr)
         rays8 = pack_rays(rays.p, rays.d, rpad)
-        t_, nx, ny, nz, m = _run_spheres(rays8, consts, tr, interpret)
-        best_t = t_[0, :r]
-        any_hit = best_t > 0.0
-        z = jnp.zeros_like(best_t)
-        safe_t = jnp.where(any_hit, best_t, 0.0)
-        hit_p = tuple(
-            jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
-            for k in range(3)
-        )
-        return Hits(
-            t=best_t,
-            p=hit_p,
-            n=(nx[0, :r], ny[0, :r], nz[0, :r]),
-            mati=m[0, :r].astype(jnp.int32),
-        )
+        outs = _run_spheres(rays8, consts, tr, interpret)
+        return assemble_hits(rays, r, *outs)
 
     return intersect
 
@@ -285,21 +272,8 @@ def make_sphere_table_intersect(spheres, *, tr: int = 1024,
         r = rays.p[0].shape[0]
         rpad = _round_up(r, tr)
         rays8 = pack_rays(rays.p, rays.d, rpad)
-        t_, nx, ny, nz, m = _run_sphere_table(
-            rays8, sph, tab, tr, min(chunk, spad), interpret)
-        best_t = t_[0, :r]
-        any_hit = best_t > 0.0
-        z = jnp.zeros_like(best_t)
-        safe_t = jnp.where(any_hit, best_t, 0.0)
-        hit_p = tuple(
-            jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
-            for k in range(3)
-        )
-        return Hits(
-            t=best_t,
-            p=hit_p,
-            n=(nx[0, :r], ny[0, :r], nz[0, :r]),
-            mati=m[0, :r].astype(jnp.int32),
-        )
+        outs = _run_sphere_table(rays8, sph, tab, tr,
+                                 min(chunk, spad), interpret)
+        return assemble_hits(rays, r, *outs)
 
     return intersect

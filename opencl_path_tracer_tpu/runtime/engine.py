@@ -55,7 +55,11 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
     within them). Analytic spheres already have exact normals and are
     unaffected."""
     if smooth:
-        if scene.attribs is None:
+        # attribs alone is not enough: UV-only scenes build attribs
+        # too (all-zero corner normals), and smooth shading over those
+        # would silently no-op into the face-normal fallback.
+        if scene.attribs is None or not _has_vertex_normals(
+                scene.attribs):
             raise ValueError(
                 "smooth=True but the scene has no vertex normals — "
                 "build it with add_obj(smooth_normals=True), "
@@ -86,6 +90,17 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
         return _isect.merge_hits(tri_fn(rays), sphere_fn(rays))
 
     return with_spheres
+
+
+def _has_vertex_normals(attribs) -> bool:
+    """True when any corner normal is nonzero (host-side check; the
+    arrays are tiny relative to a render)."""
+    import numpy as np
+    return any(
+        bool(np.any(np.asarray(comp)))
+        for corner in (attribs.n1, attribs.n2, attribs.n3)
+        for comp in corner
+    )
 
 
 def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
@@ -119,7 +134,12 @@ def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
                 f"triangles (the smooth-refine kernel holds the whole "
                 f"one-hot table in VMEM; ops/pallas/shading_kernel.py)"
                 f" — scene has {scene.num_triangles}. The large-scene "
-                "pair intersector does not report ids yet."
+                "pair intersector does not report ids yet. Options: "
+                "render on a CPU host (accel='bruteforce' smooth "
+                "works at any size there), or drop smooth for this "
+                "scene. accel='bruteforce' on TPU is NOT offered: the "
+                "(rays x tris) XLA form is memory-catastrophic at "
+                "render ray counts."
             )
         from opencl_path_tracer_tpu.ops.pallas.shading_kernel import (
             make_smooth_minarg_intersect,

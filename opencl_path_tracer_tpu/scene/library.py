@@ -50,6 +50,12 @@ def cornell_box(*, with_spheres: bool = True,
     centers/radii/materials — no reference counterpart.
     smooth_spheres=True keeps the tessellation but attaches analytic
     vertex normals for smooth shading (engine smooth=True)."""
+    if analytic_spheres and smooth_spheres:
+        raise ValueError(
+            "analytic_spheres and smooth_spheres are mutually "
+            "exclusive: quadrics have exact normals already (no "
+            "tessellation to smooth)"
+        )
     b = SceneBuilder()
     _add_archetypes(b)
 
