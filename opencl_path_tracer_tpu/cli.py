@@ -24,6 +24,16 @@ def _build_scene(name: str, models_dir: str | None,
     if name == "cornell":
         return library.cornell_box(with_spheres=True,
                                    smooth_spheres=smooth)
+    if name == "cornell-analytic":
+        # Native representation: 12 box tris + 2 exact quadrics (the
+        # 347 Mrays/s headline scene; quadrics need no smoothing).
+        return library.cornell_box(with_spheres=True,
+                                   analytic_spheres=True)
+    if name == "stress-analytic":
+        if smooth:
+            raise SystemExit("--smooth is pointless here: quadric "
+                             "normals are exact already")
+        return library.stress_scene(100_000, analytic=True)
     if name == "cornell-empty":
         return library.cornell_box(with_spheres=False)
     if name == "reference":

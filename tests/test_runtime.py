@@ -377,3 +377,14 @@ def test_engine_multi_device_wavefront_matches_single():
     eight.render(3, progress=False)
     assert eight._sample_host == 3
     np.testing.assert_array_equal(one._colors_np, eight._colors_np)
+
+
+def test_cli_render_analytic_scene(tmp_path):
+    from opencl_path_tracer_tpu.cli import main
+    out = tmp_path / "quad.png"
+    rc = main([
+        "render", "--scene", "cornell-analytic", "--size", "32x32",
+        "--spp", "2", "--iters", "2", "--accel", "bruteforce",
+        "--out", str(out),
+    ])
+    assert rc == 0 and out.exists()
