@@ -44,10 +44,33 @@ def main():
     )
     from opencl_path_tracer_tpu.scene import library
 
+    import sys
+
     devs = jax.devices()
     assert len(devs) >= 8, "run with xla_force_host_platform_device_count=8"
-    scene = library.cornell_box(with_spheres=True)
-    isect = functools.partial(intersect.first_intersect, tris=scene.tris)
+    analytic = "--analytic" in sys.argv
+    if analytic:
+        # The session-8 HEADLINE composition: 12 tris + 2 quadrics,
+        # minarg + sphere kernel (interpret on CPU) + merge.
+        from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+            make_minarg_intersect,
+        )
+        from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
+            make_sphere_intersect,
+        )
+        scene = library.cornell_box(with_spheres=True,
+                                    analytic_spheres=True)
+        tri_fn = make_minarg_intersect(scene.tris, tr=128,
+                                       interpret=True)
+        sph_fn = make_sphere_intersect(scene.spheres, tr=128,
+                                       interpret=True)
+
+        def isect(rays):
+            return intersect.merge_hits(tri_fn(rays), sph_fn(rays))
+    else:
+        scene = library.cornell_box(with_spheres=True)
+        isect = functools.partial(intersect.first_intersect,
+                                  tris=scene.tris)
     key = jax.random.key(1)
 
     rows = []
