@@ -39,11 +39,9 @@ def _build_scene(name: str, models_dir: str | None,
     if name == "reference":
         return library.reference_scene(models_dir, smooth=smooth)
     if name == "stress":
-        if smooth:
-            raise SystemExit("--smooth is not supported for the "
-                             "stress scene (its pair intersector "
-                             "does not report triangle ids)")
-        return library.stress_scene(100_000)
+        # smooth: 100k-tri smooth shading rides the pair
+        # intersector's with_ids surface (engine SMOOTH_ACCELS).
+        return library.stress_scene(100_000, smooth=smooth)
     if name.endswith(".obj"):
         from opencl_path_tracer_tpu.scene.builder import SceneBuilder
         b = SceneBuilder()
@@ -209,7 +207,7 @@ def main(argv=None) -> int:
                             "vertex normals (OBJ vn or computed) and "
                             "interpolate them at hit points "
                             "(ops/shading.py; needs accel auto/"
-                            "bruteforce/minarg)")
+                            "bruteforce/minarg/pairwin)")
         p.add_argument("--fov", type=float, default=None)
         p.add_argument("--yaw", type=float, default=None)
         p.add_argument("--pitch", type=float, default=None)

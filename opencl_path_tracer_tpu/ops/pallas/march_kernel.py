@@ -100,14 +100,16 @@ class MarchScene:
     scene_inv: jnp.ndarray  # (3,) f32 1/extent
 
 
-def build_march_scene(tris: TrianglesSoA, cs: int = 512
-                      ) -> tuple[MarchScene, TrianglesSoA, int]:
+def build_march_scene(tris: TrianglesSoA, cs: int = 512,
+                      with_order: bool = False):
     """Morton-cluster the triangles (large ones quarantined into the
     leading clusters, cluster_kernel.build_clusters policy) and build
     every constant pack in CLUSTER-MAJOR triangle order.
 
     Returns (scene, reordered_tris, C). reordered_tris is the
-    canonical order for exactness comparisons."""
+    canonical order for exactness comparisons. with_order=True appends
+    the (t_count,) int32 permutation: cluster-ordered row j holds
+    input triangle order[j] (the id map for with_ids reporting)."""
     t_count = int(tris.count)
     C = max(1, -(-t_count // cs))
     total = C * cs
@@ -222,6 +224,8 @@ def build_march_scene(tris: TrianglesSoA, cs: int = 512
         scene_lo=jnp.asarray(scene_lo, jnp.float32),
         scene_inv=jnp.asarray(1.0 / extent, jnp.float32),
     )
+    if with_order:
+        return scene, rt, C, order
     return scene, rt, C
 
 

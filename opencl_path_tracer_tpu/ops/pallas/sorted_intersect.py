@@ -538,7 +538,8 @@ def _auto_cluster_size(n_tris: int, cluster_size: int) -> int:
 
 
 def split_by_size(tris: TrianglesSoA, frac: float = 0.25,
-                  median_mult: float = 50.0, max_big: int = 64):
+                  median_mult: float = 50.0, max_big: int = 64,
+                  with_indices: bool = False):
     """Partition triangles into (big, rest) by bbox diagonal. Large
     triangles (walls, ground planes, room shells) poison cluster boxes
     AND the nearest-first certificate (their boxes contain every ray
@@ -577,6 +578,11 @@ def split_by_size(tris: TrianglesSoA, frac: float = 0.25,
         return TrianglesSoA.build(r1[mask], r2[mask], r3[mask],
                                   mati[mask])
 
+    if with_indices:
+        # Original-scene indices of each partition's rows (the id maps
+        # for with_ids=True winner reporting).
+        idx = np.arange(len(diag), dtype=np.int32)
+        return build(big), build(~big), idx[big], idx[~big]
     return build(big), build(~big)
 
 
@@ -663,6 +669,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                         tail: int = 8192, mxu: bool = False,
                         dop: bool = False, move: str = "gather",
                         infeat: bool = False, thin: bool = False,
+                        with_ids: bool = False,
                         interpret: bool = False):
     """Pair-expansion intersector for large scenes (hundreds of
     clusters, incoherent rays).
@@ -694,6 +701,15 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
     schedule, same certificates, same unconditional tail; the pend
     flag only ever forces MORE rays through the tail, never fewer
     tests, so exactness is unchanged.
+
+    `with_ids=True` (requires thin, move != 'chain'): intersect
+    returns (Hits, ids) with ids (R,) int32 = ORIGINAL scene triangle
+    index of each winner, -1 on miss — the first_intersect_ids
+    contract for large scenes (feeds ops/shading.py). Pair-round
+    winners map through the march permutation; seed/tail winners come
+    from the minarg kernel (bit-identical math to the fused brute,
+    plus the index), recorded in an ids overlay. The tail always runs
+    the gather body in this mode.
 
     `move="sort"` swaps each escalation's data movement from u-row
     gathers/scatters onto two fixed-cost wide sorts: the compaction
@@ -761,12 +777,39 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         if l3 >= 64:
             raise ValueError("move='chain' folds march progress into "
                              "a *128 sort key; l3 must be < 64")
-    big, rest = split_by_size(tris)
+    if with_ids and not thin:
+        raise ValueError("with_ids=True requires thin=True (only the "
+                         "thin payload carries winner triangle ids)")
+    if with_ids and move == "chain":
+        raise ValueError("with_ids=True does not support move='chain' "
+                         "(the chain tail reports cluster-ordered ids "
+                         "through a different id space; use "
+                         "move='sort'/'gather')")
+    big, rest, big_idx, rest_idx = split_by_size(tris,
+                                                 with_indices=True)
     if rest is None:   # degenerate: everything is scene-spanning
+        if with_ids:
+            from opencl_path_tracer_tpu.ops.pallas.plucker_kernel \
+                import make_minarg_intersect
+            return make_minarg_intersect(tris, with_ids=True,
+                                         interpret=interpret)
         return make_pallas_intersect(tris, interpret=interpret)
     cluster_size = _auto_cluster_size(rest.count, cluster_size)
-    big_isect = (make_pallas_intersect(big, interpret=interpret)
-                 if big is not None else None)
+    if with_ids:
+        # Seed/tail run the minarg kernel instead of the fused brute:
+        # same math bit-for-bit (its docstring contract), plus the
+        # winner index the fused kernel never materializes.
+        from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+            make_minarg_intersect,
+        )
+        big_isect = (make_minarg_intersect(big, with_ids=True,
+                                           interpret=interpret)
+                     if big is not None else None)
+        big_map = (jnp.asarray(big_idx, jnp.int32)
+                   if big is not None else None)
+    else:
+        big_isect = (make_pallas_intersect(big, interpret=interpret)
+                     if big is not None else None)
 
     if mxu:
         # MXU pairs round (pair v5): march-scene Plucker packs +
@@ -778,7 +821,18 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         from opencl_path_tracer_tpu.ops.pallas.pair_mxu import (
             build_dops, pairs_round_mxu,
         )
-        mscene, _rt, c = build_march_scene(rest, cluster_size)
+        if with_ids:
+            mscene, _rt, c, march_order = build_march_scene(
+                rest, cluster_size, with_order=True)
+            # Cluster-ordered global id g -> ORIGINAL scene triangle
+            # index: row j of the march order is rest[march_order[j]],
+            # which is original rest_idx[march_order[j]]; padding rows
+            # (never winners) map to -1.
+            gmap = np.full((c * cluster_size,), -1, np.int32)
+            gmap[:len(march_order)] = np.asarray(rest_idx)[march_order]
+            g_to_orig = jnp.asarray(gmap)
+        else:
+            mscene, _rt, c = build_march_scene(rest, cluster_size)
         boxes = jnp.concatenate(
             [mscene.boxes_lo, mscene.boxes_hi,
              jnp.zeros((c, 2), jnp.float32)], axis=1,
@@ -863,7 +917,57 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
     # Unconditional: also the safety net for rays that overflow the
     # escalation prefix capacities (without it they'd silently keep
     # their round-1 best — a latent wrong-hit, not just a slow path).
-    tail_isect = make_pallas_intersect(tris, interpret=interpret)
+    if with_ids:
+        # Scalable ids tail: the minarg PASS grids over tt blocks (any
+        # scene size), but make_minarg_intersect's refine holds a
+        # (64, tpad) table + a (tpad, tr) one-hot in VMEM — 205 MB at
+        # 100k tris (measured scoped-vmem OOM, job zs6). The tail
+        # processes <= `tail` rays per iteration, so winner attributes
+        # come from tiny XLA gathers over the ORIGINAL arrays instead:
+        # same values as the pack fetch (the pack is built from
+        # tris.n/mati verbatim), t bit-identical to the fused kernel
+        # (the minarg contract).
+        from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
+            _run_minarg, build_tri_pack,
+        )
+        tail_tt = 1024
+        tail_pack = build_tri_pack(tris, tail_tt)
+        tail_tt_eff = min(tail_tt, tail_pack.shape[0])
+        n_cols = tuple(jnp.asarray(np.asarray(tris.n)[:, k])
+                       for k in range(3))
+        mati_col = jnp.asarray(np.asarray(tris.mati), jnp.float32)
+
+        def tail_isect_ids(subrays):
+            rr = subrays.p[0].shape[0]
+            rrpad = _round_up(rr, 128)
+            rays8s = pack_rays(subrays.p, subrays.d, rrpad)
+            t1, g1 = _run_minarg(rays8s, tail_pack, min(128, rrpad),
+                                 tail_tt_eff, interpret)
+            t = t1[0, :rr]
+            g = g1[0, :rr].astype(jnp.int32)
+            hit = t < BIG
+            safe = jnp.clip(g, 0, int(tris.count) - 1)
+            zz = jnp.zeros_like(t)
+            safe_t = jnp.where(hit, t, 0.0)
+            hp = tuple(
+                jnp.where(hit, subrays.p[k] + subrays.d[k] * safe_t,
+                          zz)
+                for k in range(3)
+            )
+            hits = Hits(
+                t=jnp.where(hit, t, -1.0),
+                p=hp,
+                n=tuple(jnp.take(n_cols[k], safe) for k in range(3)),
+                mati=jnp.where(hit, jnp.take(mati_col, safe),
+                               0.0).astype(jnp.int32),
+            )
+            return hits, jnp.where(hit, g, -1)
+
+        def tail_isect(subrays):
+            return tail_isect_ids(subrays)[0]
+    else:
+        tail_isect_ids = None
+        tail_isect = make_pallas_intersect(tris, interpret=interpret)
 
     def intersect(rays: Rays) -> Hits:
         r = rays.p[0].shape[0]
@@ -883,8 +987,17 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         # (this seed, the dense tail) live in the `overlay` arrays and
         # mark themselves with g = -1.
         zeros = jnp.zeros((rpad,), jnp.float32)
+        seed_ids = jnp.full((rpad,), -1, jnp.int32) if with_ids else None
         if big_isect is not None:
             hb = big_isect(Rays(p=tuple(comps[:3]), d=tuple(comps[3:])))
+            if with_ids:
+                hb, bi = hb
+                # bi indexes the `big` SUBSET; map to original ids.
+                seed_ids = jnp.where(
+                    hb.valid,
+                    jnp.take(big_map, jnp.maximum(bi, 0)),
+                    -1,
+                )
             seed_t = jnp.where(hb.valid, hb.t, BIG)
             seed_attrs = (hb.n[0], hb.n[1], hb.n[2],
                           hb.mati.astype(jnp.float32))
@@ -1436,6 +1549,57 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                 jnp.where(better, a, o) for o, a in zip(ov, back[2:6])
             )
             return (best, ov, resolved | (back[6] > 0))
+
+        def body4_thin_ids(carry):
+            # Gather-style tail that ALSO records the winner's
+            # ORIGINAL triangle id (tail_isect_ids = minarg over the
+            # original-order scene, so ids need no mapping). with_ids
+            # always uses this body: threading ids through the
+            # sort-carried tail would add a sort operand for a
+            # capability mode that is not the perf headline.
+            best, ov, ids_ov, resolved = carry
+            idx = unresolved_prefix(resolved, u4)
+            subrays = Rays(p=tuple(x[idx] for x in comps[:3]),
+                           d=tuple(x[idx] for x in comps[3:]))
+            ht, hi = tail_isect_ids(subrays)
+            new_t = jnp.where(ht.valid, ht.t, BIG)
+            t_cur = best[0][idx]
+            better = new_t < t_cur
+            best = (
+                best[0].at[idx].set(jnp.where(better, new_t, t_cur)),
+                best[1].at[idx].set(
+                    jnp.where(better, -1.0, best[1][idx])
+                ),
+            )
+            attrs = (ht.n[0], ht.n[1], ht.n[2],
+                     ht.mati.astype(jnp.float32))
+            ov = tuple(
+                o.at[idx].set(jnp.where(better, a, o[idx]))
+                for o, a in zip(ov, attrs)
+            )
+            ids_ov = ids_ov.at[idx].set(
+                jnp.where(better, hi, ids_ov[idx])
+            )
+            return (best, ov, ids_ov, resolved.at[idx].set(True))
+
+        if thin and with_ids:
+            best, overlay, seed_ids, resolved = jax.lax.while_loop(
+                lambda ca: jnp.any(~ca[3]),
+                body4_thin_ids,
+                (best, overlay, seed_ids, resolved),
+            )
+            fnx, fny, fnz, fm = fetch_fn(best[1])
+            use = best[1] >= 0.0
+            n3 = tuple(
+                jnp.where(use, f, o)
+                for f, o in zip((fnx, fny, fnz), overlay[:3])
+            )
+            m = jnp.where(use, fm, overlay[3])
+            g_int = jnp.clip(best[1].astype(jnp.int32), 0,
+                             g_to_orig.shape[0] - 1)
+            ids = jnp.where(use, jnp.take(g_to_orig, g_int), seed_ids)
+            ids = jnp.where(best[0] < BIG, ids, -1)
+            return _hits_from_raw(rays, best[0], n3, m, r), ids[:r]
 
         if thin:
             best, overlay, resolved = jax.lax.while_loop(

@@ -40,7 +40,7 @@ from opencl_path_tracer_tpu.runtime.meter import PerfMeter
 from opencl_path_tracer_tpu.scene.builder import Scene
 
 
-SMOOTH_ACCELS = ("bruteforce", "minarg")
+SMOOTH_ACCELS = ("bruteforce", "minarg", "pairwin")
 
 
 def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
@@ -114,7 +114,11 @@ def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
     (gathers are cheap on CPU hosts)."""
     on_tpu = jax.default_backend() != "cpu"
     if accel == "auto":
-        accel = "minarg" if on_tpu else "bruteforce"
+        if not on_tpu:
+            accel = "bruteforce"
+        else:
+            accel = ("minarg" if scene.num_triangles <= 4096
+                     else "pairwin")
     if accel == "bruteforce":
         from opencl_path_tracer_tpu.ops import intersect
         from opencl_path_tracer_tpu.ops.shading import (
@@ -130,16 +134,11 @@ def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
     if accel == "minarg":
         if scene.num_triangles > 4096:
             raise ValueError(
-                f"smooth shading on TPU currently tops out at 4096 "
-                f"triangles (the smooth-refine kernel holds the whole "
-                f"one-hot table in VMEM; ops/pallas/shading_kernel.py)"
-                f" — scene has {scene.num_triangles}. The large-scene "
-                "pair intersector does not report ids yet. Options: "
-                "render on a CPU host (accel='bruteforce' smooth "
-                "works at any size there), or drop smooth for this "
-                "scene. accel='bruteforce' on TPU is NOT offered: the "
-                "(rays x tris) XLA form is memory-catastrophic at "
-                "render ray counts."
+                f"accel='minarg' smooth tops out at 4096 triangles "
+                f"(the smooth-refine kernel holds the whole one-hot "
+                f"table in VMEM; ops/pallas/shading_kernel.py) — "
+                f"scene has {scene.num_triangles}; use "
+                "accel='pairwin' (or 'auto')."
             )
         from opencl_path_tracer_tpu.ops.pallas.shading_kernel import (
             make_smooth_minarg_intersect,
@@ -147,6 +146,29 @@ def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
         return make_smooth_minarg_intersect(
             scene.tris, scene.attribs, interpret=not on_tpu
         )
+    if accel == "pairwin":
+        # Large scenes: the pair intersector's with_ids surface + the
+        # XLA interpolation. The gather interpolation adds ~17
+        # full-width gathers (~130 ms/2M rays on v5e) — small next to
+        # a large-scene step (~400 ms at 100k tris), and the fused
+        # fetch kernel cannot hold a >4096-tri table in VMEM.
+        from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+            PAIR_TPU_WINNER, make_pair_intersect,
+        )
+        from opencl_path_tracer_tpu.ops.shading import (
+            smooth_hit_normals,
+        )
+        ids_fn = make_pair_intersect(
+            scene.tris, with_ids=True, interpret=not on_tpu,
+            **PAIR_TPU_WINNER,
+        )
+        attribs = scene.attribs
+
+        def smooth_fn(rays):
+            hits, ids = ids_fn(rays)
+            return smooth_hit_normals(hits, ids, attribs)
+
+        return smooth_fn
     raise ValueError(
         f"smooth shading needs an ids-reporting intersector: "
         f"accel must be one of {SMOOTH_ACCELS} (or 'auto'), "

@@ -242,7 +242,8 @@ def reference_scene(models_dir: str | None = None,
 
 
 def stress_scene(num_tris: int = 100_000, seed: int = 0,
-                 analytic: bool = False) -> Scene:
+                 analytic: bool = False,
+                 smooth: bool = False) -> Scene:
     """BASELINE.json config 4: a ~num_tris-triangle scene (Cornell shell +
     a grid of tessellated spheres with mixed materials) for LBVH/wavefront
     benchmarking.
@@ -318,7 +319,7 @@ def stress_scene(num_tris: int = 100_000, seed: int = 0,
                     b.add_analytic_sphere(c, radius, mat)
                 else:
                     add_sphere(b, center=c, radius=radius, mat=mat,
-                               lat=lat, lon=lon)
+                               lat=lat, lon=lon, smooth=smooth)
                 n_added += 1
     b.end_obj()
     return b.build()

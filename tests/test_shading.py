@@ -360,3 +360,26 @@ def test_interpolate_uvs_recover_and_obj_vt(tmp_path):
     mh, mi = intersect.first_intersect_ids(miss_rays, scene.tris)
     ms, mt = shading.interpolate_uvs(mh, mi, scene.attribs)
     assert float(ms[0]) == 0.0 and float(mt[0]) == 0.0
+
+
+@pytest.mark.slow
+def test_engine_smooth_pairwin_large_scene():
+    """Large-scene smooth shading rides the pair intersector's
+    with_ids surface (engine accel='pairwin'; 'auto' picks it above
+    4096 tris on TPU). Interpret-mode smoke: normals come back unit
+    on a 6k-tri smooth stress scene."""
+    from opencl_path_tracer_tpu.ops import raygen
+    from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+
+    scene = library.stress_scene(6000, smooth=True)
+    fn = make_intersect_fn(scene, "pairwin", smooth=True)
+    cam = library.cornell_camera(32, 32)
+    ids = raygen.pixel_ids(32, 32)
+    half = jnp.full(ids.shape, 0.5, jnp.float32)
+    rays = raygen.camera_rays(cam, ids, half, half)
+    h = fn(rays)
+    v = np.asarray(h.valid)
+    assert v.all()  # enclosed scene
+    n = np.stack([np.asarray(h.n[k]) for k in range(3)], -1)
+    np.testing.assert_allclose(np.linalg.norm(n[v], axis=1), 1.0,
+                               atol=1e-5)

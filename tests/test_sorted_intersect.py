@@ -391,3 +391,72 @@ def test_auto_cluster_size_bounds_candidate_vmem():
         cs = _auto_cluster_size(n, 256)
         cp = _round_up(-(-n // cs), 128)
         assert cp * 128 <= 480_000, (n, cs, cp)
+
+
+def test_pair_with_ids_matches_base_and_reports_original_ids():
+    """with_ids=True: (t, mati) bitwise equal to the base pair
+    intersector, and ids equal first_intersect_ids' original-scene
+    winner indices wherever t agrees with the XLA oracle (tie order
+    may differ only on exact-t ties; none occur here)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opencl_path_tracer_tpu.ops import intersect, raygen
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    from opencl_path_tracer_tpu.scene import library
+
+    scene = library.stress_scene(1200)
+    cam = library.cornell_camera(24, 24)
+    ids_px = raygen.pixel_ids(24, 24)
+    half = jnp.full(ids_px.shape, 0.5, jnp.float32)
+    rays = raygen.camera_rays(cam, ids_px, half, half)
+    kw = dict(cluster_size=128, l1=2, l2=4, l3=8, trp=128, trb=128,
+              tail=128, mxu=True, thin=True, move="sort",
+              interpret=True)
+
+    h0 = make_pair_intersect(scene.tris, **kw)(rays)
+    h1, i1 = make_pair_intersect(scene.tris, with_ids=True, **kw)(rays)
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    np.testing.assert_array_equal(np.asarray(h0.mati),
+                                  np.asarray(h1.mati))
+
+    hb, ib = intersect.first_intersect_ids(rays, scene.tris)
+    same_t = np.asarray(h1.t) == np.asarray(hb.t)
+    ids_p = np.asarray(i1)
+    np.testing.assert_array_equal(ids_p[same_t],
+                                  np.asarray(ib)[same_t])
+    # Misses report -1; hits report a valid index.
+    valid = np.asarray(h1.valid)
+    assert (ids_p[~valid] == -1).all()
+    assert (ids_p[valid] >= 0).all()
+    assert ids_p[valid].max() < scene.num_triangles
+    # The reported id's triangle really is the winner (oracle re-test
+    # on a sample of lanes).
+    rng = np.random.default_rng(0)
+    p3 = np.stack([np.asarray(rays.p[k]) for k in range(3)], -1)
+    d3 = np.stack([np.asarray(rays.d[k]) for k in range(3)], -1)
+    for i in rng.choice(np.nonzero(valid)[0], 16, replace=False):
+        sub = scene.tris.take(jnp.asarray([int(ids_p[i])]))
+        t2, v2 = intersect.ray_tri_t(
+            jnp.asarray(p3[i:i + 1]), jnp.asarray(d3[i:i + 1]), sub)
+        assert bool(v2[0, 0])
+        assert abs(float(t2[0, 0]) - float(np.asarray(h1.t)[i])) < 1e-4
+
+
+def test_pair_with_ids_validation():
+    import pytest
+
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    from opencl_path_tracer_tpu.scene import library
+
+    tris = library.stress_scene(1200).tris
+    with pytest.raises(ValueError, match="requires thin"):
+        make_pair_intersect(tris, mxu=True, with_ids=True,
+                            interpret=True)
+    with pytest.raises(ValueError, match="chain"):
+        make_pair_intersect(tris, mxu=True, thin=True, move="chain",
+                            with_ids=True, interpret=True)
