@@ -71,6 +71,13 @@ class VertexAttribs:
     uv1: tuple
     uv2: tuple
     uv3: tuple
+    # (T, 17) row-major pack of [gu(3), gv(3), u0, v0, n1(3), n2(3),
+    # n3(3)] — the same column layout as the fused kernel's pack
+    # (ops/pallas/shading_kernel.build_shading_pack). One (R, 17) row
+    # gather replaces 17 independent (R,) column gathers: 37.3 vs
+    # 173.4 ms on 1.33M rays x 100k tris on v5e, bitwise-equal output
+    # (TPU job zs8; docs/BENCHMARKS.md "Smooth shading at scale").
+    packed: jnp.ndarray
 
     @property
     def count(self) -> int:
@@ -120,42 +127,41 @@ def build_vertex_attribs(r1, r2, r3, n1, n2, n3,
         a = np.asarray(a, np.float32).reshape(-1, 2)
         return (jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]))
 
-    return VertexAttribs(
-        n1=v3cols(n1), n2=v3cols(n2), n3=v3cols(n3),
-        gu=v3cols(gu.astype(np.float32)),
-        gv=v3cols(gv.astype(np.float32)),
-        u0=jnp.asarray(u0.astype(np.float32)),
-        v0=jnp.asarray(v0.astype(np.float32)),
-        uv1=uvcols(uv1), uv2=uvcols(uv2), uv3=uvcols(uv3),
+    n1c, n2c, n3c = v3cols(n1), v3cols(n2), v3cols(n3)
+    guc = v3cols(gu.astype(np.float32))
+    gvc = v3cols(gv.astype(np.float32))
+    u0c = jnp.asarray(u0.astype(np.float32))
+    v0c = jnp.asarray(v0.astype(np.float32))
+    packed = jnp.stack(
+        list(guc) + list(gvc) + [u0c, v0c]
+        + list(n1c) + list(n2c) + list(n3c),
+        axis=1,
     )
+    return VertexAttribs(
+        n1=n1c, n2=n2c, n3=n3c,
+        gu=guc, gv=gvc, u0=u0c, v0=v0c,
+        uv1=uvcols(uv1), uv2=uvcols(uv2), uv3=uvcols(uv3),
+        packed=packed,
+    )
+
+
+def _bary_from_rows(p: V3, rows: jnp.ndarray):
+    """(u, v) from pre-gathered pack rows (R, 17). Same multiply/add
+    order as the former per-column form, so results are bitwise
+    identical — only the gather shape changed."""
+    u = p[0] * rows[:, 0] + p[1] * rows[:, 1] + p[2] * rows[:, 2] \
+        + rows[:, 6]
+    v = p[0] * rows[:, 3] + p[1] * rows[:, 4] + p[2] * rows[:, 5] \
+        + rows[:, 7]
+    return u, v
 
 
 def barycentrics(p: V3, ids: jnp.ndarray, attribs: VertexAttribs):
     """(u, v) barycentric coordinates of hit points `p` on triangles
     `ids` (int32, already clamped to >= 0). u weights r2, v weights
     r3; the r1 weight is 1 - u - v (the ray_tri_mt convention)."""
-    def fetch(comp):
-        return tuple(jnp.take(comp[k], ids) for k in range(3))
-
-    gu = fetch(attribs.gu)
-    gv = fetch(attribs.gv)
-    u = p[0] * gu[0] + p[1] * gu[1] + p[2] * gu[2] \
-        + jnp.take(attribs.u0, ids)
-    v = p[0] * gv[0] + p[1] * gv[1] + p[2] * gv[2] \
-        + jnp.take(attribs.v0, ids)
-    return u, v
-
-
-def interpolate(ids: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
-                a1: V3, a2: V3, a3: V3) -> V3:
-    """Barycentric blend of any per-corner V3 attribute table:
-    (1-u-v)*a1[id] + u*a2[id] + v*a3[id]."""
-    w = 1.0 - u - v
-    return tuple(
-        w * jnp.take(a1[k], ids) + u * jnp.take(a2[k], ids)
-        + v * jnp.take(a3[k], ids)
-        for k in range(3)
-    )
+    rows = jnp.take(attribs.packed, ids, axis=0)
+    return _bary_from_rows(p, rows)
 
 
 def smooth_hit_normals(hits: Hits, ids: jnp.ndarray,
@@ -172,8 +178,13 @@ def smooth_hit_normals(hits: Hits, ids: jnp.ndarray,
     """
     ok = hits.valid & (ids >= 0)
     idx = jnp.maximum(ids, 0)
-    u, v = barycentrics(hits.p, idx, attribs)
-    ns = interpolate(idx, u, v, attribs.n1, attribs.n2, attribs.n3)
+    rows = jnp.take(attribs.packed, idx, axis=0)
+    u, v = _bary_from_rows(hits.p, rows)
+    w = 1.0 - u - v
+    ns = tuple(
+        w * rows[:, 8 + k] + u * rows[:, 11 + k] + v * rows[:, 14 + k]
+        for k in range(3)
+    )
     nn2 = ns[0] * ns[0] + ns[1] * ns[1] + ns[2] * ns[2]
     use = ok & (nn2 > 1e-12)
     inv = jax.lax.rsqrt(jnp.where(nn2 > 1e-12, nn2, 1.0))
@@ -190,7 +201,8 @@ def interpolate_uvs(hits: Hits, ids: jnp.ndarray,
     e.g. the procedural checker in examples/07_uv_checker.py."""
     ok = hits.valid & (ids >= 0)
     idx = jnp.maximum(ids, 0)
-    u, v = barycentrics(hits.p, idx, attribs)
+    rows = jnp.take(attribs.packed, idx, axis=0)
+    u, v = _bary_from_rows(hits.p, rows)
     w = 1.0 - u - v
 
     def blend(comp):
