@@ -148,10 +148,11 @@ def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
         )
     if accel == "pairwin":
         # Large scenes: the pair intersector's with_ids surface + the
-        # XLA interpolation. The gather interpolation adds ~17
-        # full-width gathers (~130 ms/2M rays on v5e) — small next to
-        # a large-scene step (~400 ms at 100k tris), and the fused
-        # fetch kernel cannot hold a >4096-tri table in VMEM.
+        # XLA interpolation. smooth_hit_normals gathers one (R, 17)
+        # packed row per hit (~37 ms/1.33M rays on v5e, job zs8) —
+        # small next to a large-scene step (~250 ms at 100k tris);
+        # the fused fetch kernel cannot hold a >4096-tri table in
+        # VMEM, which is why it is not used here.
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
             PAIR_TPU_WINNER, make_pair_intersect,
         )

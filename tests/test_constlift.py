@@ -8,6 +8,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from opencl_path_tracer_tpu.core.types import Rays
 from opencl_path_tracer_tpu.scene import library
@@ -23,6 +24,8 @@ def _rand_rays(n, seed=0):
                 d=tuple(jnp.asarray(d[i]) for i in range(3)))
 
 
+@pytest.mark.slow  # 40 s of interpret-mode pair rounds; the wavefront
+# constlift test below keeps the lifting contract in the quick loop.
 def test_lifted_pair_intersect_bit_exact_and_small():
     from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
         PAIR_TPU_WINNER, make_pair_intersect,

@@ -44,6 +44,29 @@ def test_barycentrics_recover_known_weights():
     np.testing.assert_allclose(np.asarray(vv), v, atol=2e-4)
 
 
+def test_packed_table_layout_matches_fused_kernel_pack():
+    """The (T, 17) row-gather table and the fused kernel's (17, tpad)
+    column table must keep the same column order (gu, gv, u0, v0,
+    n1, n2, n3) — smooth_hit_normals indexes the former by constant,
+    the Pallas refine kernel the latter."""
+    rng = np.random.default_rng(1)
+    n = 37
+    r1, r2, r3 = _rand_tris(rng, n)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    attribs = shading.build_vertex_attribs(r1, r2, r3, nrm, -nrm,
+                                           2.0 * nrm)
+    packed = np.asarray(attribs.packed)
+    assert packed.shape == (n, 17)
+    cols = {0: attribs.gu, 3: attribs.gv, 8: attribs.n1,
+            11: attribs.n2, 14: attribs.n3}
+    for base, comp in cols.items():
+        for k in range(3):
+            np.testing.assert_array_equal(packed[:, base + k],
+                                          np.asarray(comp[k]))
+    np.testing.assert_array_equal(packed[:, 6], np.asarray(attribs.u0))
+    np.testing.assert_array_equal(packed[:, 7], np.asarray(attribs.v0))
+
+
 def test_barycentrics_match_moller_trumbore():
     """(u, v) at ray hit points agree with ray_tri_mt's barycentrics."""
     rng = np.random.default_rng(1)
