@@ -81,7 +81,7 @@ def cmd_render(args) -> int:
             width=w, height=h, iterations=args.iters, spp=args.spp,
             mode=args.mode, seed=args.seed, tonemap=args.tonemap,
             accel=args.accel, accel_force=args.accel_force,
-            smooth=args.smooth,
+            smooth=args.smooth, textured=args.textured,
             model=args.model, devices=args.devices,
             camera=_camera_preset(args.scene, w, h, args),
         )
@@ -133,7 +133,7 @@ def cmd_view(args) -> int:
     cfg = RenderConfig(
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
-        smooth=args.smooth,
+        smooth=args.smooth, textured=args.textured,
         camera=_camera_preset(args.scene, w, h, args),
     )
     eng = RenderEngine(scene, cfg)
@@ -159,7 +159,7 @@ def cmd_serve(args) -> int:
     cfg = RenderConfig(
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
-        smooth=args.smooth,
+        smooth=args.smooth, textured=args.textured,
         camera=_camera_preset(args.scene, w, h, args),
     )
     ViewerServer(RenderEngine(scene, cfg), port=args.port).serve()
@@ -208,6 +208,13 @@ def main(argv=None) -> int:
                             "interpolate them at hit points "
                             "(ops/shading.py; needs accel auto/"
                             "bruteforce/minarg/pairwin)")
+        p.add_argument("--textured", action="store_true",
+                       help="image textures: modulate kd by each "
+                            "material's map_Kd sample at the hit UV "
+                            "(core/textures.py; needs a scene with "
+                            "bound textures — e.g. an OBJ whose MTL "
+                            "has PNG map_Kd entries — and the same "
+                            "ids-reporting accels as --smooth)")
         p.add_argument("--fov", type=float, default=None)
         p.add_argument("--yaw", type=float, default=None)
         p.add_argument("--pitch", type=float, default=None)

@@ -65,6 +65,13 @@ class RenderConfig:
     # ids-reporting accel (engine.SMOOTH_ACCELS). False = reference
     # face-normal shading (prog.cl:11-16).
     smooth: bool = False
+    # Image textures: modulate kd by the material's map_Kd sample at
+    # the hit UV (core/textures.py). Requires a scene with bound
+    # textures (OBJ map_Kd auto-load or add_texture +
+    # set_material_texture) and the same ids-reporting accels as
+    # smooth. The reference parses map_Kd via tinyobj and never
+    # samples it (tiny_obj_loader.h:124-182).
+    textured: bool = False
     # Render model: 'megakernel' (reference frame semantics — one full
     # sample per step, required for the interactive loop) or
     # 'wavefront' (path regeneration, the flagship throughput model —

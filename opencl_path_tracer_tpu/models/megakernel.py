@@ -40,6 +40,25 @@ from opencl_path_tracer_tpu.ops import bsdf, raygen, rng
 IntersectFn = Callable[[Rays], Hits]
 
 
+def fetch_material(mats: MaterialsSoA, intersect_fn, rays: Rays):
+    """Intersect + per-lane material fetch, shared by both models.
+
+    An intersect_fn may return plain Hits, or (Hits, kd_scale) where
+    kd_scale is a V3 of per-lane diffuse multipliers (the textured
+    path, runtime.engine.make_intersect_fn(textured=True) — image
+    textures modulate kd, core/textures.py). The tuple shape is
+    static, so the branch resolves at trace time."""
+    res = intersect_fn(rays)
+    if isinstance(res, tuple):
+        hit, kd_mod = res
+        mat = mats.take_select(hit.mati)
+        mat = dataclasses.replace(mat, kd=vmul(mat.kd, kd_mod))
+    else:
+        hit = res
+        mat = mats.take_select(hit.mati)
+    return hit, mat
+
+
 def _register(cls):
     fields = [f.name for f in dataclasses.fields(cls)]
     jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
@@ -209,12 +228,12 @@ def trace_sample(
          color, alive, inside, rays_traced) = carry
 
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        hit = intersect_fn(Rays(p=ray_p, d=ray_d))
+        hit, mat = fetch_material(mats, intersect_fn,
+                                  Rays(p=ray_p, d=ray_d))
         has_hit = hit.valid & alive
 
         # RNG draws: diffuse/emitter take 2, refractive takes 1
         # (prog.cl:330, :349, :361).
-        mat = mats.take_select(hit.mati)
         mtype = mat.type
         is_d_or_e = has_hit & ((mtype == 0) | (mtype == 3))
         if mode == "parity":

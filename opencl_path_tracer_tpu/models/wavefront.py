@@ -44,7 +44,7 @@ from opencl_path_tracer_tpu.core.types import (
     Rays, V3, vadd, vwhere,
 )
 from opencl_path_tracer_tpu.models.megakernel import (
-    _draws_parity, apply_factors, shade,
+    _draws_parity, apply_factors, fetch_material, shade,
 )
 from opencl_path_tracer_tpu.ops import raygen, rng
 
@@ -204,12 +204,12 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     else:
         active = st.samples < max_samples
 
-    hit = intersect_fn(Rays(p=st.ray_p, d=st.ray_d))
+    hit, mat = fetch_material(mats, intersect_fn,
+                              Rays(p=st.ray_p, d=st.ray_d))
     has_hit = hit.valid & active
 
     # --- bounce draws (2 diffuse/emit, 1 refr; prog.cl:330,349,361) ---
     rng_state = st.rng_state
-    mat = mats.take_select(hit.mati)
     mtype = mat.type
     is_d_or_e = has_hit & ((mtype == 0) | (mtype == 3))
     if mode == "parity":

@@ -26,6 +26,7 @@ import sys
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from opencl_path_tracer_tpu.config import RenderConfig
 from opencl_path_tracer_tpu.core.camera import Camera
@@ -44,7 +45,7 @@ SMOOTH_ACCELS = ("bruteforce", "minarg", "pairwin")
 
 
 def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
-                      smooth: bool = False):
+                      smooth: bool = False, textured: bool = False):
     """Build the intersector for `accel`, min-merging the analytic
     sphere stream when the scene carries one (scene.spheres).
 
@@ -53,7 +54,18 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
     triangle carried vn data). Needs an ids-reporting triangle
     intersector: supported accels are SMOOTH_ACCELS ('auto' resolves
     within them). Analytic spheres already have exact normals and are
-    unaffected."""
+    unaffected.
+
+    textured=True returns (Hits, kd_scale) instead of Hits: per-lane
+    diffuse multipliers sampled from the scene's texture atlas at the
+    hit UV (core/textures.py; scene.textures + UV-bearing
+    scene.attribs required). The models multiply the fetched kd
+    lane-wise (models.megakernel.fetch_material). Same ids-accel
+    requirement as smooth; composes with smooth=True. Sphere-stream
+    winners get a multiplier of 1 (quadrics carry no UVs)."""
+    if textured:
+        return _make_textured_fn(scene, accel, force=force,
+                                 smooth=smooth)
     if smooth:
         # attribs alone is not enough: UV-only scenes build attribs
         # too (all-zero corner normals), and smooth shading over those
@@ -68,8 +80,23 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
         tri_fn = _make_smooth_tri_fn(scene, accel, force=force)
     else:
         tri_fn = _make_tri_intersect_fn(scene, accel, force=force)
-    if scene.spheres is None:
+    sphere_fn = _make_sphere_fn(scene)
+    if sphere_fn is None:
         return tri_fn
+    from opencl_path_tracer_tpu.ops import intersect as _isect
+
+    def with_spheres(rays):
+        # Triangle stream first: merge_hits keeps `a` on exact-t ties,
+        # making the combined contract deterministic.
+        return _isect.merge_hits(tri_fn(rays), sphere_fn(rays))
+
+    return with_spheres
+
+
+def _make_sphere_fn(scene: Scene):
+    """Analytic-sphere intersector, or None for triangle-only scenes."""
+    if scene.spheres is None:
+        return None
     from opencl_path_tracer_tpu.ops import intersect as _isect
     spheres = scene.spheres
     if jax.default_backend() != "cpu":
@@ -79,17 +106,114 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
         from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
             make_sphere_intersect,
         )
-        sphere_fn = make_sphere_intersect(spheres)
+        return make_sphere_intersect(spheres)
+
+    def sphere_fn(rays):
+        return _isect.sphere_intersect(rays, spheres)
+
+    return sphere_fn
+
+
+def _make_textured_fn(scene: Scene, accel: str, *, force: bool,
+                      smooth: bool):
+    """(Hits, kd_scale) intersector: ids-reporting triangle stream
+    (smooth-interpolated when asked), sphere merge, hit-point UVs,
+    bilinear atlas sample (core/textures.py)."""
+    if scene.textures is None:
+        raise ValueError(
+            "textured=True but the scene has no textures — bind one "
+            "with add_texture + set_material_texture, or load an OBJ "
+            "whose MTL has map_Kd entries (PNG)"
+        )
+    if scene.attribs is None:
+        raise ValueError(
+            "textured=True needs per-corner UVs — add_triangle(uv=...) "
+            "or an OBJ with vt data"
+        )
+    from opencl_path_tracer_tpu.core.textures import kd_scale
+    from opencl_path_tracer_tpu.ops import intersect as _isect
+    from opencl_path_tracer_tpu.ops.shading import interpolate_uvs
+
+    ids_fn = _make_ids_tri_fn(scene, accel, force=force, smooth=smooth)
+    sphere_fn = _make_sphere_fn(scene)
+    attribs, textures = scene.attribs, scene.textures
+
+    def textured_fn(rays):
+        tri_hits, ids = ids_fn(rays)
+        if sphere_fn is None:
+            hits = tri_hits
+            tri_won = tri_hits.valid
+        else:
+            hits = _isect.merge_hits(tri_hits, sphere_fn(rays))
+            # merge_hits keeps the triangle stream on exact-t ties.
+            tri_won = tri_hits.valid & hits.valid & (hits.t
+                                                     == tri_hits.t)
+        ids2 = jnp.where(tri_won, ids, -1)
+        s, t = interpolate_uvs(hits, ids2, attribs)
+        ok = hits.valid & (ids2 >= 0)
+        return hits, kd_scale(textures, hits.mati, s, t, ok)
+
+    return textured_fn
+
+
+def _make_ids_tri_fn(scene: Scene, accel: str, *, force: bool,
+                     smooth: bool):
+    """fn(rays) -> (Hits, ids): triangle intersector that reports the
+    winner's original triangle index (-1 on miss), smooth-normal
+    interpolated when smooth=True. Used by the textured path, which
+    needs ids alive at the top level for the UV fetch (the smooth-only
+    path instead folds ids away inside _make_smooth_tri_fn)."""
+    on_tpu = jax.default_backend() != "cpu"
+    if accel == "auto":
+        if not on_tpu:
+            accel = "bruteforce"
+        else:
+            accel = ("minarg" if scene.num_triangles <= 4096
+                     else "pairwin")
+    if smooth and (scene.attribs is None or not _has_vertex_normals(
+            scene.attribs)):
+        raise ValueError(
+            "smooth=True but the scene has no vertex normals — "
+            "build it with add_obj(smooth_normals=True), "
+            "add_sphere(smooth=True), or add_triangle(vn=...)"
+        )
+    if accel == "bruteforce":
+        from opencl_path_tracer_tpu.ops import intersect
+        tris = scene.tris
+
+        def ids_fn(rays):
+            return intersect.first_intersect_ids(rays, tris)
+    elif accel == "minarg":
+        from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+            make_minarg_intersect,
+        )
+        ids_fn = make_minarg_intersect(
+            scene.tris, with_ids=True, interpret=not on_tpu
+        )
+    elif accel == "pairwin":
+        from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+            PAIR_TPU_WINNER, make_pair_intersect,
+        )
+        ids_fn = make_pair_intersect(
+            scene.tris, with_ids=True, interpret=not on_tpu,
+            **PAIR_TPU_WINNER,
+        )
     else:
-        def sphere_fn(rays):
-            return _isect.sphere_intersect(rays, spheres)
+        raise ValueError(
+            f"textured rendering needs an ids-reporting intersector: "
+            f"accel must be one of {SMOOTH_ACCELS} (or 'auto'), "
+            f"got {accel!r}"
+        )
+    if not smooth:
+        return ids_fn
+    from opencl_path_tracer_tpu.ops.shading import smooth_hit_normals
+    attribs = scene.attribs
 
-    def with_spheres(rays):
-        # Triangle stream first: merge_hits keeps `a` on exact-t ties,
-        # making the combined contract deterministic.
-        return _isect.merge_hits(tri_fn(rays), sphere_fn(rays))
+    def smooth_ids_fn(rays):
+        hits, ids = ids_fn(rays)
+        return smooth_hit_normals(hits, ids, attribs), ids
 
-    return with_spheres
+    return smooth_ids_fn
 
 
 def _has_vertex_normals(attribs) -> bool:
@@ -319,7 +443,7 @@ class RenderEngine:
         self.meter = PerfMeter()
         self.intersect_fn = intersect_fn or make_intersect_fn(
             scene, config.accel, force=config.accel_force,
-            smooth=config.smooth,
+            smooth=config.smooth, textured=config.textured,
         )
         self.num_pixels = config.width * config.height
         self._key = jax.random.key(config.seed)

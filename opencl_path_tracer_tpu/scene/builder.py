@@ -75,6 +75,14 @@ class Scene:
     # never consumes it (main.cpp:595-611); here it powers smooth
     # shading (engine make_intersect_fn(smooth=True)).
     attribs: "object | None" = None
+    # Image textures (core.textures.TexturesSoA) — present when any
+    # material has a bound texture (MTL map_Kd auto-loaded by
+    # add_obj, or add_texture + set_material_texture). The reference's
+    # tinyobj parses map_Kd into diffuse_texname
+    # (tiny_obj_loader.h:124-182) but never samples it; here it
+    # modulates kd when rendered with textured=True
+    # (runtime.engine.make_intersect_fn).
+    textures: "object | None" = None
 
     @property
     def num_triangles(self) -> int:
@@ -99,6 +107,8 @@ class SceneBuilder:
         self._sph_c: list[np.ndarray] = []
         self._sph_r: list[float] = []
         self._sph_m: list[int] = []
+        self._textures: list[np.ndarray] = []
+        self._mat_texi: dict[int, int] = {}
 
     # --- reference API ---------------------------------------------------
     def add_material(self, kd, ks, emission, N, K, shininess, type) -> int:
@@ -132,6 +142,23 @@ class SceneBuilder:
             None if uv is None
             else np.asarray(uv, np.float32).reshape(3, 2)
         )
+
+    def add_texture(self, img: np.ndarray) -> int:
+        """Register a texture image (top-down (H, W, 3), uint8 or
+        float in [0, 1]); returns its texture index. Bind it to a
+        material with set_material_texture."""
+        self._textures.append(np.asarray(img))
+        return len(self._textures) - 1
+
+    def set_material_texture(self, mati: int, texi: int) -> None:
+        """Bind texture `texi` to material `mati`: its kd is
+        multiplied by the bilinear texture sample at the hit's UV when
+        the scene renders with textured=True."""
+        if not 0 <= mati < len(self._materials):
+            raise ValueError(f"no material {mati}")
+        if not 0 <= texi < len(self._textures):
+            raise ValueError(f"no texture {texi}")
+        self._mat_texi[mati] = texi
 
     def add_analytic_sphere(self, center, radius: float,
                             mati: int) -> None:
@@ -177,10 +204,16 @@ class SceneBuilder:
                 float(x) for x in m.unknown_parameter["Kk"].split()[:3]
             )
             tp = int(m.unknown_parameter["Tp"].split()[0])
-            self.add_material(
+            mati = self.add_material(
                 kd=m.diffuse, ks=m.specular, emission=m.emission,
                 N=kn, K=kk, shininess=m.shininess, type=tp,
             )
+            # map_Kd auto-load (tinyobj parses diffuse_texname,
+            # tiny_obj_loader.h:124-182; the reference never samples
+            # it). Paths resolve relative to the OBJ's directory.
+            if m.diffuse_texname:
+                self._load_material_texture(mati, m.diffuse_texname,
+                                            path)
 
         pos = np.asarray(pos, np.float32)
         scale = np.asarray(scale, np.float32)
@@ -210,6 +243,28 @@ class SceneBuilder:
                     uv=None if uv is None else uv[f],
                 )
             self.end_obj()  # per shape, like main.cpp:615
+
+    def _load_material_texture(self, mati: int, texname: str,
+                               obj_path: str) -> None:
+        """Load an MTL map_Kd image and bind it; PNG only (the
+        framework's dependency-free reader, io.image.read_png).
+        Missing or non-PNG files warn and leave the material
+        untextured rather than failing the whole scene load."""
+        import os
+        import sys as _sys
+
+        p = texname
+        if not os.path.isabs(p):
+            p = os.path.join(os.path.dirname(os.path.abspath(obj_path)),
+                             p)
+        if not os.path.exists(p) or not p.lower().endswith(".png"):
+            print(f"# WARNING: map_Kd {texname!r}: "
+                  + ("not found" if not os.path.exists(p)
+                     else "only PNG is supported")
+                  + " — material renders untextured", file=_sys.stderr)
+            return
+        from opencl_path_tracer_tpu.io.image import read_png
+        self.set_material_texture(mati, self.add_texture(read_png(p)))
 
     @staticmethod
     def _shape_normals(attrib, shape, pitch, yaw, scale,
@@ -281,8 +336,15 @@ class SceneBuilder:
                 vn[:, 0], vn[:, 1], vn[:, 2],
                 uv1=uv[:, 0], uv2=uv[:, 1], uv3=uv[:, 2],
             )
+        textures = None
+        if self._textures:
+            from opencl_path_tracer_tpu.core.textures import TexturesSoA
+            mt = np.full(len(self._materials), -1, np.int32)
+            for mi, ti in self._mat_texi.items():
+                mt[mi] = ti
+            textures = TexturesSoA.build(self._textures, mt)
         return Scene(
             tris=tris, mats=mats,
             object_ranges=np.asarray(self._object_ranges, np.int64),
-            spheres=spheres, attribs=attribs,
+            spheres=spheres, attribs=attribs, textures=textures,
         )
