@@ -87,3 +87,12 @@ def test_example_07_uv_checker(tmp_path):
     out = _run("07_uv_checker.py", "--size", "48x48", "--out", png)
     assert os.path.exists(png)
     assert "checker balance" in out
+
+
+@pytest.mark.slow
+def test_example_08_textured_obj(tmp_path):
+    png = str(tmp_path / "e8.png")
+    out = _run("08_textured_obj.py", "--size", "48x32", "--spp", "2",
+               "--out", png)
+    assert os.path.exists(png)
+    assert "1 texture" in out
