@@ -1,0 +1,62 @@
+"""Environment (sky) light: the reference kernel's dormant feature.
+
+The shipped OpenCL kernel breaks on a miss with no light contribution,
+but its miss branch carries commented-out sky-light code
+(prog.cl:367-376): primary misses see the sky color directly, misses
+on specular-only paths see the sky tinted by the path throughput, and
+misses after a diffuse bounce pick up a white ambient fill. The
+framework resurrects that code as an opt-in (`env_light=True`, or
+`ptx render --env`); off, miss shading stays shipped-kernel parity.
+
+This scene is an open horizon — a matte floor next to a mirror floor
+under an empty sky — so all three miss tiers are visible: sky above
+the horizon, sky-tinted mirror reflections, sky-lit matte ground.
+"""
+
+import argparse
+
+from opencl_path_tracer_tpu.config import CameraConfig, RenderConfig
+from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+from opencl_path_tracer_tpu.scene.builder import SceneBuilder
+
+
+def open_horizon_scene():
+    b = SceneBuilder()
+    matte = b.add_material((0.55, 0.45, 0.35), (1.0, 1.0, 1.0),
+                           (0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+                           (0.0, 0.0, 0.0), 50.0, 0)
+    mirror = b.add_material((0.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                            (0.0, 0.0, 0.0), (0.2, 0.2, 0.2),
+                            (3.0, 3.0, 3.0), 0.0, 1)
+    for mat, x0, x1 in ((matte, -6000.0, 500.0),
+                        (mirror, 500.0, 7000.0)):
+        z0, z1 = -2000.0, 9000.0
+        b.add_triangle((x0, 0, z0), (x1, 0, z0), (x1, 0, z1), mat)
+        b.add_triangle((x0, 0, z0), (x1, 0, z1), (x0, 0, z1), mat)
+    b.end_obj()
+    return b.build()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="256x256")
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--out", default="out/example09.png")
+    args = ap.parse_args()
+    w, h = (int(x) for x in args.size.split("x"))
+
+    cfg = RenderConfig(
+        width=w, height=h, iterations=5, spp=args.spp, mode="fast",
+        env_light=True,                  # the dormant prog.cl:367-376
+        env_sky=(0.25, 0.55, 1.0),       # a softer blue than 0/0.75/2
+        camera=CameraConfig(fov=60.0, yaw=0.0, pitch=-8.0,
+                            shift=(0.0, 0.0, 0.0)),
+    )
+    eng = RenderEngine(open_horizon_scene(), cfg)
+    eng.render(cfg.spp, progress=False)
+    eng.save_png(args.out)
+    print(f"wrote {args.out} (env-lit open scene, {cfg.spp} spp)")
+
+
+if __name__ == "__main__":
+    main()

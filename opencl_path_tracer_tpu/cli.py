@@ -83,6 +83,8 @@ def cmd_render(args) -> int:
             accel=args.accel, accel_force=args.accel_force,
             smooth=args.smooth, textured=args.textured,
             model=args.model, devices=args.devices,
+            env_light=args.env, env_sky=tuple(args.env_sky),
+            env_deep=tuple(args.env_deep),
             camera=_camera_preset(args.scene, w, h, args),
         )
     eng = RenderEngine(scene, cfg)
@@ -134,6 +136,8 @@ def cmd_view(args) -> int:
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
+        env_light=args.env, env_sky=tuple(args.env_sky),
+        env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
     )
     eng = RenderEngine(scene, cfg)
@@ -160,6 +164,8 @@ def cmd_serve(args) -> int:
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
+        env_light=args.env, env_sky=tuple(args.env_sky),
+        env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
     )
     ViewerServer(RenderEngine(scene, cfg), port=args.port).serve()
@@ -215,6 +221,19 @@ def main(argv=None) -> int:
                             "bound textures — e.g. an OBJ whose MTL "
                             "has PNG map_Kd entries — and the same "
                             "ids-reporting accels as --smooth)")
+        p.add_argument("--env", action="store_true",
+                       help="environment light: resurrect the "
+                            "reference kernel's dormant miss-branch "
+                            "sky code (prog.cl:367-376; off = shipped "
+                            "parity, miss contributes nothing)")
+        p.add_argument("--env-sky", type=float, nargs=3,
+                       default=(0.0, 0.75, 2.0), metavar=("R", "G", "B"),
+                       help="sky color for --env (dormant-code "
+                            "literal 0 0.75 2)")
+        p.add_argument("--env-deep", type=float, nargs=3,
+                       default=(1.0, 1.0, 1.0), metavar=("R", "G", "B"),
+                       help="post-diffuse-miss fill color for --env "
+                            "(dormant-code literal 1 1 1)")
         p.add_argument("--fov", type=float, default=None)
         p.add_argument("--yaw", type=float, default=None)
         p.add_argument("--pitch", type=float, default=None)

@@ -78,6 +78,15 @@ class RenderConfig:
     # offline renders only; bit-identical to megakernel at equal
     # per-pixel spp in parity mode).
     model: str = "megakernel"
+    # Environment light: the reference kernel's dormant miss-branch sky
+    # code (prog.cl:367-376, commented out in the shipped build — the
+    # shipped kernel breaks on miss with no contribution). False =
+    # shipped parity. True = resurrect it with env_sky / env_deep
+    # (defaults are the dormant code's literals); see
+    # models.megakernel.EnvLight for the three miss tiers.
+    env_light: bool = False
+    env_sky: tuple[float, float, float] = (0.0, 0.75, 2.0)
+    env_deep: tuple[float, float, float] = (1.0, 1.0, 1.0)
     # Offline multi-chip rendering: shard the framebuffer (megakernel)
     # or the lane axis (wavefront) over this many devices (0 = all
     # visible devices; 1 = single device, the default). Tile sharding
@@ -105,6 +114,8 @@ class RenderConfig:
             raise ValueError(f"unknown model {self.model!r}")
         if self.devices < 0:
             raise ValueError("devices must be >= 0 (0 = all)")
+        if len(self.env_sky) != 3 or len(self.env_deep) != 3:
+            raise ValueError("env_sky/env_deep must be RGB 3-tuples")
         return self
 
     def to_json(self) -> str:
@@ -114,6 +125,9 @@ class RenderConfig:
     def from_json(cls, text: str) -> "RenderConfig":
         raw: dict[str, Any] = json.loads(text)
         cam = raw.pop("camera", None)
+        for key in ("env_sky", "env_deep"):  # JSON lists -> tuples
+            if key in raw:
+                raw[key] = tuple(raw[key])
         cfg = cls(**raw)
         if cam is not None:
             cam["shift"] = tuple(cam.get("shift", CameraConfig().shift))

@@ -76,6 +76,18 @@ def load_checkpoint(path: str):
             )
             kw = {}
             for f in dataclasses.fields(WavefrontState):
+                if f.name not in z:
+                    # Fields added after the checkpoint was written.
+                    # had_diffuse (EnvLight's diffuse-bounce flag)
+                    # defaults to False — exact unless the checkpoint
+                    # held mid-path lanes AND the resumed render turns
+                    # the env light on (resuming env-lit renders from
+                    # pre-env checkpoints may tint a few in-flight
+                    # paths' sky as if specular-only; finished samples
+                    # are unaffected).
+                    n = z["samples"].shape[0]
+                    kw[f.name] = jnp.zeros((n,), bool)
+                    continue
                 a = z[f.name]
                 if f.name + "__v3" in z:
                     kw[f.name] = tuple(

@@ -40,6 +40,52 @@ from opencl_path_tracer_tpu.ops import bsdf, raygen, rng
 IntersectFn = Callable[[Rays], Hits]
 
 
+@dataclasses.dataclass(frozen=True)
+class EnvLight:
+    """Environment light — the reference's dormant miss shading.
+
+    The shipped kernel breaks on a miss with no contribution, but
+    carries commented-out sky-light code in the miss branch
+    (prog.cl:367-376): a primary-ray miss shows `sky` directly
+    (prog.cl:369); a miss on a path with no diffuse bounce yet
+    (cntr<=0, prog.cl:370 — cntr counts type-0 bounces only,
+    prog.cl:339) tints `sky` by the path throughput
+    (factor_L+factor_B)*factor_S*factor_R; a miss after at least one
+    diffuse bounce contributes `deep` (white in the dormant code,
+    prog.cl:372) times the throughput — an ambient fill. This
+    resurrects that code as an opt-in; env=None everywhere keeps
+    shipped-kernel parity (miss = plain break).
+
+    Fields are python floats: the light is a static compile-time
+    constant. Disabled costs zero (the miss update is not traced);
+    toggling or recoloring it retraces. `scale` multiplies `sky`
+    (the literal `*1` at prog.cl:369)."""
+
+    sky: tuple = (0.0, 0.75, 2.0)   # prog.cl:369,371 constant
+    deep: tuple = (1.0, 1.0, 1.0)   # prog.cl:373 constant
+    scale: float = 1.0              # prog.cl:369 intensity
+
+
+def env_miss_update(env: EnvLight, miss_now, is_primary, had_diffuse,
+                    f_l: V3, f_b: V3, f_s: V3, f_r: V3, color: V3) -> V3:
+    """Fold the dormant-code miss contribution (prog.cl:367-376) into
+    `color`. miss_now: lanes whose LIVE path missed this bounce — they
+    die immediately after, so each path contributes at most once.
+    is_primary: bounce index == 0 (scalar in the megakernel, per-lane
+    in the wavefront model). had_diffuse: per-lane cntr>0 equivalent."""
+    # f32 * f32 like the oracle/kernel would fold it (not python f64).
+    sky = tuple(jnp.float32(c) * jnp.float32(env.scale)
+                for c in env.sky)
+    deep = tuple(jnp.float32(c) for c in env.deep)
+    # Left-associated like the reference expression
+    # `tint*(factor_L+factor_B)*factor_S*factor_R` (prog.cl:371,373)
+    # so parity mode stays bit-comparable to the scalar oracle.
+    tint = vwhere(had_diffuse, deep, sky)
+    tinted = vmul(vmul(vmul(tint, vadd(f_l, f_b)), f_s), f_r)
+    contrib = vwhere(is_primary, sky, tinted)
+    return vwhere(miss_now, vadd(color, contrib), color)
+
+
 def fetch_material(mats: MaterialsSoA, intersect_fn, rays: Rays):
     """Intersect + per-lane material fetch, shared by both models.
 
@@ -191,6 +237,7 @@ def trace_sample(
     ids: jnp.ndarray | None = None,
     sample_index: jnp.ndarray | None = None,
     with_stats: bool = False,
+    env: EnvLight | None = None,
 ):
     """Render ONE progressive sample for every pixel and fold it into the
     running average (prog.cl:379). `iterations` is the bounce depth
@@ -200,6 +247,8 @@ def trace_sample(
     renders a tile of a larger framebuffer or uses a tile-major pixel
     permutation. sample_index: optional override of the sample counter
     for fast-mode RNG decorrelation (multi-chip sample sharding).
+    env: optional EnvLight — miss contributions per the reference's
+    dormant sky-light code (prog.cl:367-376); None = shipped parity.
     """
     n = state.rng_state.shape[0]
     if ids is None:
@@ -225,7 +274,7 @@ def trace_sample(
 
     def body(b, carry):
         (ray_p, ray_d, rng_state, f_l, f_b, f_s, f_r,
-         color, alive, inside, rays_traced) = carry
+         color, alive, inside, had_diffuse, rays_traced) = carry
 
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         hit, mat = fetch_material(mats, intersect_fn,
@@ -257,16 +306,25 @@ def trace_sample(
             s, f_l, f_b, f_s, f_r, inside, color
         )
 
-        # Miss -> break (prog.cl:367-376): lane goes dead.
+        # Miss -> break (prog.cl:367-376): lane goes dead. With an
+        # EnvLight, the dying lane first collects the dormant-code sky
+        # contribution (cntr there counts diffuse bounces, prog.cl:339).
+        if env is not None:
+            color = env_miss_update(
+                env, alive & ~hit.valid, b == 0, had_diffuse,
+                f_l, f_b, f_s, f_r, color,
+            )
+        had_diffuse = had_diffuse | s["is_diff"]
         alive = has_hit
         return (s["new_p"], s["new_d"], rng_state, f_l, f_b, f_s, f_r,
-                color, alive, inside, rays_traced)
+                color, alive, inside, had_diffuse, rays_traced)
 
     carry = (
         rays.p, rays.d, rng_state,
         ones, ones, ones, ones,
         zeros,
         jnp.ones((n,), bool),
+        jnp.zeros((n,), bool),
         jnp.zeros((n,), bool),
         jnp.float32(0.0),
     )
@@ -286,26 +344,27 @@ def trace_sample(
     if with_stats:
         # Rays actually traced this sample: live lanes at each bounce
         # (the derived rays/sec metric of BASELINE.md).
-        return new_state, {"rays_traced": carry[10]}
+        return new_state, {"rays_traced": carry[11]}
     return new_state
 
 
 def make_sample_step(cam, mats, *, intersect_fn, iterations, mode="parity",
-                     key=None):
+                     key=None, env: EnvLight | None = None):
     """A jitted state -> state progressive step (one sample/pixel)."""
     @jax.jit
     def step(state: TraceState) -> TraceState:
         return trace_sample(
             cam, mats, state,
             intersect_fn=intersect_fn, iterations=iterations,
-            mode=mode, key=key,
+            mode=mode, key=key, env=env,
         )
     return step
 
 
 def render(cam, mats, *, intersect_fn, num_pixels, iterations, spp,
            mode="parity", seed=1, key=None,
-           state: TraceState | None = None) -> TraceState:
+           state: TraceState | None = None,
+           env: EnvLight | None = None) -> TraceState:
     """Accumulate `spp` progressive samples (the onIdle loop,
     main.cpp:1171-1241, minus interactivity)."""
     if state is None:
@@ -314,7 +373,7 @@ def render(cam, mats, *, intersect_fn, num_pixels, iterations, spp,
         key = jax.random.key(seed)
     step = make_sample_step(
         cam, mats, intersect_fn=intersect_fn, iterations=iterations,
-        mode=mode, key=key,
+        mode=mode, key=key, env=env,
     )
     for _ in range(spp):
         state = step(state)

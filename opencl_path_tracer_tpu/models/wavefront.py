@@ -75,6 +75,10 @@ class WavefrontState:
     cur_color: V3           # current sample's accumulated color
     inside: jnp.ndarray     # (N,) bool refraction state
     bounce: jnp.ndarray     # (N,) int32 bounces done on current path
+    # (N,) bool: path has had a diffuse bounce (the reference's cntr>0,
+    # prog.cl:316,339 — only consumed by the optional EnvLight's miss
+    # tiers, megakernel.env_miss_update).
+    had_diffuse: jnp.ndarray
     step: jnp.ndarray       # () uint32 global step counter (fast RNG)
 
 
@@ -111,6 +115,7 @@ def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
         cur_color=zeros,
         inside=jnp.zeros((n,), bool),
         bounce=jnp.zeros((n,), jnp.int32),
+        had_diffuse=jnp.zeros((n,), bool),
         step=jnp.uint32(1),
     )
 
@@ -178,7 +183,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
                    max_samples: int | None = None,
                    ids: jnp.ndarray | None = None,
                    sort_every: int = 0,
-                   scene_bounds=None) -> WavefrontState:
+                   scene_bounds=None, env=None) -> WavefrontState:
     """One wavefront step: intersect every live lane once, shade,
     terminate/regenerate. `ids` must match init_wavefront's (unused once
     lanes carry st.pixel, kept for API compatibility).
@@ -186,7 +191,12 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     sort_every > 0: re-sort lanes for spatial coherence every that many
     steps (requires scene_bounds = (lo, inv_extent) 3-vectors); use with
     the cluster intersector on large scenes where bounce-ray incoherence
-    otherwise degrades per-tile culling to brute force."""
+    otherwise degrades per-tile culling to brute force.
+
+    env: optional megakernel.EnvLight — a lane whose path dies on a
+    miss first collects the dormant sky-light contribution
+    (prog.cl:367-376); None = shipped-kernel parity. Budget-terminated
+    lanes collect nothing (the reference loop just ends)."""
     n = st.samples.shape[0]
     if sort_every and scene_bounds is not None:
         do_sort = (st.step % jnp.uint32(sort_every)) == 0
@@ -229,6 +239,15 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     f_l, f_b, f_s, f_r, inside, cur_color = apply_factors(
         s, st.f_l, st.f_b, st.f_s, st.f_r, st.inside, cur_color
     )
+    if env is not None:
+        from opencl_path_tracer_tpu.models.megakernel import (
+            env_miss_update,
+        )
+        cur_color = env_miss_update(
+            env, active & ~hit.valid, st.bounce == 0, st.had_diffuse,
+            f_l, f_b, f_s, f_r, cur_color,
+        )
+    had_diffuse = st.had_diffuse | s["is_diff"]
 
     bounce = jnp.where(active, st.bounce + 1, st.bounce)
     terminated = active & (~hit.valid | (bounce >= iterations))
@@ -272,6 +291,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         cur_color=vwhere(terminated, zeros, cur_color),
         inside=jnp.where(terminated, False, inside),
         bounce=jnp.where(terminated, 0, bounce),
+        had_diffuse=jnp.where(terminated, False, had_diffuse),
         step=st.step + jnp.uint32(1),
     )
 
@@ -280,7 +300,8 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
                      min_spp, mode="parity", seed=1, key=None,
                      max_extra_steps: int = 1_000_000,
                      exact_spp: bool = False,
-                     ids: jnp.ndarray | None = None) -> WavefrontState:
+                     ids: jnp.ndarray | None = None,
+                     env=None) -> WavefrontState:
     """Run wavefront steps until every pixel has >= min_spp samples.
 
     exact_spp=True caps every pixel at exactly min_spp samples (lanes
@@ -295,7 +316,7 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
     step = jax.jit(lambda st: wavefront_step(
         cam, mats, st, intersect_fn=intersect_fn,
         iterations=iterations, mode=mode, key=key, max_samples=cap,
-        ids=ids,
+        ids=ids, env=env,
     ))
     # Fixed-size macro-steps between host-side convergence checks.
     chunk = max(iterations * 2, 8)

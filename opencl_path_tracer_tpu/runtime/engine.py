@@ -447,6 +447,13 @@ class RenderEngine:
         )
         self.num_pixels = config.width * config.height
         self._key = jax.random.key(config.seed)
+        # Optional environment light (the dormant prog.cl:367-376 sky
+        # code); None keeps shipped-kernel parity in every model.
+        self.env = (
+            megakernel.EnvLight(sky=tuple(config.env_sky),
+                                deep=tuple(config.env_deep))
+            if config.env_light else None
+        )
         if config.devices != 1:
             from opencl_path_tracer_tpu.parallel.mesh import (
                 make_render_mesh,
@@ -503,6 +510,7 @@ class RenderEngine:
                     cam, self.scene.mats, state,
                     intersect_fn=self.intersect_fn,
                     iterations=iterations, mode=mode, key=key,
+                    env=self.env,
                 )
 
             # Lift scene packs to runtime args: closure-captured packs
@@ -546,7 +554,7 @@ class RenderEngine:
                         cam, self.scene.mats, st,
                         intersect_fn=self.intersect_fn,
                         iterations=iterations, mode=mode, key=key,
-                        max_samples=cap,
+                        max_samples=cap, env=self.env,
                     )
                 return jax.lax.fori_loop(0, k, body, state)
 
@@ -579,7 +587,7 @@ class RenderEngine:
             self._steps[ck] = make_tiled_step(
                 cam, self.scene.mats, self.mesh,
                 intersect_fn=self.intersect_fn, iterations=iterations,
-                mode=self.cfg.mode, key=self._key,
+                mode=self.cfg.mode, key=self._key, env=self.env,
             )
         return self._steps[ck]
 
@@ -595,6 +603,7 @@ class RenderEngine:
                 cam, self.scene.mats, self.mesh,
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, max_samples=target,
+                env=self.env,
             )
         return self._steps[ck]
 
@@ -791,6 +800,7 @@ class RenderEngine:
                 intersect_fn=self.intersect_fn,
                 iterations=self.controller.state.iterations,
                 mode=self.cfg.mode, key=self._key, with_stats=True,
+                env=self.env,
             ))
             _, stats = instrumented(cam, self.scene.mats, self.state)
             self._rays_per_sample = float(stats["rays_traced"])

@@ -139,10 +139,16 @@ def new_ray_specular(hit_p, hit_n, d):
 
 
 def trace_pixel(pixel_id, seeds, cam, tris_np, mats_np, iterations,
-                trace: OracleTrace | None = None):
+                trace: OracleTrace | None = None, env=None):
     """One sample of trace_ray for one pixel (prog.cl:292-377), with the
     gen_ray that precedes it (prog.cl:384-389). Returns the sample color
-    (before progressive averaging); mutates seeds[pixel_id]."""
+    (before progressive averaging); mutates seeds[pixel_id].
+
+    env: optional models.megakernel.EnvLight — executes the dormant
+    miss-branch sky code (prog.cl:367-376) literally: primary miss adds
+    sky*scale; miss with cntr<=0 (no diffuse bounce yet, cntr++ only in
+    the type-0 branch, prog.cl:339) adds sky*scale*(factor_L+factor_B)
+    *factor_S*factor_R; otherwise deep*(same factors)."""
     kd, ks, emission, f0, n_mat, shin, mtype = mats_np
 
     def log(ev, **kw):
@@ -165,10 +171,22 @@ def trace_pixel(pixel_id, seeds, cam, tris_np, mats_np, iterations,
     factor_r = one3.copy()
     color = np.zeros(3, np.float32)
     inside = False
+    cntr = 0  # diffuse bounces (prog.cl:316,339)
 
     for current in range(iterations):
         t, hp, hn, mati = first_intersect(tris_np, ray_p, ray_d)
         if not (t > 0):
+            if env is not None:
+                sky = np.asarray(env.sky, np.float32) * F(env.scale)
+                if current == 0:        # prog.cl:368-369
+                    color = (color + sky).astype(np.float32)
+                elif cntr <= 0:         # prog.cl:370-371
+                    color = (color + sky * (factor_l + factor_b)
+                             * factor_s * factor_r).astype(np.float32)
+                else:                   # prog.cl:372-373
+                    deep = np.asarray(env.deep, np.float32)
+                    color = (color + deep * (factor_l + factor_b)
+                             * factor_s * factor_r).astype(np.float32)
             log("miss_break", bounce=current, cite="prog.cl:367-376")
             break
         mt = int(mtype[mati])
@@ -195,6 +213,7 @@ def trace_pixel(pixel_id, seeds, cam, tris_np, mats_np, iterations,
             factor_b = (factor_b * (
                 ks[mati] * intensity_specular ** F(shin[mati])
             )).astype(np.float32)
+            cntr += 1  # prog.cl:339
             log("diffuse", r1=float(r1), r2=float(r2),
                 seed_out=int(seeds[pixel_id]), new_d=new_d.tolist(),
                 factor_l=factor_l.tolist(), factor_b=factor_b.tolist(),
@@ -275,7 +294,7 @@ def mats_to_numpy(mats):
 
 
 def render_oracle(scene, cam, *, width, height, iterations, spp,
-                  seed=1, pixels=None):
+                  seed=1, pixels=None, env=None):
     """Progressive oracle render. pixels: optional subset of pixel ids
     (for transcript / spot checks); default all.
 
@@ -294,7 +313,7 @@ def render_oracle(scene, cam, *, width, height, iterations, spp,
         inv = F(1.0) / (s_f + F(1.0))
         for pid in pix:
             c = trace_pixel(pid, seeds, cam, tris_np, mats_np,
-                            iterations)
+                            iterations, env=env)
             # progressive average (prog.cl:379)
             colors[pid] = (colors[pid] * s_f + c) * inv
     return colors, seeds.astype(np.uint32)

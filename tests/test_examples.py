@@ -96,3 +96,12 @@ def test_example_08_textured_obj(tmp_path):
                "--out", png)
     assert os.path.exists(png)
     assert "1 texture" in out
+
+
+@pytest.mark.slow
+def test_example_09_environment_light(tmp_path):
+    png = str(tmp_path / "e9.png")
+    out = _run("09_environment_light.py", "--size", "32x32",
+               "--spp", "2", "--out", png)
+    assert os.path.exists(png)
+    assert "env-lit" in out
