@@ -314,7 +314,8 @@ def trace_sample(
                 env, alive & ~hit.valid, b == 0, had_diffuse,
                 f_l, f_b, f_s, f_r, color,
             )
-        had_diffuse = had_diffuse | s["is_diff"]
+            had_diffuse = had_diffuse | s["is_diff"]
+        # env=None: had_diffuse stays the untouched zeros carry (free).
         alive = has_hit
         return (s["new_p"], s["new_d"], rng_state, f_l, f_b, f_s, f_r,
                 color, alive, inside, had_diffuse, rays_traced)
