@@ -21,6 +21,8 @@ from opencl_path_tracer_tpu.scene.builder import SceneBuilder
 
 
 def open_horizon_scene():
+    from opencl_path_tracer_tpu.scene.library import add_sphere
+
     b = SceneBuilder()
     matte = b.add_material((0.55, 0.45, 0.35), (1.0, 1.0, 1.0),
                            (0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
@@ -28,11 +30,19 @@ def open_horizon_scene():
     mirror = b.add_material((0.0, 0.0, 0.0), (0.0, 0.0, 0.0),
                             (0.0, 0.0, 0.0), (0.2, 0.2, 0.2),
                             (3.0, 3.0, 3.0), 0.0, 1)
+    red = b.add_material((0.7, 0.12, 0.08), (1.0, 1.0, 1.0),
+                         (0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+                         (0.0, 0.0, 0.0), 50.0, 0)
     for mat, x0, x1 in ((matte, -6000.0, 500.0),
                         (mirror, 500.0, 7000.0)):
         z0, z1 = -2000.0, 9000.0
         b.add_triangle((x0, 0, z0), (x1, 0, z0), (x1, 0, z1), mat)
         b.add_triangle((x0, 0, z0), (x1, 0, z1), (x0, 0, z1), mat)
+    # Spheres on the ground: a matte one sky-lit from above, a mirror
+    # one reflecting sky + ground (both pure env-lit — no emitter).
+    add_sphere(b, center=(150.0, 280.0, 1500.0), radius=280.0, mat=red)
+    add_sphere(b, center=(900.0, 330.0, 2100.0), radius=330.0,
+               mat=mirror)
     b.end_obj()
     return b.build()
 
@@ -46,10 +56,10 @@ def main() -> None:
     w, h = (int(x) for x in args.size.split("x"))
 
     cfg = RenderConfig(
-        width=w, height=h, iterations=5, spp=args.spp, mode="fast",
+        width=w, height=h, iterations=8, spp=args.spp, mode="fast",
         env_light=True,                  # the dormant prog.cl:367-376
         env_sky=(0.25, 0.55, 1.0),       # a softer blue than 0/0.75/2
-        camera=CameraConfig(fov=60.0, yaw=0.0, pitch=-8.0,
+        camera=CameraConfig(fov=60.0, yaw=0.0, pitch=14.0,
                             shift=(0.0, 0.0, 0.0)),
     )
     eng = RenderEngine(open_horizon_scene(), cfg)
