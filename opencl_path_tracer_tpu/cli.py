@@ -4,11 +4,15 @@ The reference's only entry point is a GLUT window with hardcoded
 settings (main, main.cpp:1243-1268). The TPU-native entry points:
 
   ptx render  — offline progressive render to PNG (+ checkpoint)
+  ptx anim    — offline turntable animation (PNG frames / looping GIF;
+                the reference cannot export a single frame —
+                download_image is commented out, main.cpp:727-741)
   ptx info    — device table (the list_info dump, main.cpp:389-455)
   ptx bench   — Mrays/sec measurement (wraps bench.py's harness)
   ptx view    — interactive-loop smoke mode (headless frames with the
                 camera controller; useful over SSH: renders N frames,
                 writes the final image)
+  ptx serve   — live browser viewer (keys/mouse forwarded)
 """
 
 from __future__ import annotations
@@ -172,6 +176,65 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def _scene_bounds(scene):
+    import numpy as np
+    pts = np.concatenate([
+        np.asarray(c).reshape(-1, 3)
+        for c in (scene.tris.r1, scene.tris.r2, scene.tris.r3)
+    ], 0)
+    return pts.min(0), pts.max(0)
+
+
+def cmd_anim(args) -> int:
+    """Offline turntable: orbit the camera around the scene and write
+    a PNG frame sequence / looping GIF. The reference has no export at
+    all (download_image is commented out, main.cpp:727-741)."""
+    import numpy as np
+    from opencl_path_tracer_tpu.config import RenderConfig
+    from opencl_path_tracer_tpu.runtime import anim
+    from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+
+    w, h = (int(x) for x in args.size.split("x"))
+    scene = _build_scene(args.scene, args.models_dir,
+                         smooth=args.smooth)
+    lo, hi = _scene_bounds(scene)
+    center = (tuple(args.center) if args.center is not None
+              else tuple((lo + hi) / 2.0))
+    radius = (args.radius if args.radius is not None
+              else 1.6 * float(np.linalg.norm(hi - lo)) / 2.0)
+    cfg = RenderConfig(
+        width=w, height=h, iterations=args.iters, mode=args.mode,
+        seed=args.seed, accel=args.accel,
+        accel_force=args.accel_force,
+        smooth=args.smooth, textured=args.textured,
+        env_light=args.env, env_sky=tuple(args.env_sky),
+        env_deep=tuple(args.env_deep),
+        camera=_camera_preset(args.scene, w, h, args),
+    )
+    eng = RenderEngine(scene, cfg)
+    orbit_pitch = args.pitch if args.pitch is not None else 12.0
+    poses = anim.turntable_poses(
+        frames=args.frames, center=center, radius=radius,
+        pitch=orbit_pitch, sweep=args.sweep,
+    )
+    print(f"turntable: {args.frames} poses around {center}, "
+          f"radius {radius:.0f}, {args.spp} spp each",
+          file=sys.stderr)
+    t0 = time.time()
+    anim.render_animation(
+        eng, poses, spp=args.spp, out_dir=args.out_dir,
+        gif_path=args.gif or None, fps=args.fps,
+    )
+    dt = time.time() - t0
+    print(f"{args.frames} frames in {dt:.1f}s "
+          f"({args.frames / dt:.2f} fps offline)", file=sys.stderr)
+    if args.out_dir:
+        print(f"wrote {args.out_dir}/frame_*.png", file=sys.stderr)
+    if args.gif:
+        print(f"wrote {args.gif}", file=sys.stderr)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     import os
@@ -268,6 +331,28 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=30)
     p.add_argument("--out", default="view.png")
     p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser(
+        "anim", help="offline turntable animation (PNG frames / GIF)")
+    common(p)
+    p.add_argument("--frames", type=int, default=36)
+    p.add_argument("--spp", type=int, default=16,
+                   help="samples per pixel per frame")
+    p.add_argument("--center", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"),
+                   help="orbit center (default: scene bbox center)")
+    p.add_argument("--radius", type=float, default=None,
+                   help="orbit radius (default: 1.6x bbox half-"
+                        "diagonal; --pitch sets the look-down angle, "
+                        "default 12)")
+    p.add_argument("--sweep", type=float, default=360.0,
+                   help="total orbit degrees across --frames")
+    p.add_argument("--fps", type=float, default=12.0)
+    p.add_argument("--out-dir", default=None,
+                   help="write frame_%%04d.png here")
+    p.add_argument("--gif", default="turntable.gif",
+                   help="looping GIF path ('' to skip)")
+    p.set_defaults(fn=cmd_anim)
 
     p = sub.add_parser("serve", help="live browser viewer")
     common(p)

@@ -1,0 +1,74 @@
+"""Turntable animation (runtime/anim.py + ptx anim)."""
+
+import numpy as np
+import pytest
+
+from opencl_path_tracer_tpu.config import RenderConfig
+from opencl_path_tracer_tpu.runtime import anim
+from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+from opencl_path_tracer_tpu.scene import library
+
+
+def test_orbit_shift_looks_at_center():
+    """eye + radius*ahead(yaw,pitch) == center for every pose."""
+    from opencl_path_tracer_tpu.core.camera import BASE_EYE
+    from opencl_path_tracer_tpu.core.geometry import rotate_x, rotate_y
+
+    center = np.array([500.0, 500.0, 500.0])
+    for yaw, pitch in ((0, 0), (45, 12), (180, -30), (300, 80)):
+        shift = anim.orbit_shift(center, 1700.0, yaw, pitch)
+        eye = np.asarray(BASE_EYE, np.float64) + shift
+        ahead = np.asarray(
+            rotate_y(rotate_x(np.asarray([0.0, 0.0, 1.0]), pitch), yaw)
+        )
+        # rotate_x/rotate_y are f32 (reference parity) — ~1e-4 at
+        # radius 1700.
+        np.testing.assert_allclose(eye + 1700.0 * ahead, center,
+                                   atol=1e-3)
+
+
+def test_turntable_poses_cover_sweep():
+    poses = anim.turntable_poses(frames=4, center=(0, 0, 0),
+                                 radius=10.0, sweep=360.0)
+    yaws = [p[0] for p in poses]
+    assert yaws == [0.0, 90.0, 180.0, 270.0]
+    # 360/4: frame 4 would equal frame 0 — loopable, not duplicated.
+
+
+def test_render_animation_frames_and_gif(tmp_path):
+    scene = library.cornell_box(with_spheres=False)
+    cfg = RenderConfig(width=32, height=24, iterations=2, mode="fast",
+                       env_light=True)
+    eng = RenderEngine(scene, cfg)
+    poses = anim.turntable_poses(frames=3, center=(500.0, 500.0, 500.0),
+                                 radius=2500.0, pitch=20.0)
+    gif = tmp_path / "t.gif"
+    frames = anim.render_animation(
+        eng, poses, spp=2, out_dir=str(tmp_path), gif_path=str(gif),
+        progress=False,
+    )
+    assert len(frames) == 3
+    assert all(f.shape == (24, 32, 3) for f in frames)
+    # Env-lit exterior: frames are non-black and pose-dependent.
+    assert all(f.mean() > 1 for f in frames)
+    assert not np.array_equal(frames[0], frames[1])
+    for i in range(3):
+        assert (tmp_path / f"frame_{i:04d}.png").exists()
+    from PIL import Image
+    assert Image.open(str(gif)).n_frames == 3
+
+
+@pytest.mark.slow
+def test_cli_anim(tmp_path, monkeypatch, capsys):
+    import sys
+    from opencl_path_tracer_tpu import cli
+    gif = str(tmp_path / "turn.gif")
+    monkeypatch.setattr(sys, "argv", [
+        "ptx", "anim", "--scene", "cornell-empty", "--size", "32x24",
+        "--spp", "1", "--frames", "2", "--iters", "2", "--env",
+        "--gif", gif, "--out-dir", str(tmp_path / "frames"),
+    ])
+    assert cli.main() == 0
+    assert (tmp_path / "frames" / "frame_0001.png").exists()
+    import os
+    assert os.path.exists(gif)
