@@ -110,6 +110,9 @@ def cmd_render(args) -> int:
         write_png(args.out, __import__("numpy").asarray(
             median3x3(jnp.asarray(img.copy()))
         ))
+    elif args.out.endswith((".pfm", ".npy")):
+        # Linear HDR by extension: untonemapped radiance.
+        eng.save_hdr(args.out)
     else:
         eng.save_png(args.out)
     print(f"wrote {args.out}", file=sys.stderr)

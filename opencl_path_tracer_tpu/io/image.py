@@ -62,6 +62,33 @@ def _write_png_raw(path: str, img: np.ndarray) -> None:
         fh.write(chunk(b"IEND", b""))
 
 
+def write_pfm(path: str, img: np.ndarray) -> None:
+    """Portable FloatMap (PF): linear f32 HDR, the standard exchange
+    format for untonemapped radiance. img: (H, W, 3) float, row 0 =
+    TOP (raster order, like RenderEngine.image()); PFM stores rows
+    bottom-up with a negative scale for little-endian."""
+    img = np.asarray(img, np.float32)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"PFM needs (H, W, 3), got {img.shape}")
+    h, w, _ = img.shape
+    with open(path, "wb") as fh:
+        fh.write(b"PF\n" + f"{w} {h}\n".encode() + b"-1.0\n")
+        fh.write(img[::-1].astype("<f4").tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    """Returns (H, W, 3) float32, row 0 = top."""
+    with open(path, "rb") as fh:
+        if fh.readline().strip() != b"PF":
+            raise ValueError("not a color PFM")
+        w, h = (int(v) for v in fh.readline().split())
+        scale = float(fh.readline())
+        data = np.frombuffer(fh.read(w * h * 12),
+                             "<f4" if scale < 0 else ">f4")
+    img = data.reshape(h, w, 3)
+    return img[::-1].astype(np.float32)
+
+
 def read_png(path: str) -> np.ndarray:
     """Returns (H, W, 3) uint8."""
     if _PIL is not None:

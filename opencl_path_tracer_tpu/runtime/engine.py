@@ -826,6 +826,17 @@ class RenderEngine:
     def save_png(self, path: str) -> None:
         write_png(path, self.image())
 
+    def save_hdr(self, path: str) -> None:
+        """Linear untonemapped radiance: .pfm (portable FloatMap) or
+        .npy. The reference has no image export at all; HDR output
+        feeds external tonemappers/denoisers."""
+        img = self.image(apply_tonemap=False)
+        if path.endswith(".npy"):
+            np.save(path, img)
+            return
+        from opencl_path_tracer_tpu.io.image import write_pfm
+        write_pfm(path, img)
+
     def save(self, path: str) -> None:
         save_checkpoint(path, self.state, meta={
             "width": self.cfg.width, "height": self.cfg.height,

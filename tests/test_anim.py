@@ -72,3 +72,30 @@ def test_cli_anim(tmp_path, monkeypatch, capsys):
     assert (tmp_path / "frames" / "frame_0001.png").exists()
     import os
     assert os.path.exists(gif)
+
+
+def test_hdr_pfm_roundtrip(tmp_path):
+    from opencl_path_tracer_tpu.io.image import read_pfm, write_pfm
+    img = np.random.default_rng(0).uniform(
+        0, 9, (12, 16, 3)).astype(np.float32)
+    p = str(tmp_path / "x.pfm")
+    write_pfm(p, img)
+    np.testing.assert_array_equal(read_pfm(p), img)
+
+
+def test_cli_render_hdr(tmp_path, monkeypatch):
+    """--out *.pfm writes linear untonemapped radiance."""
+    import sys
+    from opencl_path_tracer_tpu import cli
+    from opencl_path_tracer_tpu.io.image import read_pfm
+    pfm = str(tmp_path / "r.pfm")
+    monkeypatch.setattr(sys, "argv", [
+        "ptx", "render", "--scene", "cornell-empty", "--size", "24x16",
+        "--spp", "2", "--iters", "2", "--out", pfm,
+    ])
+    assert cli.main() == 0
+    img = read_pfm(pfm)
+    assert img.shape == (16, 24, 3)
+    # Radiance is linear: emitter pixels exceed 1.0 (a tonemapped PNG
+    # could never).
+    assert float(img.max()) > 1.0
