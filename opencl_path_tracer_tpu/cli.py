@@ -113,6 +113,9 @@ def cmd_render(args) -> int:
     elif args.out.endswith((".pfm", ".npy")):
         # Linear HDR by extension: untonemapped radiance.
         eng.save_hdr(args.out)
+    elif args.denoise:
+        from opencl_path_tracer_tpu.io.image import write_png
+        write_png(args.out, eng.denoised_image())
     else:
         eng.save_png(args.out)
     print(f"wrote {args.out}", file=sys.stderr)
@@ -324,6 +327,11 @@ def main(argv=None) -> int:
     p.add_argument("--median", action="store_true",
                    help="3x3 median filter + filmic tonemap (the "
                         "reference's dormant filt_im kernel)")
+    p.add_argument("--denoise", action="store_true",
+                   help="edge-aware a-trous wavelet denoiser "
+                        "(Dammertz 2010) guided by first-hit "
+                        "normals/depth — far stronger than --median "
+                        "at low spp (ops/denoise.py)")
     p.add_argument("--out", default="render.png")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
