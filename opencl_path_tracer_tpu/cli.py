@@ -230,6 +230,7 @@ def cmd_anim(args) -> int:
     anim.render_animation(
         eng, poses, spp=args.spp, out_dir=args.out_dir,
         gif_path=args.gif or None, fps=args.fps,
+        denoise=args.denoise,
     )
     dt = time.time() - t0
     print(f"{args.frames} frames in {dt:.1f}s "
@@ -359,6 +360,9 @@ def main(argv=None) -> int:
     p.add_argument("--sweep", type=float, default=360.0,
                    help="total orbit degrees across --frames")
     p.add_argument("--fps", type=float, default=12.0)
+    p.add_argument("--denoise", action="store_true",
+                   help="a-trous denoise every frame (the jitted "
+                        "pass compiles once for the whole orbit)")
     p.add_argument("--out-dir", default=None,
                    help="write frame_%%04d.png here")
     p.add_argument("--gif", default="turntable.gif",

@@ -59,7 +59,7 @@ def turntable_poses(*, frames: int, center, radius: float,
 def render_animation(engine, poses, *, spp: int,
                      out_dir: str | None = None,
                      gif_path: str | None = None, fps: float = 12.0,
-                     progress: bool = True):
+                     progress: bool = True, denoise: bool = False):
     """Render one frame per (yaw, pitch, shift) pose.
 
     engine: a RenderEngine (single-device; model megakernel or
@@ -71,6 +71,11 @@ def render_animation(engine, poses, *, spp: int,
     Returns the list of (H, W, 3) uint8/float frames (tonemapped).
     out_dir: write frame_%04d.png there. gif_path: also assemble an
     animated GIF (loop forever) at `fps`.
+
+    denoise=True runs each frame through the à-trous denoiser
+    (ops/denoise.py) — the jitted AOV+wavelet program compiles once
+    and is reused by every pose, so low-spp denoised turntables cost
+    barely more than raw ones.
     """
     from opencl_path_tracer_tpu.io.image import to_uint8
 
@@ -84,7 +89,8 @@ def render_animation(engine, poses, *, spp: int,
         st.shift = np.asarray(shift, np.float64)
         engine.reset_accumulation()
         engine.render(spp, progress=False)
-        img = to_uint8(engine.image())
+        img = to_uint8(engine.denoised_image() if denoise
+                       else engine.image())
         frames.append(img)
         if out_dir:
             from opencl_path_tracer_tpu.io.image import write_png
