@@ -91,11 +91,18 @@ def cmd_render(args) -> int:
             env_deep=tuple(args.env_deep),
             camera=_camera_preset(args.scene, w, h, args),
         )
+    if args.median and args.denoise:
+        raise SystemExit("--median and --denoise are exclusive "
+                         "filters; pick one")
     eng = RenderEngine(scene, cfg)
     if args.resume:
         eng.load(args.resume)
-        print(f"resumed at sample {int(eng.state.sample)}",
-              file=sys.stderr)
+        # Wavefront state counts per-pixel 'samples'; megakernel one
+        # global 'sample' (engine.load mirrors the former into
+        # _sample_host).
+        at = (eng._sample_host if cfg.model == "wavefront"
+              else int(eng.state.sample))
+        print(f"resumed at sample {at}", file=sys.stderr)
     t0 = time.time()
     eng.render(cfg.spp, autosave_every=args.autosave_every,
                autosave_path=args.checkpoint)
@@ -111,8 +118,18 @@ def cmd_render(args) -> int:
             median3x3(jnp.asarray(img.copy()))
         ))
     elif args.out.endswith((".pfm", ".npy")):
-        # Linear HDR by extension: untonemapped radiance.
-        eng.save_hdr(args.out)
+        # Linear HDR by extension: untonemapped radiance (denoised in
+        # linear light when --denoise is also given).
+        if args.denoise:
+            import numpy as _np
+            from opencl_path_tracer_tpu.io.image import write_pfm
+            img = eng.denoised_image(apply_tonemap=False)
+            if args.out.endswith(".npy"):
+                _np.save(args.out, img)
+            else:
+                write_pfm(args.out, img)
+        else:
+            eng.save_hdr(args.out)
     elif args.denoise:
         from opencl_path_tracer_tpu.io.image import write_png
         write_png(args.out, eng.denoised_image())

@@ -77,7 +77,9 @@ def write_pfm(path: str, img: np.ndarray) -> None:
 
 
 def read_pfm(path: str) -> np.ndarray:
-    """Returns (H, W, 3) float32, row 0 = top."""
+    """Returns (H, W, 3) float32, row 0 = top. The header scale's sign
+    is endianness; its magnitude is a radiance multiplier (PFM spec) —
+    externally-written files may carry |scale| != 1."""
     with open(path, "rb") as fh:
         if fh.readline().strip() != b"PF":
             raise ValueError("not a color PFM")
@@ -85,8 +87,10 @@ def read_pfm(path: str) -> np.ndarray:
         scale = float(fh.readline())
         data = np.frombuffer(fh.read(w * h * 12),
                              "<f4" if scale < 0 else ">f4")
-    img = data.reshape(h, w, 3)
-    return img[::-1].astype(np.float32)
+    img = data.reshape(h, w, 3)[::-1].astype(np.float32)
+    if abs(scale) != 1.0:
+        img = img * np.float32(abs(scale))
+    return img
 
 
 def read_png(path: str) -> np.ndarray:

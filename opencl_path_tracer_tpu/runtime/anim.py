@@ -46,11 +46,15 @@ def turntable_poses(*, frames: int, center, radius: float,
                     sweep: float = 360.0):
     """(yaw, pitch, shift) per frame for a `sweep`-degree orbit.
 
-    sweep=360 with N frames yields N distinct poses (the closing frame
-    equals frame 0, so it is not emitted twice — loopable GIFs)."""
+    A full turn (|sweep| >= 360) yields N end-exclusive poses (the
+    closing frame equals frame 0, so it is not emitted twice —
+    loopable GIFs). A partial sweep is end-INCLUSIVE: the last frame
+    lands exactly on start_yaw + sweep (a 180-degree pan actually
+    reaches 180)."""
     poses = []
+    den = frames if abs(sweep) >= 360.0 else max(frames - 1, 1)
     for i in range(frames):
-        yaw = start_yaw + sweep * i / frames
+        yaw = start_yaw + sweep * i / den
         poses.append((yaw, pitch, orbit_shift(center, radius, yaw,
                                               pitch)))
     return poses
@@ -96,10 +100,13 @@ def render_animation(engine, poses, *, spp: int,
             from opencl_path_tracer_tpu.io.image import write_png
             write_png(os.path.join(out_dir, f"frame_{i:04d}.png"), img)
         if progress:
+            import sys
             print(f"\rframe {i + 1}/{len(poses)} "
-                  f"(yaw {yaw:.1f})", end="", flush=True)
+                  f"(yaw {yaw:.1f})", end="", flush=True,
+                  file=sys.stderr)
     if progress:
-        print()
+        import sys
+        print(file=sys.stderr)
     if gif_path:
         write_gif(gif_path, frames, fps=fps)
     return frames
@@ -109,6 +116,8 @@ def write_gif(path: str, frames, fps: float = 12.0) -> None:
     """Assemble uint8 frames into a looping GIF (PIL)."""
     from PIL import Image
 
+    if not frames:
+        raise ValueError("write_gif needs at least one frame")
     ims = [Image.fromarray(np.asarray(f)) for f in frames]
     ims[0].save(
         path, save_all=True, append_images=ims[1:],

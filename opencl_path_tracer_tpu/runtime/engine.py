@@ -838,12 +838,32 @@ class RenderEngine:
         )
         cam = self.controller.camera(self.cfg.width, self.cfg.height)
 
+        # Framebuffer stays on device when it already lives there in
+        # raster-indexable form (single-device megakernel); the
+        # sharded / wavefront layouts go through the gathering
+        # _colors_np path.
+        if self.cfg.model == "megakernel" and self.mesh is None:
+            colors = jax.numpy.stack(self.state.colors, -1).reshape(
+                self.cfg.height, self.cfg.width, 3
+            )
+        else:
+            colors = jax.numpy.asarray(self._colors_np).reshape(
+                self.cfg.height, self.cfg.width, 3
+            )
+
         # One jitted program for AOVs + the full wavelet stack (eager
         # dispatch of the ~600 constituent ops through a tunneled
         # backend costs tens of seconds), cached on the engine so
-        # repeated calls reuse the compile.
+        # repeated calls reuse the compile. Scene packs ride as
+        # runtime args (lift_consts) like every other engine step —
+        # closure-captured packs would bake the scene into the module
+        # (engine._step's ~100 MB-at-100k-tris failure mode).
         ck = ("denoise", tuple(sorted(denoise_kw.items())))
         if ck not in self._steps:
+            from opencl_path_tracer_tpu.utils.constlift import (
+                lift_consts,
+            )
+
             def run(colors, cam):
                 normal, depth = primary_aovs(
                     cam, self.scene.mats, self.intersect_fn,
@@ -852,11 +872,10 @@ class RenderEngine:
                 return atrous_denoise(colors, normal, depth,
                                       **denoise_kw)
 
-            self._steps[ck] = jax.jit(run)
+            lifted, consts = lift_consts(run, colors, cam)
+            jitted = jax.jit(lifted)
+            self._steps[ck] = lambda c, cm: jitted(consts, c, cm)
 
-        colors = jax.numpy.asarray(self._colors_np).reshape(
-            self.cfg.height, self.cfg.width, 3
-        )
         out = np.asarray(self._steps[ck](colors, cam))
         if apply_tonemap:
             kind = (self.cfg.tonemap if apply_tonemap is True

@@ -99,3 +99,55 @@ def test_cli_render_hdr(tmp_path, monkeypatch):
     # Radiance is linear: emitter pixels exceed 1.0 (a tonemapped PNG
     # could never).
     assert float(img.max()) > 1.0
+
+
+def test_turntable_partial_sweep_is_end_inclusive():
+    poses = anim.turntable_poses(frames=4, center=(0, 0, 0),
+                                 radius=10.0, sweep=180.0)
+    assert [p[0] for p in poses] == [0.0, 60.0, 120.0, 180.0]
+
+
+def test_write_gif_empty_raises(tmp_path):
+    with pytest.raises(ValueError, match="at least one frame"):
+        anim.write_gif(str(tmp_path / "e.gif"), [])
+
+
+def test_read_pfm_applies_scale_magnitude(tmp_path):
+    img = np.full((4, 4, 3), 2.0, np.float32)
+    p = str(tmp_path / "s.pfm")
+    with open(p, "wb") as fh:
+        fh.write(b"PF\n4 4\n-2.5\n")
+        fh.write(img[::-1].astype("<f4").tobytes())
+    from opencl_path_tracer_tpu.io.image import read_pfm
+    np.testing.assert_allclose(read_pfm(p), 5.0)
+
+
+def test_cli_median_denoise_conflict(tmp_path, monkeypatch):
+    import sys
+    from opencl_path_tracer_tpu import cli
+    monkeypatch.setattr(sys, "argv", [
+        "ptx", "render", "--scene", "cornell-empty", "--size", "8x8",
+        "--spp", "1", "--median", "--denoise",
+        "--out", str(tmp_path / "x.png"),
+    ])
+    with pytest.raises(SystemExit, match="exclusive"):
+        cli.main()
+
+
+@pytest.mark.slow
+def test_cli_wavefront_resume(tmp_path, monkeypatch, capsys):
+    """Round-trip --checkpoint/--resume with the flagship model (the
+    resume print used to crash on WavefrontState)."""
+    import sys
+    from opencl_path_tracer_tpu import cli
+    ck = str(tmp_path / "wf.npz")
+    base = ["ptx", "render", "--scene", "cornell-empty",
+            "--size", "16x12", "--iters", "2",
+            "--model", "wavefront", "--out", str(tmp_path / "a.png")]
+    monkeypatch.setattr(sys, "argv", base + ["--spp", "2",
+                                             "--checkpoint", ck])
+    assert cli.main() == 0
+    monkeypatch.setattr(sys, "argv", base + ["--spp", "1",
+                                             "--resume", ck])
+    assert cli.main() == 0
+    assert "resumed at sample 2" in capsys.readouterr().err
