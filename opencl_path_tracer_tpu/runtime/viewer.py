@@ -64,8 +64,9 @@ async function tick() {
   hud.textContent = `samples=${s.samples}  ` +
     `samples/s=${s.samples_per_sec.toFixed(2)}  ` +
     `iterations=${s.iterations}  realtime=${s.real_time}  ` +
+    `denoise=${s.denoise}  ` +
     `[WASD/QY fly, drag look, E/C zoom, +/- bounces, R realtime, ` +
-    `SPACE fullscreen, ESC quit]`;
+    `N denoise, SPACE fullscreen, ESC quit]`;
 }
 setInterval(tick, 100); tick();
 </script></body></html>"""
@@ -82,6 +83,10 @@ class ViewerServer:
         self._stop = threading.Event()
         self._httpd = None
         self.last_error: str | None = None
+        # Viewer-level 'n' toggle (not a reference binding): display
+        # frames through the à-trous denoiser (engine.denoised_image;
+        # first use compiles the pass — one stalled frame).
+        self.denoise = False
 
     # --- render thread (the onIdle loop) ---------------------------------
     def _render_loop(self) -> None:
@@ -104,7 +109,8 @@ class ViewerServer:
             now = time.time()
             with self._lock:
                 self.engine.frame(dt=now - last)
-                img = self.engine.image()
+                img = (self.engine.denoised_image() if self.denoise
+                       else self.engine.image())
             last = now
             buf = io.BytesIO()
             try:
@@ -128,6 +134,9 @@ class ViewerServer:
         key = str(msg.get("key", "")).lower()
         with self._lock:
             if ev == "keydown":
+                if key == "n":  # viewer-only: denoised display toggle
+                    self.denoise = not self.denoise
+                    return
                 ctl.key_down(key)
             elif ev == "keyup":
                 ctl.key_up(key)
@@ -172,6 +181,7 @@ class ViewerServer:
                         "iterations": st.iterations,
                         "real_time": st.real_time,
                         "fullscreen": st.fullscreen,
+                        "denoise": viewer.denoise,
                         "error": viewer.last_error,
                     }).encode()
                     self._send(200, "application/json", body)

@@ -58,6 +58,30 @@ def test_viewer_endpoints():
                 break
             time.sleep(0.2)
         assert stats["iterations"] == 3
+
+        # 'n' toggles the viewer's denoised display (viewer-level key,
+        # not a controller binding) and frames keep coming.
+        assert stats["denoise"] is False
+        req = urllib.request.Request(
+            base + "/input",
+            data=json.dumps({"ev": "keydown", "key": "n"}).encode(),
+            method="POST",
+        )
+        assert urllib.request.urlopen(req).read() == b"ok"
+        deadline = time.time() + 60
+        ok = False
+        while time.time() < deadline:
+            stats = json.loads(
+                urllib.request.urlopen(base + "/stats").read()
+            )
+            if stats["denoise"] and stats["error"] is None:
+                png2 = urllib.request.urlopen(
+                    base + "/frame.png").read()
+                if png2.startswith(b"\x89PNG"):
+                    ok = True
+                    break
+            time.sleep(0.3)
+        assert ok and stats["error"] is None
     finally:
         viewer._stop.set()
         httpd.shutdown()
