@@ -104,11 +104,26 @@ def cmd_render(args) -> int:
               else int(eng.state.sample))
         print(f"resumed at sample {at}", file=sys.stderr)
     t0 = time.time()
-    eng.render(cfg.spp, autosave_every=args.autosave_every,
-               autosave_path=args.checkpoint)
-    dt = time.time() - t0
-    print(f"\n{cfg.spp} spp in {dt:.2f}s "
-          f"({cfg.spp/dt:.2f} samples/s)", file=sys.stderr)
+    if args.adaptive is not None:
+        if cfg.model != "wavefront":
+            raise SystemExit("--adaptive needs --model wavefront "
+                             "(per-pixel sample counts)")
+        eng.render_adaptive(args.adaptive, max_spp=cfg.spp,
+                            min_spp=args.min_spp)
+        import numpy as _np
+        import jax as _jax
+        smp = _np.asarray(_jax.device_get(eng.state.samples))
+        dt = time.time() - t0
+        print(f"\nadaptive: spp min {int(smp.min())} / mean "
+              f"{smp.mean():.1f} / max {int(smp.max())} "
+              f"(cap {cfg.spp}, tol {args.adaptive}) in {dt:.2f}s",
+              file=sys.stderr)
+    else:
+        eng.render(cfg.spp, autosave_every=args.autosave_every,
+                   autosave_path=args.checkpoint)
+        dt = time.time() - t0
+        print(f"\n{cfg.spp} spp in {dt:.2f}s "
+              f"({cfg.spp/dt:.2f} samples/s)", file=sys.stderr)
     if args.median:
         import jax.numpy as jnp
         from opencl_path_tracer_tpu.io.image import write_png
@@ -353,6 +368,17 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="render.png")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
+    p.add_argument("--adaptive", type=float, default=None,
+                   metavar="TOL",
+                   help="adaptive sampling (needs --model wavefront): "
+                        "stop each pixel once its relative luminance "
+                        "standard error is within TOL (e.g. 0.02); "
+                        "--spp becomes the per-pixel cap. Converged "
+                        "lanes are compacted away, so flat regions "
+                        "stop costing rays")
+    p.add_argument("--min-spp", type=int, default=8,
+                   help="adaptive floor: samples every pixel must "
+                        "take before it may stop")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("view", help="headless interactive loop")

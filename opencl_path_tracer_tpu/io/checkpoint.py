@@ -77,16 +77,16 @@ def load_checkpoint(path: str):
             kw = {}
             for f in dataclasses.fields(WavefrontState):
                 if f.name not in z:
-                    # Fields added after the checkpoint was written.
-                    # had_diffuse (EnvLight's diffuse-bounce flag)
-                    # defaults to False — exact unless the checkpoint
-                    # held mid-path lanes AND the resumed render turns
-                    # the env light on (resuming env-lit renders from
-                    # pre-env checkpoints may tint a few in-flight
-                    # paths' sky as if specular-only; finished samples
-                    # are unaffected).
+                    # Fields added after the checkpoint was written
+                    # default to zeros: had_diffuse (EnvLight flag —
+                    # exact unless a pre-env checkpoint's mid-path
+                    # lanes resume WITH env on), lum_m2 (adaptive
+                    # variance — a resumed adaptive render restarts
+                    # its variance estimate; finished samples are
+                    # unaffected either way).
                     n = z["samples"].shape[0]
-                    kw[f.name] = jnp.zeros((n,), bool)
+                    dt = bool if f.name == "had_diffuse" else jnp.float32
+                    kw[f.name] = jnp.zeros((n,), dt)
                     continue
                 a = z[f.name]
                 if f.name + "__v3" in z:

@@ -79,6 +79,12 @@ class WavefrontState:
     # prog.cl:316,339 — only consumed by the optional EnvLight's miss
     # tiers, megakernel.env_miss_update).
     had_diffuse: jnp.ndarray
+    # (N,) f32: Welford M2 of completed-sample LUMINANCE per pixel —
+    # per-pixel variance for adaptive sampling (sample variance =
+    # m2/(samples-1)). Updated only when a step runs with
+    # variance_tol set; identity pass-through otherwise (same
+    # zero-cost discipline as had_diffuse).
+    lum_m2: jnp.ndarray
     step: jnp.ndarray       # () uint32 global step counter (fast RNG)
 
 
@@ -116,6 +122,7 @@ def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
         inside=jnp.zeros((n,), bool),
         bounce=jnp.zeros((n,), jnp.int32),
         had_diffuse=jnp.zeros((n,), bool),
+        lum_m2=jnp.zeros((n,), jnp.float32),
         step=jnp.uint32(1),
     )
 
@@ -177,13 +184,35 @@ def morton3_components(q) -> jnp.ndarray:
     )
 
 
+_LUM = (0.2126, 0.7152, 0.0722)  # Reinhard's weights (prog.cl:249)
+
+
+def _luminance(v3: V3) -> jnp.ndarray:
+    return _LUM[0] * v3[0] + _LUM[1] * v3[1] + _LUM[2] * v3[2]
+
+
+def converged_mask(samples, colors: V3, lum_m2,
+                   tol: float, min_samples: int):
+    """Adaptive-sampling stop rule, per pixel: the standard error of
+    the mean sample luminance is within `tol` relative to the mean
+    (0.05 absolute luminance floor so near-black pixels can stop).
+    sem^2 = m2 / (n (n-1)); compared multiplied out (no divisions).
+    Pixels below min_samples never count as converged."""
+    n = samples.astype(jnp.float32)
+    mean_lum = _luminance(colors)
+    rhs = (tol * (mean_lum + 0.05)) ** 2 * n * (n - 1.0)
+    return (samples >= min_samples) & (lum_m2 <= rhs)
+
+
 def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
                    *, intersect_fn, iterations: int,
                    mode: str = "parity", key=None,
                    max_samples: int | None = None,
                    ids: jnp.ndarray | None = None,
                    sort_every: int = 0,
-                   scene_bounds=None, env=None) -> WavefrontState:
+                   scene_bounds=None, env=None,
+                   variance_tol: float | None = None,
+                   min_samples: int = 8) -> WavefrontState:
     """One wavefront step: intersect every live lane once, shade,
     terminate/regenerate. `ids` must match init_wavefront's (unused once
     lanes carry st.pixel, kept for API compatibility).
@@ -196,7 +225,17 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     env: optional megakernel.EnvLight — a lane whose path dies on a
     miss first collects the dormant sky-light contribution
     (prog.cl:367-376); None = shipped-kernel parity. Budget-terminated
-    lanes collect nothing (the reference loop just ends)."""
+    lanes collect nothing (the reference loop just ends).
+
+    variance_tol: enable ADAPTIVE SAMPLING — track per-pixel Welford
+    M2 of completed-sample luminance and idle pixels once
+    converged_mask() passes (>= min_samples and relative SEM within
+    tol). Converged lanes stop exactly like capped lanes; a pixel's
+    accumulated mean stays the unweighted average of its completed
+    samples. (Standard caveat: stopping on the estimate itself is
+    very mildly biased — the RMS win at equal rays dwarfs it.)
+    None = fixed-budget behavior, and the M2 field costs nothing
+    (identity pass-through)."""
     n = st.samples.shape[0]
     if sort_every and scene_bounds is not None:
         do_sort = (st.step % jnp.uint32(sort_every)) == 0
@@ -213,6 +252,11 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         active = jnp.ones((n,), bool)
     else:
         active = st.samples < max_samples
+    if variance_tol is not None:
+        active = active & ~converged_mask(
+            st.samples, st.colors, st.lum_m2, variance_tol,
+            min_samples,
+        )
 
     hit, mat = fetch_material(mats, intersect_fn,
                               Rays(p=st.ray_p, d=st.ray_d))
@@ -271,6 +315,21 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     )
     samples = jnp.where(terminated, st.samples + 1, st.samples)
 
+    if variance_tol is not None:
+        # Welford on completed-sample luminance: colors is the running
+        # MEAN per channel and luminance is linear, so
+        # _luminance(colors) IS the running mean of sample luminances.
+        lum_new = _luminance(cur_color)
+        delta = lum_new - _luminance(st.colors)
+        mean1 = _luminance(colors)
+        lum_m2 = jnp.where(
+            terminated,
+            st.lum_m2 + delta * (lum_new - mean1),
+            st.lum_m2,
+        )
+    else:
+        lum_m2 = st.lum_m2  # identity: costs the hot loop nothing
+
     # --- regenerate: next sample's camera ray (gen_ray, prog.cl:384-389)
     if mode == "parity":
         rng_state, g1, g2 = _draws_parity(
@@ -299,6 +358,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         bounce=jnp.where(terminated, 0, bounce),
         had_diffuse=(jnp.where(terminated, False, had_diffuse)
                      if env is not None else had_diffuse),
+        lum_m2=lum_m2,
         step=st.step + jnp.uint32(1),
     )
 
@@ -332,6 +392,109 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
             state = step(state)
         if int(jax.device_get(jnp.min(state.samples))) >= min_spp:
             break
+    return state
+
+
+def sort_open_first(st: WavefrontState, open_mask) -> WavefrontState:
+    """Permute lanes so open (still-sampling) lanes come first.
+
+    Any lane order is semantically free — every lane carries its pixel
+    binding, accumulators, and RNG stream (see sort_state) — so this
+    enables ADAPTIVE COMPACTION: once few lanes are open, step only a
+    prefix bucket and park the converged tail (idle lanes otherwise
+    still pay full intersection cost in lockstep). Stable order within
+    each class via the (key, iota) compound key."""
+    key = (~open_mask).astype(jnp.uint32)
+    leaves, treedef = jax.tree.flatten(st)
+    vec_idx = [i for i, a in enumerate(leaves) if a.ndim != 0]
+    iota = jnp.arange(st.samples.shape[0], dtype=jnp.int32)
+    CHUNK = 13  # variadic-sort compile cliff (docs/BENCHMARKS.md)
+    for i0 in range(0, len(vec_idx), CHUNK):
+        grp = vec_idx[i0:i0 + CHUNK]
+        sorted_ops = jax.lax.sort(
+            [key, iota] + [leaves[i] for i in grp], dimension=0,
+            num_keys=2, is_stable=False,
+        )
+        for j, i in enumerate(grp):
+            leaves[i] = sorted_ops[2 + j]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def state_split(st: WavefrontState, n: int):
+    """(first n lanes, rest) — static n; scalars ride with both."""
+    head = jax.tree.map(lambda a: a if a.ndim == 0 else a[:n], st)
+    tail = jax.tree.map(lambda a: a if a.ndim == 0 else a[n:], st)
+    return head, tail
+
+
+def state_concat(parts) -> WavefrontState:
+    """Concatenate lane-axis state slices (scalars from the first)."""
+    first = parts[0]
+    return jax.tree.unflatten(
+        jax.tree.structure(first),
+        [
+            leaves[0] if leaves[0].ndim == 0
+            else jnp.concatenate(leaves, axis=0)
+            for leaves in zip(*(jax.tree.leaves(p) for p in parts))
+        ],
+    )
+
+
+def render_adaptive(cam, mats, *, intersect_fn, num_pixels,
+                    iterations, tol: float, max_spp: int,
+                    min_spp: int = 8, mode="fast", seed=1, key=None,
+                    env=None, compact: bool = True,
+                    min_bucket: int = 4096,
+                    max_extra_steps: int = 1_000_000) -> WavefrontState:
+    """Adaptive render: every pixel gets between min_spp and max_spp
+    samples, stopping early once its relative luminance SEM is within
+    `tol` (converged_mask). The reference has no adaptivity at all
+    (every pixel gets every sample forever, prog.cl:379).
+
+    compact=True is what makes adaptivity PAY on a lockstep machine:
+    idle lanes otherwise still ride the full-width intersection. When
+    the open-lane count falls below half the live bucket, lanes are
+    permuted open-first (sort_open_first — lane order is free) and
+    the bucket halves (power-of-two sizes, so jit retraces once per
+    size); the converged tail is parked untouched and re-concatenated
+    at the end. Parity mode is BIT-identical with compaction on or
+    off (per-lane streams travel with the lane); fast mode stays
+    unbiased but draws differ (the counter engine keys on lane
+    position)."""
+    if mode == "fast" and key is None:
+        key = jax.random.key(seed)
+    state = init_wavefront(cam, num_pixels, seed=seed, mode=mode,
+                           key=key)
+    step = jax.jit(lambda st: wavefront_step(
+        cam, mats, st, intersect_fn=intersect_fn,
+        iterations=iterations, mode=mode, key=key,
+        max_samples=max_spp, env=env,
+        variance_tol=tol, min_samples=min_spp,
+    ))
+    chunk = max(iterations * 2, 8)
+    parked = []
+    bucket = num_pixels
+    for _ in range(max_extra_steps):
+        for _ in range(chunk):
+            state = step(state)
+        done = converged_mask(state.samples, state.colors,
+                              state.lum_m2, tol, min_spp)
+        done = done | (state.samples >= max_spp)
+        n_open = int(jax.device_get(jnp.sum(~done)))
+        if n_open == 0:
+            break
+        if compact:
+            target = bucket
+            while (target // 2 >= max(n_open, min_bucket)
+                   and target % 2 == 0):
+                target //= 2
+            if target < bucket:
+                state = sort_open_first(state, ~done)
+                state, tail = state_split(state, target)
+                parked.append(tail)
+                bucket = target
+    if parked:
+        state = state_concat([state] + parked)
     return state
 
 

@@ -146,7 +146,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
         colors=v3, samples=lane, pixel=lane, rng_state=lane,
         ray_p=v3, ray_d=v3, f_l=v3, f_b=v3, f_s=v3, f_r=v3,
         cur_color=v3, inside=lane, bounce=lane, had_diffuse=lane,
-        step=P(),
+        lum_m2=lane, step=P(),
     )
     fn = shard_map(
         per_shard, mesh=mesh,

@@ -534,12 +534,14 @@ class RenderEngine:
             self._steps[iterations] = step
         return self._steps[iterations]
 
-    def _wf_step(self, iterations: int):
+    def _wf_step(self, iterations: int, variance=None):
         """Jitted wavefront k-step runner (model='wavefront'). The
         per-pixel sample cap AND the step count ride as runtime args
         (fori_loop with a traced trip count), so successive render()
-        calls never recompile and each macro-step is ONE dispatch."""
-        ck = ("wf", iterations)
+        calls never recompile and each macro-step is ONE dispatch.
+        variance: optional (tol, min_samples) enabling the adaptive
+        stop rule inside the step (render_adaptive)."""
+        ck = ("wf", iterations, variance)
         if ck not in self._steps:
             from opencl_path_tracer_tpu.models import wavefront
             from opencl_path_tracer_tpu.utils.constlift import (
@@ -547,6 +549,9 @@ class RenderEngine:
             )
             mode = self.cfg.mode
             key = self._key
+            vkw = ({} if variance is None else
+                   dict(variance_tol=variance[0],
+                        min_samples=variance[1]))
 
             def run_raw(state, cam: Camera, cap, k):
                 def body(_, st):
@@ -554,7 +559,7 @@ class RenderEngine:
                         cam, self.scene.mats, st,
                         intersect_fn=self.intersect_fn,
                         iterations=iterations, mode=mode, key=key,
-                        max_samples=cap, env=self.env,
+                        max_samples=cap, env=self.env, **vkw,
                     )
                 return jax.lax.fori_loop(0, k, body, state)
 
@@ -751,6 +756,76 @@ class RenderEngine:
                     f"after {done} steps"
                 )
         self._sample_host = target
+        jax.block_until_ready(self.state.colors)
+
+    def render_adaptive(self, tol: float, max_spp: int,
+                        min_spp: int = 8, progress: bool = True) -> None:
+        """Adaptive offline render (model='wavefront', single device):
+        every pixel gets min_spp..max_spp samples, idling once its
+        relative luminance SEM is within `tol`
+        (models.wavefront.converged_mask). The reference has no
+        adaptivity (every pixel gets every sample, prog.cl:379)."""
+        import jax.numpy as jnp
+        from opencl_path_tracer_tpu.models import wavefront
+
+        if self.cfg.model != "wavefront":
+            raise ValueError(
+                "adaptive rendering needs model='wavefront' (per-"
+                "pixel sample counts; the megakernel steps every "
+                "pixel in lockstep)"
+            )
+        if self.mesh is not None:
+            raise ValueError(
+                "adaptive rendering is single-device for now (the "
+                "tiled wavefront step has no variance stop rule)"
+            )
+        if self.controller._cam_key != self._wf_pose:
+            self.reset_accumulation()
+        cam = self.controller.camera(self.cfg.width, self.cfg.height)
+        iters = self.controller.state.iterations
+        run = self._wf_step(iters, variance=(float(tol), int(min_spp)))
+        cap = jax.numpy.int32(max_spp)
+        chunk = max(iters * 2, 8)
+        max_steps = max_spp * iters + 16
+        # Compaction: when few lanes are open, permute them to the
+        # front and halve the live bucket (jit retraces once per
+        # power-of-two size); the converged tail parks untouched.
+        # Idle lanes otherwise still pay full-width intersection on a
+        # lockstep machine — this is where adaptivity actually saves.
+        live = self.state
+        parked = []
+        bucket = live.samples.shape[0]
+        done = 0
+        while done < max_steps:
+            mask = wavefront.converged_mask(
+                live.samples, live.colors, live.lum_m2, tol, min_spp,
+            ) | (live.samples >= max_spp)
+            n_open = int(jax.device_get(jnp.sum(~mask)))
+            if progress and done:
+                self.meter.tick(
+                    int(jax.device_get(jnp.min(live.samples))),
+                    iterations=iters, real_time=False,
+                    rays_traced=self._rays_traced,
+                )
+            if n_open == 0:
+                break
+            target = bucket
+            while (target // 2 >= max(n_open, 4096)
+                   and target % 2 == 0):
+                target //= 2
+            if target < bucket:
+                live = wavefront.sort_open_first(live, ~mask)
+                live, tail = wavefront.state_split(live, target)
+                parked.append(tail)
+                bucket = target
+            k = min(chunk, max_steps - done)
+            live = run(live, cam, cap, k)
+            done += k
+            self._rays_traced += float(k * bucket)
+        self.state = (wavefront.state_concat([live] + parked)
+                      if parked else live)
+        self._sample_host = int(
+            jax.device_get(jnp.min(self.state.samples)))
         jax.block_until_ready(self.state.colors)
 
     def reset_accumulation(self) -> None:
