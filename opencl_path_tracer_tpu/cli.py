@@ -87,6 +87,7 @@ def cmd_render(args) -> int:
             accel=args.accel, accel_force=args.accel_force,
             smooth=args.smooth, textured=args.textured,
             model=args.model, devices=args.devices,
+            nee=args.nee,
             env_light=args.env, env_sky=tuple(args.env_sky),
             env_deep=tuple(args.env_deep),
             camera=_camera_preset(args.scene, w, h, args),
@@ -178,6 +179,7 @@ def cmd_view(args) -> int:
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
+        nee=args.nee,
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
@@ -206,6 +208,7 @@ def cmd_serve(args) -> int:
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
+        nee=args.nee,
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
@@ -245,6 +248,7 @@ def cmd_anim(args) -> int:
         seed=args.seed, accel=args.accel,
         accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
+        nee=args.nee,
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
@@ -323,6 +327,12 @@ def main(argv=None) -> int:
                             "bound textures — e.g. an OBJ whose MTL "
                             "has PNG map_Kd entries — and the same "
                             "ids-reporting accels as --smooth)")
+        p.add_argument("--nee", action="store_true",
+                       help="next-event estimation: gather direct "
+                            "light at diffuse vertices via shadow "
+                            "rays (ops/nee.py; same converged image, "
+                            "far less noise at small emitters, ~2x "
+                            "intersect cost per bounce)")
         p.add_argument("--env", action="store_true",
                        help="environment light: resurrect the "
                             "reference kernel's dormant miss-branch "

@@ -87,6 +87,12 @@ class RenderConfig:
     env_light: bool = False
     env_sky: tuple[float, float, float] = (0.0, 0.75, 2.0)
     env_deep: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Next-event estimation (framework extension, ops/nee.py): gather
+    # direct light at every diffuse vertex via one shadow ray and
+    # suppress the double-counted emitter pickup. Same converged image
+    # as the base tracer, far lower variance at small emitters; ~2x
+    # intersect cost per bounce. False = reference estimator.
+    nee: bool = False
     # Offline multi-chip rendering: shard the framebuffer (megakernel)
     # or the lane axis (wavefront) over this many devices (0 = all
     # visible devices; 1 = single device, the default). Tile sharding

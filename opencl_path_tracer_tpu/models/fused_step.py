@@ -109,11 +109,12 @@ def unpack_state(F, I, step) -> WavefrontState:
         f_l=v3(_FL), f_b=v3(_FB), f_s=v3(_FS), f_r=v3(_FR),
         cur_color=v3(_CUR),
         inside=I[_INSIDE].astype(bool), bounce=I[_BOUNCE],
-        # The fused kernel has no EnvLight/adaptive support, so the
-        # diffuse-bounce flag and luminance M2 are not packed; unpack
-        # resets them (correct for env=None fixed-budget renders,
-        # which is all this model supports).
+        # The fused kernel has no EnvLight/NEE/adaptive support, so
+        # the diffuse-bounce flags and luminance M2 are not packed;
+        # unpack resets them (correct for env=None nee=None fixed-
+        # budget renders, which is all this model supports).
         had_diffuse=jnp.zeros(I.shape[1:], bool),
+        prev_diff=jnp.zeros(I.shape[1:], bool),
         lum_m2=jnp.zeros(I.shape[1:], jnp.float32),
         step=jnp.asarray(step, jnp.uint32),
     )

@@ -204,8 +204,14 @@ def shade(cam: Camera, mat: MaterialsSoA, hit: Hits, ray_p: V3,
     )
 
 
-def apply_factors(s, f_l: V3, f_b: V3, f_s: V3, f_r: V3, inside, color: V3):
-    """Factor updates + emitter contribution (prog.cl:329-366)."""
+def apply_factors(s, f_l: V3, f_b: V3, f_s: V3, f_r: V3, inside, color: V3,
+                  emit_mask=None):
+    """Factor updates + emitter contribution (prog.cl:329-366).
+
+    emit_mask: optional override of the emitter-pickup lanes — NEE
+    passes is_emit & ~prev_diff so direct light gathered explicitly at
+    the previous diffuse vertex is not double-counted (ops/nee.py);
+    None keeps reference behavior (every emitter hit contributes)."""
     mat = s["mat"]
     f_l = vwhere(
         s["is_diff"], vmul(f_l, vscale(mat.kd, s["intens_d"])), f_l
@@ -221,7 +227,9 @@ def apply_factors(s, f_l: V3, f_b: V3, f_s: V3, f_r: V3, inside, color: V3):
         vmul(mat.emission, vmul(vadd(f_l, f_b), vmul(f_s, f_r))),
         s["emit_cos"],
     )
-    color = vwhere(s["is_emit"], vadd(color, contrib), color)
+    if emit_mask is None:
+        emit_mask = s["is_emit"]
+    color = vwhere(emit_mask, vadd(color, contrib), color)
     return f_l, f_b, f_s, f_r, inside, color
 
 
@@ -238,6 +246,7 @@ def trace_sample(
     sample_index: jnp.ndarray | None = None,
     with_stats: bool = False,
     env: EnvLight | None = None,
+    nee=None,
 ):
     """Render ONE progressive sample for every pixel and fold it into the
     running average (prog.cl:379). `iterations` is the bounce depth
@@ -249,11 +258,23 @@ def trace_sample(
     for fast-mode RNG decorrelation (multi-chip sample sharding).
     env: optional EnvLight — miss contributions per the reference's
     dormant sky-light code (prog.cl:367-376); None = shipped parity.
+    nee: optional ops.nee.EmitterTable — gather direct light at every
+    diffuse vertex via one shadow ray and suppress the next bounce's
+    emitter pickup (same converged image, far lower variance at small
+    emitters; ~2x intersect cost per bounce). NEE draws come from an
+    independent counter-hash stream, so parity mode's per-lane Lehmer
+    streams still match the reference bit for bit.
     """
     n = state.rng_state.shape[0]
     if ids is None:
         ids = raygen.pixel_ids_like(n)
     s_idx = state.sample if sample_index is None else sample_index
+    if nee is not None:
+        from opencl_path_tracer_tpu.ops import nee as nee_mod
+        base_key = key if key is not None else jax.random.key(1791)
+        nee_key = jax.random.fold_in(
+            base_key, ids[0].astype(jnp.uint32)
+        )
 
     # --- gen_ray (prog.cl:384-389): two unconditional draws per pixel.
     if mode == "parity":
@@ -274,7 +295,8 @@ def trace_sample(
 
     def body(b, carry):
         (ray_p, ray_d, rng_state, f_l, f_b, f_s, f_r,
-         color, alive, inside, had_diffuse, rays_traced) = carry
+         color, alive, inside, had_diffuse, prev_diff,
+         rays_traced) = carry
 
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         hit, mat = fetch_material(mats, intersect_fn,
@@ -302,8 +324,31 @@ def trace_sample(
                 has_hit, vadd(s["mat"].kd, s["mat"].emission), color
             )
 
+        if nee is not None:
+            # Direct-light gather at this bounce's diffuse vertices,
+            # gated on the path SURVIVING to the next intersect
+            # (b < iterations-1) so truncation matches the base
+            # estimator exactly; the pickup that gather replaces is
+            # suppressed below via emit_mask (prev_diff from the
+            # PREVIOUS bounce).
+            u = rng.fast_uniforms(nee_key, s_idx, 10_000 + b, (n,), 3)
+            gather = s["is_diff"] & (b < iterations - 1)
+            color = vadd(color, nee_mod.direct_light(
+                nee, intersect_fn=intersect_fn, cam_eye=cam.eye,
+                hit_p=hit.p, n_vec=s["n_vec"], mat=mat,
+                f_l=f_l, f_b=f_b, f_s=f_s, f_r=f_r,
+                is_diff=gather, u1=u[0], u2=u[1], u3=u[2],
+            ))
+            rays_traced = rays_traced + jnp.sum(
+                alive.astype(jnp.float32)
+            )  # the shadow ray batch
+            emit_mask = s["is_emit"] & ~prev_diff
+            prev_diff = s["is_diff"]
+        else:
+            emit_mask = None
+
         f_l, f_b, f_s, f_r, inside, color = apply_factors(
-            s, f_l, f_b, f_s, f_r, inside, color
+            s, f_l, f_b, f_s, f_r, inside, color, emit_mask=emit_mask
         )
 
         # Miss -> break (prog.cl:367-376): lane goes dead. With an
@@ -318,13 +363,15 @@ def trace_sample(
         # env=None: had_diffuse stays the untouched zeros carry (free).
         alive = has_hit
         return (s["new_p"], s["new_d"], rng_state, f_l, f_b, f_s, f_r,
-                color, alive, inside, had_diffuse, rays_traced)
+                color, alive, inside, had_diffuse, prev_diff,
+                rays_traced)
 
     carry = (
         rays.p, rays.d, rng_state,
         ones, ones, ones, ones,
         zeros,
         jnp.ones((n,), bool),
+        jnp.zeros((n,), bool),
         jnp.zeros((n,), bool),
         jnp.zeros((n,), bool),
         jnp.float32(0.0),
@@ -345,19 +392,19 @@ def trace_sample(
     if with_stats:
         # Rays actually traced this sample: live lanes at each bounce
         # (the derived rays/sec metric of BASELINE.md).
-        return new_state, {"rays_traced": carry[11]}
+        return new_state, {"rays_traced": carry[-1]}
     return new_state
 
 
 def make_sample_step(cam, mats, *, intersect_fn, iterations, mode="parity",
-                     key=None, env: EnvLight | None = None):
+                     key=None, env: EnvLight | None = None, nee=None):
     """A jitted state -> state progressive step (one sample/pixel)."""
     @jax.jit
     def step(state: TraceState) -> TraceState:
         return trace_sample(
             cam, mats, state,
             intersect_fn=intersect_fn, iterations=iterations,
-            mode=mode, key=key, env=env,
+            mode=mode, key=key, env=env, nee=nee,
         )
     return step
 
@@ -365,7 +412,7 @@ def make_sample_step(cam, mats, *, intersect_fn, iterations, mode="parity",
 def render(cam, mats, *, intersect_fn, num_pixels, iterations, spp,
            mode="parity", seed=1, key=None,
            state: TraceState | None = None,
-           env: EnvLight | None = None) -> TraceState:
+           env: EnvLight | None = None, nee=None) -> TraceState:
     """Accumulate `spp` progressive samples (the onIdle loop,
     main.cpp:1171-1241, minus interactivity)."""
     if state is None:
@@ -374,7 +421,7 @@ def render(cam, mats, *, intersect_fn, num_pixels, iterations, spp,
         key = jax.random.key(seed)
     step = make_sample_step(
         cam, mats, intersect_fn=intersect_fn, iterations=iterations,
-        mode=mode, key=key, env=env,
+        mode=mode, key=key, env=env, nee=nee,
     )
     for _ in range(spp):
         state = step(state)

@@ -79,6 +79,11 @@ class WavefrontState:
     # prog.cl:316,339 — only consumed by the optional EnvLight's miss
     # tiers, megakernel.env_miss_update).
     had_diffuse: jnp.ndarray
+    # (N,) bool: the PREVIOUS bounce was diffuse (type 0) — NEE's
+    # pickup-suppression flag (ops/nee.py: the emitter hit after a
+    # diffuse bounce is double-counted once direct light is gathered
+    # explicitly). Identity pass-through when nee is None.
+    prev_diff: jnp.ndarray
     # (N,) f32: Welford M2 of completed-sample LUMINANCE per pixel —
     # per-pixel variance for adaptive sampling (sample variance =
     # m2/(samples-1)). Updated only when a step runs with
@@ -122,6 +127,7 @@ def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
         inside=jnp.zeros((n,), bool),
         bounce=jnp.zeros((n,), jnp.int32),
         had_diffuse=jnp.zeros((n,), bool),
+        prev_diff=jnp.zeros((n,), bool),
         lum_m2=jnp.zeros((n,), jnp.float32),
         step=jnp.uint32(1),
     )
@@ -210,7 +216,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
                    max_samples: int | None = None,
                    ids: jnp.ndarray | None = None,
                    sort_every: int = 0,
-                   scene_bounds=None, env=None,
+                   scene_bounds=None, env=None, nee=None,
                    variance_tol: float | None = None,
                    min_samples: int = 8) -> WavefrontState:
     """One wavefront step: intersect every live lane once, shade,
@@ -226,6 +232,16 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     miss first collects the dormant sky-light contribution
     (prog.cl:367-376); None = shipped-kernel parity. Budget-terminated
     lanes collect nothing (the reference loop just ends).
+
+    nee: optional ops.nee.EmitterTable — next-event estimation: one
+    shadow ray gathers direct light at each diffuse vertex; the next
+    bounce's emitter pickup is suppressed (prev_diff flag) so nothing
+    is double-counted. Converges to the same image with far less
+    variance at small emitters; ~2x intersect cost per step. NEE draws
+    use an independent counter-hash stream keyed on lane POSITION, so
+    parity-mode Lehmer streams stay reference-exact but the gathered
+    term varies under lane permutations (sort_every / compaction) —
+    unbiased either way.
 
     variance_tol: enable ADAPTIVE SAMPLING — track per-pixel Welford
     M2 of completed-sample luminance and idle pixels once
@@ -280,8 +296,29 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         cur_color = vwhere(
             has_hit, vadd(s["mat"].kd, s["mat"].emission), cur_color
         )
+    if nee is not None:
+        from opencl_path_tracer_tpu.ops import nee as nee_mod
+        nee_key = key if key is not None else jax.random.key(1791)
+        u = rng.fast_uniforms(nee_key, st.step, 2, (n,), 3)
+        # Gather only when the path survives to the next intersect
+        # (bounce+1 < iterations), matching the base estimator's
+        # truncation exactly (the replaced pickup happens at the NEXT
+        # vertex, which a budget-terminated path never reaches).
+        gather = s["is_diff"] & (st.bounce + 1 < iterations)
+        cur_color = vadd(cur_color, nee_mod.direct_light(
+            nee, intersect_fn=intersect_fn, cam_eye=cam.eye,
+            hit_p=hit.p, n_vec=s["n_vec"], mat=mat,
+            f_l=st.f_l, f_b=st.f_b, f_s=st.f_s, f_r=st.f_r,
+            is_diff=gather, u1=u[0], u2=u[1], u3=u[2],
+        ))
+        emit_mask = s["is_emit"] & ~st.prev_diff
+        prev_diff = jnp.where(active, s["is_diff"], st.prev_diff)
+    else:
+        emit_mask = None
+        prev_diff = st.prev_diff  # identity: costs the hot loop nothing
     f_l, f_b, f_s, f_r, inside, cur_color = apply_factors(
-        s, st.f_l, st.f_b, st.f_s, st.f_r, st.inside, cur_color
+        s, st.f_l, st.f_b, st.f_s, st.f_r, st.inside, cur_color,
+        emit_mask=emit_mask,
     )
     if env is not None:
         from opencl_path_tracer_tpu.models.megakernel import (
@@ -358,6 +395,8 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         bounce=jnp.where(terminated, 0, bounce),
         had_diffuse=(jnp.where(terminated, False, had_diffuse)
                      if env is not None else had_diffuse),
+        prev_diff=(jnp.where(terminated, False, prev_diff)
+                   if nee is not None else prev_diff),
         lum_m2=lum_m2,
         step=st.step + jnp.uint32(1),
     )
@@ -368,7 +407,7 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
                      max_extra_steps: int = 1_000_000,
                      exact_spp: bool = False,
                      ids: jnp.ndarray | None = None,
-                     env=None) -> WavefrontState:
+                     env=None, nee=None) -> WavefrontState:
     """Run wavefront steps until every pixel has >= min_spp samples.
 
     exact_spp=True caps every pixel at exactly min_spp samples (lanes
@@ -383,7 +422,7 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
     step = jax.jit(lambda st: wavefront_step(
         cam, mats, st, intersect_fn=intersect_fn,
         iterations=iterations, mode=mode, key=key, max_samples=cap,
-        ids=ids, env=env,
+        ids=ids, env=env, nee=nee,
     ))
     # Fixed-size macro-steps between host-side convergence checks.
     chunk = max(iterations * 2, 8)
@@ -443,7 +482,7 @@ def state_concat(parts) -> WavefrontState:
 def render_adaptive(cam, mats, *, intersect_fn, num_pixels,
                     iterations, tol: float, max_spp: int,
                     min_spp: int = 8, mode="fast", seed=1, key=None,
-                    env=None, compact: bool = True,
+                    env=None, nee=None, compact: bool = True,
                     min_bucket: int = 4096,
                     max_extra_steps: int = 1_000_000) -> WavefrontState:
     """Adaptive render: every pixel gets between min_spp and max_spp
@@ -468,7 +507,7 @@ def render_adaptive(cam, mats, *, intersect_fn, num_pixels,
     step = jax.jit(lambda st: wavefront_step(
         cam, mats, st, intersect_fn=intersect_fn,
         iterations=iterations, mode=mode, key=key,
-        max_samples=max_spp, env=env,
+        max_samples=max_spp, env=env, nee=nee,
         variance_tol=tol, min_samples=min_spp,
     ))
     chunk = max(iterations * 2, 8)

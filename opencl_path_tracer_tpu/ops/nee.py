@@ -1,0 +1,209 @@
+"""Next-event estimation (explicit light sampling) — a framework
+EXTENSION with no reference counterpart.
+
+The reference is a pure path tracer: light reaches a pixel only when a
+bounce ray happens to hit an emitter (prog.cl:358-366), so a small lamp
+(cornell's is ~2% of the ceiling) makes most diffuse samples worthless.
+NEE gathers direct light explicitly at every diffuse vertex by sampling
+a point on an emitter and tracing one shadow ray, and suppresses the
+now-double-counted emitter pickup on the NEXT bounce when this one was
+diffuse. The estimator is constructed to converge to the SAME image as
+the base tracer (tests/test_nee.py proves estimator equality):
+
+The base estimator's expected direct-light term at a diffuse vertex x
+with flipped normal n and pre-bounce throughput (f_l, f_b, f_s, f_r)
+is, over cosine-sampled continuation directions d ~ p(d) = cos(theta)/pi
+(bsdf.diffuse_ray, prog.cl:205-218), collected iff the FIRST hit along d
+is an emitter (prog.cl:358-366 pickup with the camera-halfway Blinn term
+of prog.cl:330-338):
+
+    E = Int p(d) * (f_l kd cos + f_b ks blinn(d)) f_s f_r
+              * emission * ecos(d) * V(d) dd
+
+Changing variables to emitter area (dd = ecos / r^2 dA) and sampling y
+uniformly-by-area over the emitter set (pdf 1/A_total) gives the
+equal-expectation per-sample NEE term used here:
+
+    c = A_total * (cos_l / pi) * (f_l kd cos_l + f_b ks blinn(d_l))
+        * f_s * f_r * emission_y * ecos_l^2 / r^2 * V
+
+with d_l the unit direction x->y, cos_l = max(0, d_l . n),
+ecos_l = |d_l . m_y| (the reference flips the emitter normal toward the
+ray, prog.cl:326-328, so its emit_cos is the absolute cosine), and V the
+visibility test "y is the first hit along d_l" (nearest-hit distance
+>= r within tolerance — which also correctly rejects emitter back-faces
+occluded by their own front, keeping the area<->direction map 1:1).
+
+Pickup-suppression bookkeeping (`prev_diff`) and the per-model wiring
+live in models/{megakernel,wavefront}.py; this module owns the emitter
+table and the gather math. Triangle emitters only — analytic-sphere
+emitters would need a solid-angle sampler (no scene in the library has
+one; build_emitter_table raises if given one so the gap is loud).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from opencl_path_tracer_tpu.core.materials import MaterialsSoA
+from opencl_path_tracer_tpu.core.types import (
+    Rays, V3, vadd, vdot, vmul, vnormalize, vscale, vsub, vwhere,
+)
+from opencl_path_tracer_tpu.ops import bsdf
+
+_INV_PI = np.float32(1.0 / np.pi)
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(
+        cls, data_fields=fields, meta_fields=[]
+    )
+    return cls
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class EmitterTable:
+    """SoA of the scene's emissive triangles (E entries, E small).
+
+    v0/e1/e2: V3 of (E,) — first vertex and the two edges.
+    m: V3 of (E,) unit geometric normals.
+    emission: V3 of (E,) per-emitter radiance (material emission).
+    cum: (E,) float32 inclusive cumulative area fractions (cum[-1]=1).
+    total_area: (,) float32 summed emitter area (the 1/pdf factor).
+    """
+
+    v0: V3
+    e1: V3
+    e2: V3
+    m: V3
+    emission: V3
+    cum: jnp.ndarray
+    total_area: jnp.ndarray
+
+    @property
+    def count(self) -> int:
+        return int(self.cum.shape[0])
+
+
+def build_emitter_table(tris, mats: MaterialsSoA,
+                        spheres=None) -> EmitterTable:
+    """Collect the emissive triangles (host-side, once per scene).
+
+    Raises if the scene has no triangle emitter, or any SPHERE emitter
+    (unsupported — would silently lose its direct light)."""
+    if spheres is not None and spheres.count:
+        s_em = np.stack(
+            [np.asarray(c)[np.asarray(spheres.mati)]
+             for c in mats.emission]
+        )
+        if np.any(s_em != 0.0):
+            raise ValueError(
+                "NEE supports triangle emitters only, but the scene "
+                "has an emissive analytic sphere (no solid-angle "
+                "sphere sampler); use the tessellated scene variant"
+            )
+    mati = np.asarray(tris.mati)
+    em = np.stack([np.asarray(c)[mati] for c in mats.emission], axis=-1)
+    is_em = np.any(em != 0.0, axis=-1)
+    if not np.any(is_em):
+        raise ValueError("NEE needs at least one emissive triangle")
+    r1 = np.asarray(tris.r1)[is_em]
+    r2 = np.asarray(tris.r2)[is_em]
+    r3 = np.asarray(tris.r3)[is_em]
+    e1 = r2 - r1
+    e2 = r3 - r1
+    cr = np.cross(e1, e2)
+    area = 0.5 * np.linalg.norm(cr, axis=-1)
+    keep = area > 0.0  # degenerate OBJ faces are never-hit (n=0)
+    r1, e1, e2, cr, area = (a[keep] for a in (r1, e1, e2, cr, area))
+    em = em[is_em][keep]
+    m = cr / np.linalg.norm(cr, axis=-1, keepdims=True)
+    total = float(area.sum())
+    cum = np.cumsum(area / total).astype(np.float32)
+    cum[-1] = 1.0
+
+    def _v3(a):
+        return tuple(jnp.asarray(a[:, k], jnp.float32) for k in range(3))
+
+    return EmitterTable(
+        v0=_v3(r1), e1=_v3(e1), e2=_v3(e2), m=_v3(m),
+        emission=_v3(em),
+        cum=jnp.asarray(cum),
+        total_area=jnp.float32(total),
+    )
+
+
+def sample_emitters(table: EmitterTable, u1, u2, u3):
+    """Area-uniform point on the emitter set.
+
+    u1 picks the triangle (area-proportional via the cumulative table);
+    (u2, u3) pick the square-root-warped barycentrics. Returns
+    (y: V3, m: V3, emission: V3), each per-lane."""
+    idx = jnp.searchsorted(table.cum, u1, side="left")
+    idx = jnp.minimum(idx, table.count - 1).astype(jnp.int32)
+
+    def take(v: V3) -> V3:
+        return tuple(jnp.take(c, idx, axis=0) for c in v)
+
+    v0, e1, e2 = take(table.v0), take(table.e1), take(table.e2)
+    s = jnp.sqrt(u2)
+    b1 = s * (1.0 - u3)
+    b2 = s * u3
+    y = vadd(v0, vadd(vscale(e1, b1), vscale(e2, b2)))
+    return y, take(table.m), take(table.emission)
+
+
+def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
+                 hit_p: V3, n_vec: V3, mat, f_l: V3, f_b: V3,
+                 f_s: V3, f_r: V3, is_diff, u1, u2, u3) -> V3:
+    """Per-lane NEE contribution (zeros on non-diffuse lanes).
+
+    mat is the per-lane material fetch (kd, ks, shininess consumed).
+    cam_eye: camera eye point — the Blinn term uses the CAMERA halfway
+    vector (prog.cl:79-81, used at :335), so the gathered term matches
+    the base estimator's pickup exactly.
+    One shadow ray per lane (intersect_fn), so a NEE step costs ~2x a
+    plain step in intersection — the variance win at small emitters is
+    far larger (docs/BENCHMARKS.md "Next-event estimation")."""
+    n = u1.shape[0]
+    y, m_y, emission = sample_emitters(table, u1, u2, u3)
+
+    origin = vadd(hit_p, vscale(n_vec, bsdf.EPS))
+    delta = vsub(y, origin)
+    dist2 = vdot(delta, delta)
+    dist = jnp.sqrt(dist2)
+    d_l = vscale(delta, 1.0 / jnp.maximum(dist, 1e-12))
+
+    cos_l = jnp.maximum(0.0, vdot(d_l, n_vec))
+    ecos = jnp.abs(vdot(d_l, m_y))
+
+    sh = intersect_fn(Rays(p=origin, d=d_l))
+    if isinstance(sh, tuple):  # textured intersect_fn -> (Hits, kd_mod)
+        sh = sh[0]
+    visible = (~sh.valid) | (sh.t >= dist * (1.0 - 1e-3))
+
+    eye_dir = vnormalize(
+        tuple(cam_eye[k] - hit_p[k] for k in range(3))
+    )
+    halfway = vnormalize(vadd(eye_dir, d_l))
+    blinn = jnp.power(
+        jnp.maximum(0.0, vdot(n_vec, halfway)), mat.shininess
+    )
+
+    w = vadd(
+        vscale(vmul(f_l, mat.kd), cos_l),
+        vscale(vmul(f_b, mat.ks), blinn),
+    )
+    scale = (table.total_area * _INV_PI * cos_l * ecos * ecos
+             / jnp.maximum(dist2, 1e-12))
+    contrib = vscale(vmul(vmul(vmul(w, f_s), f_r), emission), scale)
+
+    take_it = is_diff & visible & (cos_l > 0.0)
+    zeros = tuple(jnp.zeros((n,), jnp.float32) for _ in range(3))
+    return vwhere(take_it, contrib, zeros)

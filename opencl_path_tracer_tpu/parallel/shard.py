@@ -52,7 +52,7 @@ def shard_state(state: TraceState, mesh: Mesh) -> TraceState:
 
 def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
                     intersect_fn, iterations: int, mode: str = "parity",
-                    key=None, env=None):
+                    key=None, env=None, nee=None):
     """One progressive sample, framebuffer tiled across the mesh.
 
     Returns step(state) -> (state, mean_luminance) where state's pixel
@@ -70,7 +70,7 @@ def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
         new = megakernel.trace_sample(
             cam, mats, state,
             intersect_fn=intersect_fn, iterations=iterations,
-            mode=mode, key=key, ids=ids, env=env,
+            mode=mode, key=key, ids=ids, env=env, nee=nee,
         )
         lum = jax.lax.psum(
             sum(jnp.sum(c) for c in new.colors), RENDER_AXIS
@@ -109,7 +109,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
                               mesh: Mesh, *, intersect_fn,
                               iterations: int, mode: str = "parity",
                               key=None, max_samples: int | None = None,
-                              env=None):
+                              env=None, nee=None):
     """One wavefront step (the flagship perf model), lane axis tiled
     across the mesh.
 
@@ -132,7 +132,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
         new = wavefront.wavefront_step(
             cam, mats, state, intersect_fn=intersect_fn,
             iterations=iterations, mode=mode, key=key,
-            max_samples=max_samples, env=env,
+            max_samples=max_samples, env=env, nee=nee,
         )
         lum = jax.lax.psum(
             sum(jnp.sum(c) for c in new.colors), RENDER_AXIS
@@ -146,7 +146,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
         colors=v3, samples=lane, pixel=lane, rng_state=lane,
         ray_p=v3, ray_d=v3, f_l=v3, f_b=v3, f_s=v3, f_r=v3,
         cur_color=v3, inside=lane, bounce=lane, had_diffuse=lane,
-        lum_m2=lane, step=P(),
+        prev_diff=lane, lum_m2=lane, step=P(),
     )
     fn = shard_map(
         per_shard, mesh=mesh,

@@ -454,6 +454,18 @@ class RenderEngine:
                                 deep=tuple(config.env_deep))
             if config.env_light else None
         )
+        # Optional next-event estimation (ops/nee.py): the emitter
+        # table is host-built once per scene; None = reference
+        # estimator (emitter pickup only).
+        if config.nee:
+            from opencl_path_tracer_tpu.ops.nee import (
+                build_emitter_table,
+            )
+            self.nee = build_emitter_table(
+                scene.tris, scene.mats, scene.spheres
+            )
+        else:
+            self.nee = None
         if config.devices != 1:
             from opencl_path_tracer_tpu.parallel.mesh import (
                 make_render_mesh,
@@ -510,7 +522,7 @@ class RenderEngine:
                     cam, self.scene.mats, state,
                     intersect_fn=self.intersect_fn,
                     iterations=iterations, mode=mode, key=key,
-                    env=self.env,
+                    env=self.env, nee=self.nee,
                 )
 
             # Lift scene packs to runtime args: closure-captured packs
@@ -559,7 +571,8 @@ class RenderEngine:
                         cam, self.scene.mats, st,
                         intersect_fn=self.intersect_fn,
                         iterations=iterations, mode=mode, key=key,
-                        max_samples=cap, env=self.env, **vkw,
+                        max_samples=cap, env=self.env,
+                        nee=self.nee, **vkw,
                     )
                 return jax.lax.fori_loop(0, k, body, state)
 
@@ -593,6 +606,7 @@ class RenderEngine:
                 cam, self.scene.mats, self.mesh,
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, env=self.env,
+                nee=self.nee,
             )
         return self._steps[ck]
 
@@ -608,7 +622,7 @@ class RenderEngine:
                 cam, self.scene.mats, self.mesh,
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, max_samples=target,
-                env=self.env,
+                env=self.env, nee=self.nee,
             )
         return self._steps[ck]
 
@@ -875,7 +889,7 @@ class RenderEngine:
                 intersect_fn=self.intersect_fn,
                 iterations=self.controller.state.iterations,
                 mode=self.cfg.mode, key=self._key, with_stats=True,
-                env=self.env,
+                env=self.env, nee=self.nee,
             ))
             _, stats = instrumented(cam, self.scene.mats, self.state)
             self._rays_per_sample = float(stats["rays_traced"])

@@ -1,0 +1,183 @@
+"""Next-event estimation (ops/nee.py): emitter table, gather math,
+estimator equality with the base tracer, variance reduction."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opencl_path_tracer_tpu.core.types import Rays
+from opencl_path_tracer_tpu.models import megakernel, wavefront
+from opencl_path_tracer_tpu.ops import bsdf, intersect, nee
+from opencl_path_tracer_tpu.scene import library
+
+
+def _isect(scene):
+    return functools.partial(intersect.first_intersect,
+                             tris=scene.tris)
+
+
+def test_emitter_table_cornell():
+    scene = library.cornell_box(with_spheres=True)
+    tab = nee.build_emitter_table(scene.tris, scene.mats,
+                                  scene.spheres)
+    assert tab.count >= 1
+    assert float(tab.total_area) > 0.0
+    assert float(tab.cum[-1]) == 1.0
+    # Sampled points lie inside the union of the emitter triangles'
+    # planes: for each sample, distance to its triangle plane ~ 0.
+    k = jax.random.key(0)
+    u = jax.random.uniform(k, (3, 512))
+    y, m, em = nee.sample_emitters(tab, u[0], u[1], u[2])
+    # every sampled emission is one of the table's emission rows
+    assert np.all(np.asarray(em[0]) >= 0.0)
+    # plane check: dot(y - v0_of_some_emitter, m) == 0 for the right
+    # triangle; cheapest robust check = y is inside the overall
+    # emitter AABB (the cornell lamp is axis-aligned)
+    v0 = np.stack([np.asarray(c) for c in tab.v0], -1)
+    e1 = np.stack([np.asarray(c) for c in tab.e1], -1)
+    e2 = np.stack([np.asarray(c) for c in tab.e2], -1)
+    corners = np.concatenate([v0, v0 + e1, v0 + e2])
+    lo, hi = corners.min(0) - 1e-3, corners.max(0) + 1e-3
+    ys = np.stack([np.asarray(c) for c in y], -1)
+    assert np.all(ys >= lo) and np.all(ys <= hi)
+
+
+def test_emissive_sphere_raises():
+    from opencl_path_tracer_tpu.scene.builder import SceneBuilder
+    b = SceneBuilder()
+    b.add_material((0.5, 0.5, 0.5), (0, 0, 0), (0, 0, 0),
+                   (1, 1, 1), (0, 0, 0), 50.0, 0)
+    b.add_material((0, 0, 0), (0, 0, 0), (5.0, 5.0, 5.0),
+                   (1, 1, 1), (0, 0, 0), 50.0, 3)
+    b.add_triangle((0, 0, 0), (1, 0, 0), (0, 1, 0), 0)
+    b.add_analytic_sphere((0.0, 5.0, 0.0), 1.0, 1)
+    scene = b.build()
+    with pytest.raises(ValueError, match="sphere"):
+        nee.build_emitter_table(scene.tris, scene.mats, scene.spheres)
+
+
+def test_gather_matches_brute_cosine():
+    """E[direct_light] at a fixed diffuse vertex equals brute-force
+    cosine-direction sampling of the base estimator's pickup term
+    (the sharp, fast correctness anchor for the NEE math)."""
+    import dataclasses
+    scene = library.cornell_box(with_spheres=False)
+    isect = _isect(scene)
+    tab = nee.build_emitter_table(scene.tris, scene.mats,
+                                  scene.spheres)
+    mats = scene.mats
+    N = 200_000
+    x = (jnp.full((N,), 300.0), jnp.full((N,), 50.0),
+         jnp.full((N,), 300.0))
+    nv = (jnp.zeros(N), jnp.ones(N), jnp.zeros(N))
+    u = jax.random.uniform(jax.random.key(0), (5, N))
+
+    # Base: cosine-sample a bounce direction, pickup if emitter
+    # (kd=1, ks=0 so the weight is just cos * emit_cos * emission).
+    p, d = bsdf.diffuse_ray(x, nv, u[0], u[1])
+    hit = isect(Rays(p=p, d=d))
+    mat = mats.take_select(hit.mati)
+    is_emit = hit.valid & (mat.type == 3)
+    flip = (d[0] * hit.n[0] + d[1] * hit.n[1] + d[2] * hit.n[2]) > 0
+    nf = tuple(jnp.where(flip, -c, c) for c in hit.n)
+    emit_cos = jnp.maximum(
+        0.0, -(d[0] * nf[0] + d[1] * nf[1] + d[2] * nf[2]))
+    cos_t = jnp.maximum(0.0, d[1])
+    base = [float(jnp.mean(jnp.where(
+        is_emit, mat.emission[k] * cos_t * emit_cos, 0.0)))
+        for k in range(3)]
+
+    m1 = mats.take_select(jnp.zeros((N,), jnp.int32))
+    m1 = dataclasses.replace(
+        m1, kd=(jnp.ones(N),) * 3, ks=(jnp.zeros(N),) * 3)
+    cam = library.cornell_camera(8, 8)
+    c = nee.direct_light(
+        tab, intersect_fn=isect, cam_eye=cam.eye,
+        hit_p=x, n_vec=nv, mat=m1,
+        f_l=(jnp.ones(N),) * 3, f_b=(jnp.zeros(N),) * 3,
+        f_s=(jnp.ones(N),) * 3, f_r=(jnp.ones(N),) * 3,
+        is_diff=jnp.ones((N,), bool), u1=u[2], u2=u[3], u3=u[4])
+    got = [float(jnp.mean(k)) for k in c]
+    np.testing.assert_allclose(got, base, rtol=0.03)
+
+
+@pytest.mark.slow
+def test_estimator_equality_and_variance_reduction():
+    """Renderer-level: NEE converges to the base image and slashes
+    per-pixel variance on the pixels direct light dominates.
+
+    Statistics are taken over DIM pixels (running mean < 1): the
+    lamp-facing pixels' noise is primary-jitter edge noise NEE cannot
+    touch, and their large absolute values (emission ~10) would
+    otherwise swamp both assertions. Measured calibration (seeds as
+    below): equal-spp deviation ratio 0.071, dim-mean agreement well
+    under 1% — thresholds carry >2x margin."""
+    w = h = 16
+    scene = library.cornell_box(with_spheres=False)
+    cam = library.cornell_camera(w, h)
+    isect = _isect(scene)
+    tab = nee.build_emitter_table(scene.tris, scene.mats,
+                                  scene.spheres)
+    kw = dict(intersect_fn=isect, num_pixels=w * h, iterations=2,
+              mode="fast")
+
+    def img(spp, seed, **k):
+        st = megakernel.render(cam, scene.mats, spp=spp, seed=seed,
+                               **kw, **k)
+        return np.asarray(megakernel.colors_array(st)).reshape(-1, 3)
+
+    b1, b2 = img(1000, 3), img(1000, 11)
+    n1, n2 = img(400, 7, nee=tab), img(400, 23, nee=tab)
+    bm, nm = 0.5 * (b1 + b2), 0.5 * (n1 + n2)
+    dim = bm.max(-1) < 1.0
+    assert dim.sum() > w * h // 2  # the mask actually selects walls
+    # Same converged image on the direct-lit surfaces.
+    bd, nd = bm[dim].mean(), nm[dim].mean()
+    assert abs(bd - nd) < 0.03 * bd + 0.005, (bd, nd)
+    # Variance reduction: seed-to-seed deviation at 2.5x FEWER
+    # samples still far below the base's (measured 14x at equal spp).
+    base_dev = np.abs(b1 - b2)[dim].mean()
+    nee_dev = np.abs(n1 - n2)[dim].mean()
+    assert nee_dev < 0.3 * base_dev, (nee_dev, base_dev)
+
+
+def test_wavefront_nee_matches_megakernel_nee():
+    """wavefront_step's NEE wiring (gather + prev_diff suppression
+    across regenerated samples, multi-bounce) agrees with the
+    megakernel's on the converged dim-pixel mean — NEE makes those
+    pixels low-variance, so a tight tolerance is meaningful at
+    modest spp."""
+    w = h = 8
+    scene = library.cornell_box(with_spheres=False)
+    cam = library.cornell_camera(w, h)
+    isect = _isect(scene)
+    tab = nee.build_emitter_table(scene.tris, scene.mats,
+                                  scene.spheres)
+    mk = megakernel.render(
+        cam, scene.mats, intersect_fn=isect, num_pixels=w * h,
+        iterations=3, mode="fast", spp=400, seed=5, nee=tab)
+    wf = wavefront.render_wavefront(
+        cam, scene.mats, intersect_fn=isect, num_pixels=w * h,
+        iterations=3, mode="fast", exact_spp=True, min_spp=400,
+        seed=9, nee=tab)
+    cm = np.asarray(megakernel.colors_array(mk)).reshape(-1, 3)
+    cw = np.asarray(wavefront.colors_by_pixel(wf, w * h))
+    dim = cm.max(-1) < 1.0
+    assert dim.sum() > w * h // 2
+    a, b = cm[dim].mean(), cw[dim].mean()
+    assert abs(a - b) < 0.05 * a + 0.005, (a, b)
+
+
+def test_cli_nee_render(tmp_path, monkeypatch):
+    import sys, os
+    from opencl_path_tracer_tpu import cli
+    png = str(tmp_path / "n.png")
+    monkeypatch.setattr(sys, "argv", [
+        "ptx", "render", "--scene", "cornell-empty", "--size", "16x12",
+        "--spp", "4", "--iters", "3", "--nee", "--out", png,
+    ])
+    assert cli.main() == 0
+    assert os.path.exists(png)
