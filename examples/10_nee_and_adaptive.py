@@ -1,0 +1,72 @@
+"""Smarter sampling: next-event estimation + adaptive sampling.
+
+Two framework extensions that improve rays-to-QUALITY rather than
+rays/sec (the reference has neither — its loop gives every pixel every
+sample and finds light only by chance, prog.cl:358-381):
+
+  * NEE (ops/nee.py): one shadow ray per diffuse vertex gathers direct
+    light explicitly; the double-counted next-bounce emitter pickup is
+    suppressed. Same converged image, ~200x lower dim-pixel variance
+    at equal spp on cornell (tests/test_nee.py).
+  * Adaptive sampling (models.wavefront.render_adaptive): per-pixel
+    Welford variance stops each pixel at a target luminance standard
+    error; converged lanes are compacted away so flat regions stop
+    costing rays.
+
+This example renders cornell three ways at a matched small ray budget
+and writes the trio side by side: base 16 spp, NEE 8 spp (NEE steps
+cost ~2x), and NEE+adaptive (tol 0.05, 4..32 spp as needed).
+
+Run:  python examples/10_nee_and_adaptive.py [--size 128x96]
+"""
+
+import argparse
+
+import numpy as np
+
+from opencl_path_tracer_tpu.io.image import write_png
+from opencl_path_tracer_tpu.models import wavefront
+from opencl_path_tracer_tpu.ops import nee, tonemap
+from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+from opencl_path_tracer_tpu.scene import library
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="128x96")
+    ap.add_argument("--out", default="out/nee_adaptive_demo.png")
+    args = ap.parse_args()
+    w, h = (int(x) for x in args.size.split("x"))
+
+    scene = library.cornell_box(with_spheres=True)
+    cam = library.cornell_camera(w, h)
+    isect = make_intersect_fn(scene, "auto")
+    table = nee.build_emitter_table(scene.tris, scene.mats,
+                                    scene.spheres)
+    kw = dict(intersect_fn=isect, num_pixels=w * h, iterations=5,
+              mode="fast")
+
+    base = wavefront.render_wavefront(
+        cam, scene.mats, min_spp=16, exact_spp=True, seed=1, **kw)
+    neer = wavefront.render_wavefront(
+        cam, scene.mats, min_spp=8, exact_spp=True, seed=1,
+        nee=table, **kw)
+    adap = wavefront.render_adaptive(
+        cam, scene.mats, tol=0.05, max_spp=32, min_spp=4, seed=1,
+        nee=table, **kw)
+
+    def tile(st):
+        img = np.asarray(tonemap.reinhard(
+            wavefront.colors_by_pixel(st, w * h))).reshape(h, w, 3)
+        return img[::-1]
+
+    trio = np.concatenate([tile(base), tile(neer), tile(adap)], axis=1)
+    write_png(args.out, trio)
+    smp = np.asarray(adap.samples)
+    print(f"wrote {args.out} (left: base 16spp | middle: NEE 8spp | "
+          f"right: NEE+adaptive spp {smp.min()}..{smp.max()} "
+          f"mean {smp.mean():.1f})")
+
+
+if __name__ == "__main__":
+    main()

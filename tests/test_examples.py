@@ -105,3 +105,12 @@ def test_example_09_environment_light(tmp_path):
                "--spp", "2", "--out", png)
     assert os.path.exists(png)
     assert "env-lit" in out
+
+
+@pytest.mark.slow
+def test_example_10_nee_and_adaptive(tmp_path):
+    png = str(tmp_path / "e10.png")
+    out = _run("10_nee_and_adaptive.py", "--size", "32x24",
+               "--out", png)
+    assert os.path.exists(png)
+    assert "NEE+adaptive" in out
