@@ -109,7 +109,9 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
                               mesh: Mesh, *, intersect_fn,
                               iterations: int, mode: str = "parity",
                               key=None, max_samples: int | None = None,
-                              env=None, nee=None):
+                              env=None, nee=None,
+                              variance_tol: float | None = None,
+                              min_samples: int = 8):
     """One wavefront step (the flagship perf model), lane axis tiled
     across the mesh.
 
@@ -133,6 +135,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
             cam, mats, state, intersect_fn=intersect_fn,
             iterations=iterations, mode=mode, key=key,
             max_samples=max_samples, env=env, nee=nee,
+            variance_tol=variance_tol, min_samples=min_samples,
         )
         lum = jax.lax.psum(
             sum(jnp.sum(c) for c in new.colors), RENDER_AXIS
@@ -140,14 +143,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
         total = jnp.float32(new.samples.shape[0] * n_dev * 3)
         return new, lum / total
 
-    lane = P(RENDER_AXIS)
-    v3 = (lane,) * 3
-    state_spec = wavefront.WavefrontState(
-        colors=v3, samples=lane, pixel=lane, rng_state=lane,
-        ray_p=v3, ray_d=v3, f_l=v3, f_b=v3, f_s=v3, f_r=v3,
-        cur_color=v3, inside=lane, bounce=lane, had_diffuse=lane,
-        prev_diff=lane, lum_m2=lane, step=P(),
-    )
+    state_spec = wavefront_state_spec()
     fn = shard_map(
         per_shard, mesh=mesh,
         in_specs=(state_spec,),
@@ -155,6 +151,52 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
         check_vma=False,
     )
     return lazy_lift_jit(fn)
+
+
+def wavefront_state_spec():
+    """WavefrontState partition spec: every lane array sharded on the
+    render axis, the scalar step counter replicated."""
+    from opencl_path_tracer_tpu.models import wavefront
+
+    lane = P(RENDER_AXIS)
+    v3 = (lane,) * 3
+    return wavefront.WavefrontState(
+        colors=v3, samples=lane, pixel=lane, rng_state=lane,
+        ray_p=v3, ray_d=v3, f_l=v3, f_b=v3, f_s=v3, f_r=v3,
+        cur_color=v3, inside=lane, bounce=lane, had_diffuse=lane,
+        prev_diff=lane, lum_m2=lane, step=P(),
+    )
+
+
+def make_shard_sort_open_first(mesh: Mesh):
+    """Shard-LOCAL open-first lane permutation for adaptive
+    compaction over a mesh (models.wavefront.sort_open_first applied
+    per shard — no cross-chip movement; lane order is semantically
+    free, so per-shard vs global order only changes WHICH lanes park
+    together, never any lane's result)."""
+    from opencl_path_tracer_tpu.models import wavefront
+
+    spec = wavefront_state_spec()
+    return jax.jit(shard_map(
+        wavefront.sort_open_first, mesh=mesh,
+        in_specs=(spec, P(RENDER_AXIS)), out_specs=spec,
+        check_vma=False,
+    ))
+
+
+def make_shard_split(mesh: Mesh, n_local: int):
+    """split(state) -> (head, tail): the first n_local lanes OF EACH
+    SHARD stay live, the rest park — the mesh analog of
+    wavefront.state_split (uniform per-shard shapes keep shard_map
+    legal)."""
+    from opencl_path_tracer_tpu.models import wavefront
+
+    spec = wavefront_state_spec()
+    return jax.jit(shard_map(
+        lambda st: wavefront.state_split(st, n_local), mesh=mesh,
+        in_specs=(spec,), out_specs=(spec, spec),
+        check_vma=False,
+    ))
 
 
 def make_sample_sharded_render(cam: Camera, mats: MaterialsSoA,

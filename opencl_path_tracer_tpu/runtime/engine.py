@@ -610,19 +610,24 @@ class RenderEngine:
             )
         return self._steps[ck]
 
-    def _tiled_wf_step(self, iterations: int, target: int):
-        ck = ("wft", iterations, self.controller._cam_key, target)
+    def _tiled_wf_step(self, iterations: int, target: int,
+                       variance=None):
+        ck = ("wft", iterations, self.controller._cam_key, target,
+              variance)
         if ck not in self._steps:
             from opencl_path_tracer_tpu.parallel.shard import (
                 make_tiled_wavefront_step,
             )
             cam = self.controller.camera(self.cfg.width,
                                          self.cfg.height)
+            vkw = ({} if variance is None else
+                   dict(variance_tol=variance[0],
+                        min_samples=variance[1]))
             self._steps[ck] = make_tiled_wavefront_step(
                 cam, self.scene.mats, self.mesh,
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, max_samples=target,
-                env=self.env, nee=self.nee,
+                env=self.env, nee=self.nee, **vkw,
             )
         return self._steps[ck]
 
@@ -774,11 +779,19 @@ class RenderEngine:
 
     def render_adaptive(self, tol: float, max_spp: int,
                         min_spp: int = 8, progress: bool = True) -> None:
-        """Adaptive offline render (model='wavefront', single device):
-        every pixel gets min_spp..max_spp samples, idling once its
-        relative luminance SEM is within `tol`
+        """Adaptive offline render (model='wavefront'): every pixel
+        gets min_spp..max_spp samples, idling once its relative
+        luminance SEM is within `tol`
         (models.wavefront.converged_mask). The reference has no
-        adaptivity (every pixel gets every sample, prog.cl:379)."""
+        adaptivity (every pixel gets every sample, prog.cl:379).
+
+        Works single-device and mesh-sharded (cfg.devices > 1): the
+        stop rule is per-lane local; over a mesh, compaction sorts and
+        parks lanes PER SHARD (uniform shapes keep shard_map legal),
+        halving when even the busiest shard's open count allows. Lane
+        order is semantically free, so per-shard vs global parking
+        changes no lane's result — parity mode stays bit-identical to
+        the single-device adaptive render."""
         import jax.numpy as jnp
         from opencl_path_tracer_tpu.models import wavefront
 
@@ -788,17 +801,22 @@ class RenderEngine:
                 "pixel sample counts; the megakernel steps every "
                 "pixel in lockstep)"
             )
-        if self.mesh is not None:
-            raise ValueError(
-                "adaptive rendering is single-device for now (the "
-                "tiled wavefront step has no variance stop rule)"
-            )
         if self.controller._cam_key != self._wf_pose:
             self.reset_accumulation()
         cam = self.controller.camera(self.cfg.width, self.cfg.height)
         iters = self.controller.state.iterations
-        run = self._wf_step(iters, variance=(float(tol), int(min_spp)))
-        cap = jax.numpy.int32(max_spp)
+        variance = (float(tol), int(min_spp))
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        if self.mesh is None:
+            run_k = self._wf_step(iters, variance=variance)
+            cap = jax.numpy.int32(max_spp)
+        else:
+            from opencl_path_tracer_tpu.parallel.shard import (
+                make_shard_sort_open_first, make_shard_split,
+            )
+            tiled = self._tiled_wf_step(iters, max_spp,
+                                        variance=variance)
+            shard_sort = make_shard_sort_open_first(self.mesh)
         chunk = max(iters * 2, 8)
         max_steps = max_spp * iters + 16
         # Compaction: when few lanes are open, permute them to the
@@ -808,13 +826,17 @@ class RenderEngine:
         # lockstep machine — this is where adaptivity actually saves.
         live = self.state
         parked = []
-        bucket = live.samples.shape[0]
+        bucket = live.samples.shape[0] // n_dev  # per-shard lanes
         done = 0
         while done < max_steps:
             mask = wavefront.converged_mask(
                 live.samples, live.colors, live.lum_m2, tol, min_spp,
             ) | (live.samples >= max_spp)
-            n_open = int(jax.device_get(jnp.sum(~mask)))
+            # Halving decisions key on the BUSIEST shard (uniform
+            # per-shard shapes); single device = one "shard".
+            per_shard_open = jnp.sum(
+                (~mask).reshape(n_dev, -1), axis=1)
+            n_open = int(jax.device_get(jnp.max(per_shard_open)))
             if progress and done:
                 self.meter.tick(
                     int(jax.device_get(jnp.min(live.samples))),
@@ -828,14 +850,26 @@ class RenderEngine:
                    and target % 2 == 0):
                 target //= 2
             if target < bucket:
-                live = wavefront.sort_open_first(live, ~mask)
-                live, tail = wavefront.state_split(live, target)
+                if self.mesh is None:
+                    live = wavefront.sort_open_first(live, ~mask)
+                    live, tail = wavefront.state_split(live, target)
+                else:
+                    live = shard_sort(live, ~mask)
+                    sk = ("shard_split", target)
+                    if sk not in self._steps:
+                        self._steps[sk] = make_shard_split(
+                            self.mesh, target)
+                    live, tail = self._steps[sk](live)
                 parked.append(tail)
                 bucket = target
             k = min(chunk, max_steps - done)
-            live = run(live, cam, cap, k)
+            if self.mesh is None:
+                live = run_k(live, cam, cap, k)
+            else:
+                for _ in range(k):
+                    live, _lum = tiled(live)
             done += k
-            self._rays_traced += float(k * bucket)
+            self._rays_traced += float(k * bucket * n_dev)
         self.state = (wavefront.state_concat([live] + parked)
                       if parked else live)
         self._sample_host = int(

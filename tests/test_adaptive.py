@@ -144,3 +144,35 @@ def test_adaptive_spends_rays_where_variance_is():
     early = smp <= 4
     if capped.any() and early.any():
         assert var[capped].mean() > var[early].mean()
+
+def test_engine_adaptive_mesh_matches_single_device():
+    """Mesh-sharded adaptive render (per-shard compaction) is
+    bit-identical to the single-device adaptive render in parity
+    mode: open lanes step every step in both schemes regardless of
+    bucket membership, and per-lane parity streams travel with the
+    lane, so parking policy cannot change any lane's result."""
+    from opencl_path_tracer_tpu.config import RenderConfig
+    from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+    from opencl_path_tracer_tpu.scene import library as _lib
+
+    w, h = 32, 16
+    scene = _lib.cornell_box(with_spheres=True)
+
+    def run(devices):
+        cfg = RenderConfig(width=w, height=h, iterations=3, spp=12,
+                           mode="parity", model="wavefront",
+                           accel="bruteforce", devices=devices)
+        eng = RenderEngine(scene, cfg)
+        eng.render_adaptive(0.25, max_spp=12, min_spp=2,
+                            progress=False)
+        colors = wavefront.colors_by_pixel(eng.state, w * h)
+        smp = np.zeros(w * h, np.int32)
+        smp[np.asarray(eng.state.pixel)] = np.asarray(
+            eng.state.samples)
+        return np.asarray(colors), smp
+
+    c1, s1 = run(1)
+    c8, s8 = run(8)
+    np.testing.assert_array_equal(c1, c8)
+    np.testing.assert_array_equal(s1, s8)
+    assert s1.min() >= 2 and s1.max() <= 12 and s1.min() < s1.max()
