@@ -87,7 +87,7 @@ def cmd_render(args) -> int:
             accel=args.accel, accel_force=args.accel_force,
             smooth=args.smooth, textured=args.textured,
             model=args.model, devices=args.devices,
-            nee=args.nee,
+            nee=args.nee, rr_start=args.rr,
             env_light=args.env, env_sky=tuple(args.env_sky),
             env_deep=tuple(args.env_deep),
             camera=_camera_preset(args.scene, w, h, args),
@@ -389,6 +389,14 @@ def main(argv=None) -> int:
     p.add_argument("--min-spp", type=int, default=8,
                    help="adaptive floor: samples every pixel must "
                         "take before it may stop")
+    p.add_argument("--rr", type=int, default=None, metavar="START",
+                   help="Russian-roulette path termination (needs "
+                        "--model wavefront): after START bounces, "
+                        "paths survive with probability = their "
+                        "throughput (floored at 0.05), survivors "
+                        "compensate 1/p — same converged image, dim "
+                        "paths die early and lanes regenerate fresh "
+                        "samples immediately")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("view", help="headless interactive loop")

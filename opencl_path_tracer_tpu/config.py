@@ -87,6 +87,15 @@ class RenderConfig:
     env_light: bool = False
     env_sky: tuple[float, float, float] = (0.0, 0.75, 2.0)
     env_deep: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Russian-roulette path termination (framework extension,
+    # wavefront model only): after this many bounces, continuing paths
+    # survive with probability max-channel-throughput (floored at
+    # rr_pmin) and survivors compensate by 1/p — same depth-capped
+    # converged image, but dim paths die early and their lanes
+    # regenerate fresh samples immediately (samples/sec win on a
+    # lockstep machine). None = reference behavior (fixed depth).
+    rr_start: int | None = None
+    rr_pmin: float = 0.05
     # Next-event estimation (framework extension, ops/nee.py): gather
     # direct light at every diffuse vertex via one shadow ray and
     # suppress the double-counted emitter pickup. Same converged image
@@ -122,6 +131,17 @@ class RenderConfig:
             raise ValueError("devices must be >= 0 (0 = all)")
         if len(self.env_sky) != 3 or len(self.env_deep) != 3:
             raise ValueError("env_sky/env_deep must be RGB 3-tuples")
+        if self.rr_start is not None:
+            if self.model != "wavefront":
+                raise ValueError(
+                    "rr_start needs model='wavefront' (the megakernel "
+                    "runs its fixed bounce loop in lockstep — roulette "
+                    "there adds variance and saves nothing)"
+                )
+            if self.rr_start < 1:
+                raise ValueError("rr_start must be >= 1")
+            if not (0.0 < self.rr_pmin <= 1.0):
+                raise ValueError("rr_pmin must be in (0, 1]")
         return self
 
     def to_json(self) -> str:

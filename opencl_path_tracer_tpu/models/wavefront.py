@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from opencl_path_tracer_tpu.core.camera import Camera
 from opencl_path_tracer_tpu.core.materials import MaterialsSoA
 from opencl_path_tracer_tpu.core.types import (
-    Rays, V3, vadd, vwhere,
+    Rays, V3, vadd, vscale, vwhere,
 )
 from opencl_path_tracer_tpu.models.megakernel import (
     _draws_parity, apply_factors, fetch_material, shade,
@@ -217,6 +217,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
                    ids: jnp.ndarray | None = None,
                    sort_every: int = 0,
                    scene_bounds=None, env=None, nee=None,
+                   rr: tuple[int, float] | None = None,
                    variance_tol: float | None = None,
                    min_samples: int = 8) -> WavefrontState:
     """One wavefront step: intersect every live lane once, shade,
@@ -242,6 +243,20 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     parity-mode Lehmer streams stay reference-exact but the gathered
     term varies under lane permutations (sort_every / compaction) —
     unbiased either way.
+
+    rr: optional (start_bounce, p_min) — RUSSIAN ROULETTE path
+    termination: after `start_bounce` completed bounces, a continuing
+    path survives each further bounce with probability
+    p = clip(max_channel((f_l+f_b) f_s f_r), p_min, 1) and survivors
+    scale their throughput by 1/p, so the estimator still converges
+    to the SAME depth-capped image as rr=None (each pickup term's
+    expectation is preserved). Dim paths die early and their lanes
+    REGENERATE fresh samples immediately — on a lockstep machine this
+    converts pruned bounces directly into samples/sec (the megakernel
+    model deliberately has no rr: its lanes run the fixed fori_loop
+    regardless, so roulette would add variance and save nothing).
+    Roulette draws ride the independent counter-hash stream (parity
+    Lehmer streams stay reference-exact).
 
     variance_tol: enable ADAPTIVE SAMPLING — track per-pixel Welford
     M2 of completed-sample luminance and idle pixels once
@@ -339,6 +354,24 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     bounce = jnp.where(active, st.bounce + 1, st.bounce)
     terminated = active & (~hit.valid | (bounce >= iterations))
 
+    if rr is not None:
+        start, pmin = rr
+        continuing = active & hit.valid & (bounce < iterations)
+        # Survival probability from the post-bounce pickup throughput
+        # (max channel of the weight every future pickup multiplies).
+        w_lb = vadd(f_l, f_b)
+        thr = tuple(w_lb[k] * f_s[k] * f_r[k] for k in range(3))
+        p = jnp.clip(jnp.maximum(jnp.maximum(thr[0], thr[1]), thr[2]),
+                     pmin, 1.0)
+        rr_key = key if key is not None else jax.random.key(2791)
+        u = rng.fast_uniforms(rr_key, st.step, 3, (n,), 1)[0]
+        gate = continuing & (bounce >= start)
+        dead = gate & (u >= p)
+        # Survivors compensate: scaling any one factor scales every
+        # future pickup term uniformly ((f_l+f_b) f_s f_r products).
+        f_s = vscale(f_s, jnp.where(gate & ~dead, 1.0 / p, 1.0))
+        terminated = terminated | dead
+
     # --- fold finished samples into the running average (prog.cl:379)
     s_f = st.samples.astype(jnp.float32)
     inv = 1.0 / (s_f + 1.0)
@@ -407,7 +440,7 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
                      max_extra_steps: int = 1_000_000,
                      exact_spp: bool = False,
                      ids: jnp.ndarray | None = None,
-                     env=None, nee=None) -> WavefrontState:
+                     env=None, nee=None, rr=None) -> WavefrontState:
     """Run wavefront steps until every pixel has >= min_spp samples.
 
     exact_spp=True caps every pixel at exactly min_spp samples (lanes
@@ -422,7 +455,7 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
     step = jax.jit(lambda st: wavefront_step(
         cam, mats, st, intersect_fn=intersect_fn,
         iterations=iterations, mode=mode, key=key, max_samples=cap,
-        ids=ids, env=env, nee=nee,
+        ids=ids, env=env, nee=nee, rr=rr,
     ))
     # Fixed-size macro-steps between host-side convergence checks.
     chunk = max(iterations * 2, 8)
@@ -482,7 +515,7 @@ def state_concat(parts) -> WavefrontState:
 def render_adaptive(cam, mats, *, intersect_fn, num_pixels,
                     iterations, tol: float, max_spp: int,
                     min_spp: int = 8, mode="fast", seed=1, key=None,
-                    env=None, nee=None, compact: bool = True,
+                    env=None, nee=None, rr=None, compact: bool = True,
                     min_bucket: int = 4096,
                     max_extra_steps: int = 1_000_000) -> WavefrontState:
     """Adaptive render: every pixel gets between min_spp and max_spp
@@ -507,7 +540,7 @@ def render_adaptive(cam, mats, *, intersect_fn, num_pixels,
     step = jax.jit(lambda st: wavefront_step(
         cam, mats, st, intersect_fn=intersect_fn,
         iterations=iterations, mode=mode, key=key,
-        max_samples=max_spp, env=env, nee=nee,
+        max_samples=max_spp, env=env, nee=nee, rr=rr,
         variance_tol=tol, min_samples=min_spp,
     ))
     chunk = max(iterations * 2, 8)

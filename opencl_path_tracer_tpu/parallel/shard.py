@@ -109,7 +109,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
                               mesh: Mesh, *, intersect_fn,
                               iterations: int, mode: str = "parity",
                               key=None, max_samples: int | None = None,
-                              env=None, nee=None,
+                              env=None, nee=None, rr=None,
                               variance_tol: float | None = None,
                               min_samples: int = 8):
     """One wavefront step (the flagship perf model), lane axis tiled
@@ -134,7 +134,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
         new = wavefront.wavefront_step(
             cam, mats, state, intersect_fn=intersect_fn,
             iterations=iterations, mode=mode, key=key,
-            max_samples=max_samples, env=env, nee=nee,
+            max_samples=max_samples, env=env, nee=nee, rr=rr,
             variance_tol=variance_tol, min_samples=min_samples,
         )
         lum = jax.lax.psum(

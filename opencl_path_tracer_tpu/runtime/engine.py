@@ -466,6 +466,10 @@ class RenderEngine:
             )
         else:
             self.nee = None
+        # Russian-roulette config (wavefront only; config.validate
+        # enforces the model).
+        self.rr = ((config.rr_start, config.rr_pmin)
+                   if config.rr_start is not None else None)
         if config.devices != 1:
             from opencl_path_tracer_tpu.parallel.mesh import (
                 make_render_mesh,
@@ -572,7 +576,7 @@ class RenderEngine:
                         intersect_fn=self.intersect_fn,
                         iterations=iterations, mode=mode, key=key,
                         max_samples=cap, env=self.env,
-                        nee=self.nee, **vkw,
+                        nee=self.nee, rr=self.rr, **vkw,
                     )
                 return jax.lax.fori_loop(0, k, body, state)
 
@@ -627,7 +631,7 @@ class RenderEngine:
                 cam, self.scene.mats, self.mesh,
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, max_samples=target,
-                env=self.env, nee=self.nee, **vkw,
+                env=self.env, nee=self.nee, rr=self.rr, **vkw,
             )
         return self._steps[ck]
 
