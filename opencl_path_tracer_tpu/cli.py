@@ -87,7 +87,7 @@ def cmd_render(args) -> int:
             accel=args.accel, accel_force=args.accel_force,
             smooth=args.smooth, textured=args.textured,
             model=args.model, devices=args.devices,
-            nee=args.nee, rr_start=args.rr,
+            nee=args.nee, rr_start=args.rr, qmc=args.qmc,
             env_light=args.env, env_sky=tuple(args.env_sky),
             env_deep=tuple(args.env_deep),
             camera=_camera_preset(args.scene, w, h, args),
@@ -179,7 +179,7 @@ def cmd_view(args) -> int:
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
-        nee=args.nee,
+        nee=args.nee, qmc=args.qmc,
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
@@ -208,7 +208,7 @@ def cmd_serve(args) -> int:
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
-        nee=args.nee,
+        nee=args.nee, qmc=args.qmc,
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
@@ -248,7 +248,7 @@ def cmd_anim(args) -> int:
         seed=args.seed, accel=args.accel,
         accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
-        nee=args.nee,
+        nee=args.nee, qmc=args.qmc,
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
@@ -327,6 +327,10 @@ def main(argv=None) -> int:
                             "bound textures — e.g. an OBJ whose MTL "
                             "has PNG map_Kd entries — and the same "
                             "ids-reporting accels as --smooth)")
+        p.add_argument("--qmc", action="store_true",
+                       help="low-discrepancy camera jitter (R2 "
+                            "sequence per pixel; fast mode only) — "
+                            "QMC-class anti-aliasing convergence")
         p.add_argument("--nee", action="store_true",
                        help="next-event estimation: gather direct "
                             "light at diffuse vertices via shadow "

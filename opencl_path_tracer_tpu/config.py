@@ -87,6 +87,12 @@ class RenderConfig:
     env_light: bool = False
     env_sky: tuple[float, float, float] = (0.0, 0.75, 2.0)
     env_deep: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Low-discrepancy camera jitter (framework extension, fast mode):
+    # each pixel's sample sequence walks a Cranley-Patterson-rotated
+    # R2 point set (ops.rng.r2_jitter) instead of hash draws —
+    # QMC-class footprint coverage for anti-aliasing. Same converged
+    # image; parity mode refuses it (the Lehmer stream IS the spec).
+    qmc: bool = False
     # Russian-roulette path termination (framework extension,
     # wavefront model only): after this many bounces, continuing paths
     # survive with probability max-channel-throughput (floored at
@@ -131,6 +137,11 @@ class RenderConfig:
             raise ValueError("devices must be >= 0 (0 = all)")
         if len(self.env_sky) != 3 or len(self.env_deep) != 3:
             raise ValueError("env_sky/env_deep must be RGB 3-tuples")
+        if self.qmc and self.mode != "fast":
+            raise ValueError(
+                "qmc needs mode='fast' (parity mode's per-pixel "
+                "Lehmer draws are the reference spec)"
+            )
         if self.rr_start is not None:
             if self.model != "wavefront":
                 raise ValueError(

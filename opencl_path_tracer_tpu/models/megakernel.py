@@ -247,6 +247,7 @@ def trace_sample(
     with_stats: bool = False,
     env: EnvLight | None = None,
     nee=None,
+    qmc: bool = False,
 ):
     """Render ONE progressive sample for every pixel and fold it into the
     running average (prog.cl:379). `iterations` is the bounce depth
@@ -285,8 +286,16 @@ def trace_sample(
         )
     else:
         tile_key = jax.random.fold_in(key, ids[0].astype(jnp.uint32))
-        u = rng.fast_uniforms(tile_key, s_idx, 0, (n,), 2)
-        r1, r2 = u[0], u[1]
+        if qmc:
+            # Low-discrepancy pixel jitter (rng.r2_jitter): each
+            # pixel's sample sequence is an R2 point set — O(1/N)
+            # footprint coverage where the hash engine gives
+            # O(1/sqrt(N)). Keyed on GLOBAL pixel id, so tiling and
+            # sharding cannot change any pixel's sequence.
+            r1, r2 = rng.r2_jitter(key, ids, s_idx)
+        else:
+            u = rng.fast_uniforms(tile_key, s_idx, 0, (n,), 2)
+            r1, r2 = u[0], u[1]
         rng_state = state.rng_state
     rays = raygen.camera_rays(cam, ids, r1, r2)
 
@@ -397,14 +406,15 @@ def trace_sample(
 
 
 def make_sample_step(cam, mats, *, intersect_fn, iterations, mode="parity",
-                     key=None, env: EnvLight | None = None, nee=None):
+                     key=None, env: EnvLight | None = None, nee=None,
+                     qmc: bool = False):
     """A jitted state -> state progressive step (one sample/pixel)."""
     @jax.jit
     def step(state: TraceState) -> TraceState:
         return trace_sample(
             cam, mats, state,
             intersect_fn=intersect_fn, iterations=iterations,
-            mode=mode, key=key, env=env, nee=nee,
+            mode=mode, key=key, env=env, nee=nee, qmc=qmc,
         )
     return step
 
@@ -412,7 +422,8 @@ def make_sample_step(cam, mats, *, intersect_fn, iterations, mode="parity",
 def render(cam, mats, *, intersect_fn, num_pixels, iterations, spp,
            mode="parity", seed=1, key=None,
            state: TraceState | None = None,
-           env: EnvLight | None = None, nee=None) -> TraceState:
+           env: EnvLight | None = None, nee=None,
+           qmc: bool = False) -> TraceState:
     """Accumulate `spp` progressive samples (the onIdle loop,
     main.cpp:1171-1241, minus interactivity)."""
     if state is None:
@@ -421,7 +432,7 @@ def render(cam, mats, *, intersect_fn, num_pixels, iterations, spp,
         key = jax.random.key(seed)
     step = make_sample_step(
         cam, mats, intersect_fn=intersect_fn, iterations=iterations,
-        mode=mode, key=key, env=env, nee=nee,
+        mode=mode, key=key, env=env, nee=nee, qmc=qmc,
     )
     for _ in range(spp):
         state = step(state)

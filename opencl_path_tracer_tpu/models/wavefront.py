@@ -95,7 +95,8 @@ class WavefrontState:
 
 def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
                    mode: str = "parity", key=None,
-                   ids: jnp.ndarray | None = None) -> WavefrontState:
+                   ids: jnp.ndarray | None = None,
+                   qmc: bool = False) -> WavefrontState:
     """ids: optional pixel-id permutation — pass raygen.tile_major_ids to
     process pixels in square screen tiles (tighter ray-bundle bounds for
     the cluster intersector). Lane j of every state array then belongs
@@ -110,6 +111,8 @@ def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
         rng_state, r1, r2 = _draws_parity(
             rng_state, jnp.ones((n,), bool), jnp.ones((n,), bool)
         )
+    elif qmc:
+        r1, r2 = rng.r2_jitter(key, ids, 0)
     else:
         u = rng.fast_uniforms(key, 0, 0, (n,), 2)
         r1, r2 = u[0], u[1]
@@ -218,6 +221,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
                    sort_every: int = 0,
                    scene_bounds=None, env=None, nee=None,
                    rr: tuple[int, float] | None = None,
+                   qmc: bool = False,
                    variance_tol: float | None = None,
                    min_samples: int = 8) -> WavefrontState:
     """One wavefront step: intersect every live lane once, shade,
@@ -405,6 +409,13 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         rng_state, g1, g2 = _draws_parity(
             rng_state, terminated, terminated
         )
+    elif qmc:
+        # Low-discrepancy pixel jitter: the fresh ray starts sample
+        # number `samples` (0-based), so each pixel's camera jitters
+        # walk ITS OWN R2 sequence regardless of when its lane
+        # regenerates (rng.r2_jitter is stateless in
+        # (pixel, sample index)).
+        g1, g2 = rng.r2_jitter(key, st.pixel, samples)
     else:
         u = rng.fast_uniforms(key, st.step, 1, (n,), 2)
         g1, g2 = u[0], u[1]
@@ -440,7 +451,8 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
                      max_extra_steps: int = 1_000_000,
                      exact_spp: bool = False,
                      ids: jnp.ndarray | None = None,
-                     env=None, nee=None, rr=None) -> WavefrontState:
+                     env=None, nee=None, rr=None,
+                     qmc: bool = False) -> WavefrontState:
     """Run wavefront steps until every pixel has >= min_spp samples.
 
     exact_spp=True caps every pixel at exactly min_spp samples (lanes
@@ -449,13 +461,13 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
     if mode == "fast" and key is None:
         key = jax.random.key(seed)
     state = init_wavefront(cam, num_pixels, seed=seed, mode=mode,
-                           key=key, ids=ids)
+                           key=key, ids=ids, qmc=qmc)
     cap = min_spp if exact_spp else None
 
     step = jax.jit(lambda st: wavefront_step(
         cam, mats, st, intersect_fn=intersect_fn,
         iterations=iterations, mode=mode, key=key, max_samples=cap,
-        ids=ids, env=env, nee=nee, rr=rr,
+        ids=ids, env=env, nee=nee, rr=rr, qmc=qmc,
     ))
     # Fixed-size macro-steps between host-side convergence checks.
     chunk = max(iterations * 2, 8)
@@ -515,7 +527,8 @@ def state_concat(parts) -> WavefrontState:
 def render_adaptive(cam, mats, *, intersect_fn, num_pixels,
                     iterations, tol: float, max_spp: int,
                     min_spp: int = 8, mode="fast", seed=1, key=None,
-                    env=None, nee=None, rr=None, compact: bool = True,
+                    env=None, nee=None, rr=None, qmc: bool = False,
+                    compact: bool = True,
                     min_bucket: int = 4096,
                     max_extra_steps: int = 1_000_000) -> WavefrontState:
     """Adaptive render: every pixel gets between min_spp and max_spp
@@ -536,14 +549,17 @@ def render_adaptive(cam, mats, *, intersect_fn, num_pixels,
     if mode == "fast" and key is None:
         key = jax.random.key(seed)
     state = init_wavefront(cam, num_pixels, seed=seed, mode=mode,
-                           key=key)
+                           key=key, qmc=qmc)
     step = jax.jit(lambda st: wavefront_step(
         cam, mats, st, intersect_fn=intersect_fn,
         iterations=iterations, mode=mode, key=key,
-        max_samples=max_spp, env=env, nee=nee, rr=rr,
+        max_samples=max_spp, env=env, nee=nee, rr=rr, qmc=qmc,
         variance_tol=tol, min_samples=min_spp,
     ))
-    chunk = max(iterations * 2, 8)
+    # Every convergence check is a host round-trip; ~6 samples' worth
+    # of steps between checks bounds the sync tax (see
+    # RenderEngine.render_adaptive).
+    chunk = max(iterations * 6, 24)
     parked = []
     bucket = num_pixels
     for _ in range(max_extra_steps):

@@ -148,6 +148,35 @@ def fast_uniforms(key: jax.Array, sample: jnp.ndarray, bounce,
     )
 
 
+# QMC: the R2 low-discrepancy sequence (additive recurrence on the
+# plastic constant's powers, Roberts 2018) with a per-pixel
+# Cranley-Patterson rotation. Used for the camera's 2-D pixel jitter
+# in fast mode (--qmc): each pixel's sample sequence covers its
+# footprint with O(1/N)-class discrepancy instead of the hash
+# engine's O(1/sqrt(N)), which is exactly the noise that dominates
+# edge/lamp pixels. Arithmetic is uint32 FIXED POINT — wraparound IS
+# the fract(), exact at any sample index (f32 fract degrades past
+# s ~ 10^4).
+_R2_A1 = np.uint32(3242174889)  # round(2^32 / phi2),   phi2 = plastic
+_R2_A2 = np.uint32(2447445413)  # round(2^32 / phi2^2)  constant
+
+
+def r2_jitter(key: jax.Array, pixel_ids: jnp.ndarray, sample):
+    """(u, v) in [0,1): sample-th R2 point of each pixel's rotated
+    sequence. Stateless in (key, pixel id, sample index) — sharding /
+    regeneration order can't change any pixel's sequence."""
+    kd = jnp.ravel(jax.random.key_data(key)).astype(jnp.uint32)
+    p = pixel_ids.astype(jnp.uint32)
+    rot1 = _fmix32(p * _GOLD + kd[0])
+    rot2 = _fmix32(rot1 ^ kd[-1] ^ _M2)
+    s = jnp.asarray(sample, jnp.uint32)
+    u = rot1 + s * _R2_A1
+    v = rot2 + s * _R2_A2
+    to_f = np.float32(1.0 / (1 << 24))
+    return ((u >> np.uint32(8)).astype(jnp.float32) * to_f,
+            (v >> np.uint32(8)).astype(jnp.float32) * to_f)
+
+
 # Pure-python oracle used by unit tests (closed-form Lehmer).
 def lehmer_reference_sequence(state: int, n: int) -> list[int]:
     out = []

@@ -490,6 +490,7 @@ class RenderEngine:
             self.state = wavefront.init_wavefront(
                 cam0, self.num_pixels,
                 seed=config.seed, mode=config.mode, key=self._key,
+                qmc=config.qmc,
             )
             self._wf_pose = self.controller._cam_key
         else:
@@ -526,7 +527,7 @@ class RenderEngine:
                     cam, self.scene.mats, state,
                     intersect_fn=self.intersect_fn,
                     iterations=iterations, mode=mode, key=key,
-                    env=self.env, nee=self.nee,
+                    env=self.env, nee=self.nee, qmc=self.cfg.qmc,
                 )
 
             # Lift scene packs to runtime args: closure-captured packs
@@ -576,7 +577,8 @@ class RenderEngine:
                         intersect_fn=self.intersect_fn,
                         iterations=iterations, mode=mode, key=key,
                         max_samples=cap, env=self.env,
-                        nee=self.nee, rr=self.rr, **vkw,
+                        nee=self.nee, rr=self.rr, qmc=self.cfg.qmc,
+                        **vkw,
                     )
                 return jax.lax.fori_loop(0, k, body, state)
 
@@ -610,7 +612,7 @@ class RenderEngine:
                 cam, self.scene.mats, self.mesh,
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, env=self.env,
-                nee=self.nee,
+                nee=self.nee, qmc=self.cfg.qmc,
             )
         return self._steps[ck]
 
@@ -631,7 +633,8 @@ class RenderEngine:
                 cam, self.scene.mats, self.mesh,
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, max_samples=target,
-                env=self.env, nee=self.nee, rr=self.rr, **vkw,
+                env=self.env, nee=self.nee, rr=self.rr,
+                qmc=self.cfg.qmc, **vkw,
             )
         return self._steps[ck]
 
@@ -821,8 +824,15 @@ class RenderEngine:
             tiled = self._tiled_wf_step(iters, max_spp,
                                         variance=variance)
             shard_sort = make_shard_sort_open_first(self.mesh)
-        chunk = max(iters * 2, 8)
-        max_steps = max_spp * iters + 16
+        # Convergence-check cadence: every check costs a host
+        # round-trip (per-shard open counts) — through a tunneled TPU
+        # backend that RTT dominates small-frame adaptive renders
+        # (measured, docs/BENCHMARKS.md session 10). ~6 samples'
+        # worth of steps between checks keeps the sync count ~40 for
+        # a 256-spp render; parking a handful of steps later than
+        # optimal is negligible next to that.
+        chunk = max(iters * 6, 24)
+        max_steps = max_spp * iters + chunk
         # Compaction: when few lanes are open, permute them to the
         # front and halve the live bucket (jit retraces once per
         # power-of-two size); the converged tail parks untouched.
@@ -889,7 +899,7 @@ class RenderEngine:
                                          self.cfg.height)
             self.state = wavefront.init_wavefront(
                 cam, self.num_pixels, seed=self.cfg.seed,
-                mode=self.cfg.mode, key=self._key,
+                mode=self.cfg.mode, key=self._key, qmc=self.cfg.qmc,
             )
             self._wf_pose = self.controller._cam_key
             self._sample_host = 0
