@@ -17,6 +17,7 @@ def _isect(scene):
                              tris=scene.tris)
 
 
+@pytest.mark.slow
 def test_welford_m2_matches_numpy_variance():
     """lum_m2 after n completed samples equals numpy's sum of squared
     deviations of the per-sample luminances (reconstructed from the
@@ -66,6 +67,7 @@ def test_welford_m2_matches_numpy_variance():
     np.testing.assert_allclose(got, expected_m2, rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_adaptive_compaction_bit_equal_parity():
     """Parity mode: compaction on == compaction off, bit for bit
     (lane order is free; per-lane streams travel with the lane)."""
@@ -145,6 +147,7 @@ def test_adaptive_spends_rays_where_variance_is():
     if capped.any() and early.any():
         assert var[capped].mean() > var[early].mean()
 
+@pytest.mark.slow
 def test_engine_adaptive_mesh_matches_single_device():
     """Mesh-sharded adaptive render (per-shard compaction) is
     bit-identical to the single-device adaptive render in parity

@@ -144,6 +144,7 @@ def test_estimator_equality_and_variance_reduction():
     assert nee_dev < 0.3 * base_dev, (nee_dev, base_dev)
 
 
+@pytest.mark.slow
 def test_wavefront_nee_matches_megakernel_nee():
     """wavefront_step's NEE wiring (gather + prev_diff suppression
     across regenerated samples, multi-bounce) agrees with the

@@ -53,6 +53,7 @@ def test_r2_integrates_smooth_function_faster():
     assert err_qmc < 0.25 * err_prng, (err_qmc, err_prng)
 
 
+@pytest.mark.slow
 def test_qmc_preview_converges_faster():
     """Preview mode (iterations=1) integrates flat shading over the
     pixel footprint — the pure anti-aliasing workload. QMC at 32 spp

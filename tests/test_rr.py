@@ -17,6 +17,7 @@ def _isect(scene):
                              tris=scene.tris)
 
 
+@pytest.mark.slow
 def test_rr_matches_base_statistically():
     """RR estimates the SAME depth-capped image: dim-pixel means agree
     (1/p compensation preserves every pickup term's expectation)."""
@@ -59,6 +60,7 @@ def test_rr_shortens_paths():
     assert rr > base * 1.1, (base, rr)
 
 
+@pytest.mark.slow
 def test_rr_composes_with_nee():
     w = h = 8
     scene = library.cornell_box(with_spheres=False)
