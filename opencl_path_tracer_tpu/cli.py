@@ -88,6 +88,8 @@ def cmd_render(args) -> int:
             smooth=args.smooth, textured=args.textured,
             model=args.model, devices=args.devices,
             nee=args.nee, rr_start=args.rr, qmc=args.qmc,
+            dof_aperture=(args.dof[0] if args.dof else 0.0),
+            dof_focus=(args.dof[1] if args.dof else 0.0),
             env_light=args.env, env_sky=tuple(args.env_sky),
             env_deep=tuple(args.env_deep),
             camera=_camera_preset(args.scene, w, h, args),
@@ -180,6 +182,8 @@ def cmd_view(args) -> int:
         accel=args.accel, accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
         nee=args.nee, qmc=args.qmc,
+        dof_aperture=(args.dof[0] if args.dof else 0.0),
+        dof_focus=(args.dof[1] if args.dof else 0.0),
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
@@ -209,6 +213,8 @@ def cmd_serve(args) -> int:
         accel=args.accel, accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
         nee=args.nee, qmc=args.qmc,
+        dof_aperture=(args.dof[0] if args.dof else 0.0),
+        dof_focus=(args.dof[1] if args.dof else 0.0),
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
@@ -249,6 +255,8 @@ def cmd_anim(args) -> int:
         accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
         nee=args.nee, qmc=args.qmc,
+        dof_aperture=(args.dof[0] if args.dof else 0.0),
+        dof_focus=(args.dof[1] if args.dof else 0.0),
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
         camera=_camera_preset(args.scene, w, h, args),
@@ -327,6 +335,11 @@ def main(argv=None) -> int:
                             "bound textures — e.g. an OBJ whose MTL "
                             "has PNG map_Kd entries — and the same "
                             "ids-reporting accels as --smooth)")
+        p.add_argument("--dof", type=float, nargs=2, default=None,
+                       metavar=("APERTURE", "FOCUS"),
+                       help="thin-lens depth of field: lens radius "
+                            "and focal-plane distance (world units; "
+                            "the reference camera is a pure pinhole)")
         p.add_argument("--qmc", action="store_true",
                        help="low-discrepancy camera jitter (R2 "
                             "sequence per pixel; fast mode only) — "

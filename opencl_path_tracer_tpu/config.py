@@ -87,6 +87,12 @@ class RenderConfig:
     env_light: bool = False
     env_sky: tuple[float, float, float] = (0.0, 0.75, 2.0)
     env_deep: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Thin-lens depth of field (framework extension; the reference
+    # camera is a pure pinhole, prog.cl:82-92): lens radius in world
+    # units and focal-plane distance along the view axis. aperture 0
+    # = pinhole (exact reference rays).
+    dof_aperture: float = 0.0
+    dof_focus: float = 0.0
     # Low-discrepancy camera jitter (framework extension, fast mode):
     # each pixel's sample sequence walks a Cranley-Patterson-rotated
     # R2 point set (ops.rng.r2_jitter) instead of hash draws —
@@ -137,6 +143,13 @@ class RenderConfig:
             raise ValueError("devices must be >= 0 (0 = all)")
         if len(self.env_sky) != 3 or len(self.env_deep) != 3:
             raise ValueError("env_sky/env_deep must be RGB 3-tuples")
+        if self.dof_aperture < 0.0:
+            raise ValueError("dof_aperture must be >= 0")
+        if self.dof_aperture > 0.0 and self.dof_focus <= 0.0:
+            raise ValueError(
+                "dof_aperture > 0 needs dof_focus > 0 (the "
+                "focal-plane distance in world units)"
+            )
         if self.qmc and self.mode != "fast":
             raise ValueError(
                 "qmc needs mode='fast' (parity mode's per-pixel "

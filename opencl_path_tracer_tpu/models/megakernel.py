@@ -248,6 +248,7 @@ def trace_sample(
     env: EnvLight | None = None,
     nee=None,
     qmc: bool = False,
+    dof: tuple[float, float] | None = None,
 ):
     """Render ONE progressive sample for every pixel and fold it into the
     running average (prog.cl:379). `iterations` is the bounce depth
@@ -297,7 +298,18 @@ def trace_sample(
             u = rng.fast_uniforms(tile_key, s_idx, 0, (n,), 2)
             r1, r2 = u[0], u[1]
         rng_state = state.rng_state
-    rays = raygen.camera_rays(cam, ids, r1, r2)
+    if dof is not None:
+        # Thin-lens primary rays (raygen.camera_rays_dof). Lens draws
+        # ride the independent counter-hash stream so parity mode's
+        # Lehmer sequences stay reference-exact.
+        dof_key = jax.random.fold_in(
+            key if key is not None else jax.random.key(401),
+            ids[0].astype(jnp.uint32))
+        lu = rng.fast_uniforms(dof_key, s_idx, 31, (n,), 2)
+        rays = raygen.camera_rays_dof(cam, ids, r1, r2, lu[0], lu[1],
+                                      dof[0], dof[1])
+    else:
+        rays = raygen.camera_rays(cam, ids, r1, r2)
 
     ones = tuple(jnp.ones((n,), jnp.float32) for _ in range(3))
     zeros = tuple(jnp.zeros((n,), jnp.float32) for _ in range(3))
@@ -407,14 +419,14 @@ def trace_sample(
 
 def make_sample_step(cam, mats, *, intersect_fn, iterations, mode="parity",
                      key=None, env: EnvLight | None = None, nee=None,
-                     qmc: bool = False):
+                     qmc: bool = False, dof=None):
     """A jitted state -> state progressive step (one sample/pixel)."""
     @jax.jit
     def step(state: TraceState) -> TraceState:
         return trace_sample(
             cam, mats, state,
             intersect_fn=intersect_fn, iterations=iterations,
-            mode=mode, key=key, env=env, nee=nee, qmc=qmc,
+            mode=mode, key=key, env=env, nee=nee, qmc=qmc, dof=dof,
         )
     return step
 
@@ -423,7 +435,7 @@ def render(cam, mats, *, intersect_fn, num_pixels, iterations, spp,
            mode="parity", seed=1, key=None,
            state: TraceState | None = None,
            env: EnvLight | None = None, nee=None,
-           qmc: bool = False) -> TraceState:
+           qmc: bool = False, dof=None) -> TraceState:
     """Accumulate `spp` progressive samples (the onIdle loop,
     main.cpp:1171-1241, minus interactivity)."""
     if state is None:
@@ -432,7 +444,7 @@ def render(cam, mats, *, intersect_fn, num_pixels, iterations, spp,
         key = jax.random.key(seed)
     step = make_sample_step(
         cam, mats, intersect_fn=intersect_fn, iterations=iterations,
-        mode=mode, key=key, env=env, nee=nee, qmc=qmc,
+        mode=mode, key=key, env=env, nee=nee, qmc=qmc, dof=dof,
     )
     for _ in range(spp):
         state = step(state)

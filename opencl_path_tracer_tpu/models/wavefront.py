@@ -96,7 +96,7 @@ class WavefrontState:
 def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
                    mode: str = "parity", key=None,
                    ids: jnp.ndarray | None = None,
-                   qmc: bool = False) -> WavefrontState:
+                   qmc: bool = False, dof=None) -> WavefrontState:
     """ids: optional pixel-id permutation — pass raygen.tile_major_ids to
     process pixels in square screen tiles (tighter ray-bundle bounds for
     the cluster intersector). Lane j of every state array then belongs
@@ -116,7 +116,13 @@ def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
     else:
         u = rng.fast_uniforms(key, 0, 0, (n,), 2)
         r1, r2 = u[0], u[1]
-    rays = raygen.camera_rays(cam, ids, r1, r2)
+    if dof is not None:
+        dkey = key if key is not None else jax.random.key(401)
+        lu = rng.fast_uniforms(dkey, 0, 4, (n,), 2)
+        rays = raygen.camera_rays_dof(cam, ids, r1, r2, lu[0], lu[1],
+                                      dof[0], dof[1])
+    else:
+        rays = raygen.camera_rays(cam, ids, r1, r2)
     ones = tuple(jnp.ones((n,), jnp.float32) for _ in range(3))
     zeros = tuple(jnp.zeros((n,), jnp.float32) for _ in range(3))
     return WavefrontState(
@@ -221,7 +227,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
                    sort_every: int = 0,
                    scene_bounds=None, env=None, nee=None,
                    rr: tuple[int, float] | None = None,
-                   qmc: bool = False,
+                   qmc: bool = False, dof=None,
                    variance_tol: float | None = None,
                    min_samples: int = 8) -> WavefrontState:
     """One wavefront step: intersect every live lane once, shade,
@@ -419,7 +425,13 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     else:
         u = rng.fast_uniforms(key, st.step, 1, (n,), 2)
         g1, g2 = u[0], u[1]
-    fresh = raygen.camera_rays(cam, ids, g1, g2)
+    if dof is not None:
+        dkey = key if key is not None else jax.random.key(401)
+        lu = rng.fast_uniforms(dkey, st.step, 4, (n,), 2)
+        fresh = raygen.camera_rays_dof(cam, ids, g1, g2, lu[0], lu[1],
+                                       dof[0], dof[1])
+    else:
+        fresh = raygen.camera_rays(cam, ids, g1, g2)
 
     ones = tuple(jnp.ones((n,), jnp.float32) for _ in range(3))
     zeros = tuple(jnp.zeros((n,), jnp.float32) for _ in range(3))
@@ -452,7 +464,7 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
                      exact_spp: bool = False,
                      ids: jnp.ndarray | None = None,
                      env=None, nee=None, rr=None,
-                     qmc: bool = False) -> WavefrontState:
+                     qmc: bool = False, dof=None) -> WavefrontState:
     """Run wavefront steps until every pixel has >= min_spp samples.
 
     exact_spp=True caps every pixel at exactly min_spp samples (lanes
@@ -461,13 +473,13 @@ def render_wavefront(cam, mats, *, intersect_fn, num_pixels, iterations,
     if mode == "fast" and key is None:
         key = jax.random.key(seed)
     state = init_wavefront(cam, num_pixels, seed=seed, mode=mode,
-                           key=key, ids=ids, qmc=qmc)
+                           key=key, ids=ids, qmc=qmc, dof=dof)
     cap = min_spp if exact_spp else None
 
     step = jax.jit(lambda st: wavefront_step(
         cam, mats, st, intersect_fn=intersect_fn,
         iterations=iterations, mode=mode, key=key, max_samples=cap,
-        ids=ids, env=env, nee=nee, rr=rr, qmc=qmc,
+        ids=ids, env=env, nee=nee, rr=rr, qmc=qmc, dof=dof,
     ))
     # Fixed-size macro-steps between host-side convergence checks.
     chunk = max(iterations * 2, 8)
@@ -528,7 +540,7 @@ def render_adaptive(cam, mats, *, intersect_fn, num_pixels,
                     iterations, tol: float, max_spp: int,
                     min_spp: int = 8, mode="fast", seed=1, key=None,
                     env=None, nee=None, rr=None, qmc: bool = False,
-                    compact: bool = True,
+                    dof=None, compact: bool = True,
                     min_bucket: int = 4096,
                     max_extra_steps: int = 1_000_000) -> WavefrontState:
     """Adaptive render: every pixel gets between min_spp and max_spp
@@ -549,11 +561,12 @@ def render_adaptive(cam, mats, *, intersect_fn, num_pixels,
     if mode == "fast" and key is None:
         key = jax.random.key(seed)
     state = init_wavefront(cam, num_pixels, seed=seed, mode=mode,
-                           key=key, qmc=qmc)
+                           key=key, qmc=qmc, dof=dof)
     step = jax.jit(lambda st: wavefront_step(
         cam, mats, st, intersect_fn=intersect_fn,
         iterations=iterations, mode=mode, key=key,
         max_samples=max_spp, env=env, nee=nee, rr=rr, qmc=qmc,
+        dof=dof,
         variance_tol=tol, min_samples=min_spp,
     ))
     # Every convergence check is a host round-trip; ~6 samples' worth

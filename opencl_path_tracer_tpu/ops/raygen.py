@@ -41,6 +41,39 @@ def camera_rays(cam: Camera, ids: jnp.ndarray, rnd1: jnp.ndarray,
     return Rays(p=origins, d=d)
 
 
+def camera_rays_dof(cam: Camera, ids: jnp.ndarray, rnd1, rnd2,
+                    lens1, lens2, aperture: float,
+                    focus: float) -> Rays:
+    """Thin-lens extension of camera_rays (no reference counterpart —
+    the reference camera is a pure pinhole, prog.cl:82-92).
+
+    Each ray starts from a uniform point on a lens disk of radius
+    `aperture` (world units, spanned by the camera's unit right/up)
+    and is aimed at the pinhole ray's intersection with the FOCAL
+    PLANE at distance `focus` along the view axis — the thin-lens
+    property that all of a pixel's rays converge on the focal plane
+    (tests/test_dof.py asserts it). aperture == 0 degenerates to the
+    exact pinhole ray."""
+    pin = camera_rays(cam, ids, rnd1, rnd2)
+    ahead = vnormalize(tuple(cam.lookat[k] - cam.eye[k]
+                             for k in range(3)))
+    right_u = vnormalize(tuple(cam.right[k] for k in range(3)))
+    up_u = vnormalize(tuple(cam.up[k] for k in range(3)))
+    # Pinhole ray's focal-plane point: t = focus / dot(d, ahead).
+    cosv = sum(pin.d[k] * ahead[k] for k in range(3))
+    t = jnp.float32(focus) / jnp.maximum(cosv, 1e-6)
+    target = tuple(pin.p[k] + pin.d[k] * t for k in range(3))
+    # Uniform disk sample on the lens.
+    r = jnp.sqrt(lens1) * jnp.float32(aperture)
+    th = jnp.float32(2.0 * np.pi) * lens2
+    lx = r * jnp.cos(th)
+    ly = r * jnp.sin(th)
+    origin = tuple(pin.p[k] + right_u[k] * lx + up_u[k] * ly
+                   for k in range(3))
+    d = vnormalize(tuple(target[k] - origin[k] for k in range(3)))
+    return Rays(p=origin, d=d)
+
+
 def pixel_ids(width: int, height: int) -> jnp.ndarray:
     return jnp.arange(width * height, dtype=jnp.int32)
 

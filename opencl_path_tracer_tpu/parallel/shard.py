@@ -52,7 +52,8 @@ def shard_state(state: TraceState, mesh: Mesh) -> TraceState:
 
 def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
                     intersect_fn, iterations: int, mode: str = "parity",
-                    key=None, env=None, nee=None, qmc: bool = False):
+                    key=None, env=None, nee=None, qmc: bool = False,
+                    dof=None):
     """One progressive sample, framebuffer tiled across the mesh.
 
     Returns step(state) -> (state, mean_luminance) where state's pixel
@@ -71,6 +72,7 @@ def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
             cam, mats, state,
             intersect_fn=intersect_fn, iterations=iterations,
             mode=mode, key=key, ids=ids, env=env, nee=nee, qmc=qmc,
+            dof=dof,
         )
         lum = jax.lax.psum(
             sum(jnp.sum(c) for c in new.colors), RENDER_AXIS
@@ -110,7 +112,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
                               iterations: int, mode: str = "parity",
                               key=None, max_samples: int | None = None,
                               env=None, nee=None, rr=None,
-                              qmc: bool = False,
+                              qmc: bool = False, dof=None,
                               variance_tol: float | None = None,
                               min_samples: int = 8):
     """One wavefront step (the flagship perf model), lane axis tiled
@@ -136,7 +138,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
             cam, mats, state, intersect_fn=intersect_fn,
             iterations=iterations, mode=mode, key=key,
             max_samples=max_samples, env=env, nee=nee, rr=rr,
-            qmc=qmc,
+            qmc=qmc, dof=dof,
             variance_tol=variance_tol, min_samples=min_samples,
         )
         lum = jax.lax.psum(

@@ -470,6 +470,9 @@ class RenderEngine:
         # enforces the model).
         self.rr = ((config.rr_start, config.rr_pmin)
                    if config.rr_start is not None else None)
+        # Thin-lens depth of field (aperture 0 = exact pinhole).
+        self.dof = ((config.dof_aperture, config.dof_focus)
+                    if config.dof_aperture > 0.0 else None)
         if config.devices != 1:
             from opencl_path_tracer_tpu.parallel.mesh import (
                 make_render_mesh,
@@ -491,6 +494,8 @@ class RenderEngine:
                 cam0, self.num_pixels,
                 seed=config.seed, mode=config.mode, key=self._key,
                 qmc=config.qmc,
+                dof=((config.dof_aperture, config.dof_focus)
+                     if config.dof_aperture > 0.0 else None),
             )
             self._wf_pose = self.controller._cam_key
         else:
@@ -528,6 +533,7 @@ class RenderEngine:
                     intersect_fn=self.intersect_fn,
                     iterations=iterations, mode=mode, key=key,
                     env=self.env, nee=self.nee, qmc=self.cfg.qmc,
+                    dof=self.dof,
                 )
 
             # Lift scene packs to runtime args: closure-captured packs
@@ -578,7 +584,7 @@ class RenderEngine:
                         iterations=iterations, mode=mode, key=key,
                         max_samples=cap, env=self.env,
                         nee=self.nee, rr=self.rr, qmc=self.cfg.qmc,
-                        **vkw,
+                        dof=self.dof, **vkw,
                     )
                 return jax.lax.fori_loop(0, k, body, state)
 
@@ -612,7 +618,7 @@ class RenderEngine:
                 cam, self.scene.mats, self.mesh,
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, env=self.env,
-                nee=self.nee, qmc=self.cfg.qmc,
+                nee=self.nee, qmc=self.cfg.qmc, dof=self.dof,
             )
         return self._steps[ck]
 
@@ -634,7 +640,7 @@ class RenderEngine:
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, max_samples=target,
                 env=self.env, nee=self.nee, rr=self.rr,
-                qmc=self.cfg.qmc, **vkw,
+                qmc=self.cfg.qmc, dof=self.dof, **vkw,
             )
         return self._steps[ck]
 
@@ -900,6 +906,7 @@ class RenderEngine:
             self.state = wavefront.init_wavefront(
                 cam, self.num_pixels, seed=self.cfg.seed,
                 mode=self.cfg.mode, key=self._key, qmc=self.cfg.qmc,
+                dof=self.dof,
             )
             self._wf_pose = self.controller._cam_key
             self._sample_host = 0
