@@ -132,7 +132,7 @@ def _make_tri_isect(scene, accel: str, on_cpu: bool):
 
 
 def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk,
-                  lanes: int = 1):
+                  lanes: int = 1, rr=None, nee=None):
     from opencl_path_tracer_tpu.models import wavefront
     from opencl_path_tracer_tpu.ops import raygen
 
@@ -158,6 +158,7 @@ def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk,
             return wavefront.wavefront_step(
                 cam, scene.mats, st, intersect_fn=isect,
                 iterations=iters, mode="fast", key=key, ids=ids,
+                rr=rr, nee=nee,
             )
         st = jax.lax.fori_loop(0, k, body, state)
         return st, jnp.sum(st.colors[0][:8])
@@ -329,6 +330,16 @@ def bench_scene(scene_name: str, args) -> dict:
         w, h = (int(x) for x in args.size.split("x"))
         scene = library.cornell_box(with_spheres=True,
                                     analytic_spheres=True)
+    elif scene_name == "cornell-analytic-rrnee":
+        # The measured best equal-time config of the sampling layer
+        # (docs/BENCHMARKS.md session 10: rr+nee = 1.34x global MSE
+        # over base at equal time): Russian roulette (2.7x samples/
+        # sec via path regeneration) + next-event estimation. Same
+        # scene as the headline; the spp/sec column is the comparable
+        # number (a sample here carries far less variance per spp).
+        w, h = (int(x) for x in args.size.split("x"))
+        scene = library.cornell_box(with_spheres=True,
+                                    analytic_spheres=True)
     elif scene_name == "stress-analytic":
         # The stress CONTENT (identical shell + sphere grid) as ~20
         # triangles + ~138 analytic quadrics (table-driven sphere
@@ -383,9 +394,17 @@ def bench_scene(scene_name: str, args) -> dict:
                 "spp_per_sec": round(spp / dt, 2)}
     isect = make_isect(scene, args.accel, on_cpu)
     if args.model == "wavefront":
+        kw = {}
+        if scene_name == "cornell-analytic-rrnee":
+            from opencl_path_tracer_tpu.ops.nee import (
+                build_emitter_table,
+            )
+            kw = dict(rr=(2, 0.05),
+                      nee=build_emitter_table(scene.tris, scene.mats,
+                                              None))
         mrays, dt, spp = run_wavefront(
             scene, cam, n, isect, iters=args.iters, steps=args.steps,
-            chunk=args.chunk, lanes=args.lanes,
+            chunk=args.chunk, lanes=args.lanes, **kw,
         )
     else:
         mrays, dt, spp = run_megakernel(
@@ -410,7 +429,8 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--scene", default=None,
                     choices=["cornell", "cornell-analytic", "stress",
-                             "stress-analytic", "ref-workload"],
+                             "stress-analytic", "ref-workload",
+                             "cornell-analytic-rrnee"],
                     help="default: cornell-analytic + cornell + "
                          "stress + stress-analytic in one run "
                          "(fused/lazy models: cornell + stress)")
@@ -468,7 +488,8 @@ def main() -> int:
         # number and the stress numbers (both representations) ride
         # in "extra" so none hides another.
         results = [bench_scene("cornell-analytic", args)]
-        for name in ("cornell", "stress", "stress-analytic"):
+        for name in ("cornell", "stress", "stress-analytic",
+                     "cornell-analytic-rrnee"):
             try:
                 results.append(bench_scene(name, args))
             except Exception as exc:  # never lose the headline
