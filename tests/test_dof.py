@@ -108,3 +108,19 @@ def test_cli_dof_render(tmp_path, monkeypatch):
     ])
     assert cli.main() == 0
     assert os.path.exists(png)
+
+
+def test_cli_all_sampling_flags_compose(tmp_path, monkeypatch):
+    """Every sampling extension in ONE render: NEE + RR + QMC + DOF +
+    adaptive, through the real engine (the wiring-compose check)."""
+    import sys, os
+    from opencl_path_tracer_tpu import cli
+    png = str(tmp_path / "all.png")
+    monkeypatch.setattr(sys, "argv", [
+        "ptx", "render", "--scene", "cornell-empty", "--size", "16x12",
+        "--spp", "8", "--iters", "3", "--model", "wavefront",
+        "--nee", "--rr", "2", "--qmc", "--dof", "10", "900",
+        "--adaptive", "0.3", "--min-spp", "2", "--out", png,
+    ])
+    assert cli.main() == 0
+    assert os.path.exists(png)
