@@ -80,13 +80,13 @@ def load_checkpoint(path: str):
                     # Fields added after the checkpoint was written
                     # default to zeros: had_diffuse (EnvLight flag —
                     # exact unless a pre-env checkpoint's mid-path
-                    # lanes resume WITH env on), prev_diff (NEE
-                    # pickup-suppression — same caveat with --nee),
-                    # lum_m2 (adaptive variance — a resumed adaptive
-                    # render restarts its variance estimate; finished
+                    # lanes resume WITH env on), prev_pdf (NEE's MIS
+                    # bookkeeping — same caveat with --nee), lum_m2
+                    # (adaptive variance — a resumed adaptive render
+                    # restarts its variance estimate; finished
                     # samples are unaffected either way).
                     n = z["samples"].shape[0]
-                    dt = (bool if f.name in ("had_diffuse", "prev_diff")
+                    dt = (bool if f.name == "had_diffuse"
                           else jnp.float32)
                     kw[f.name] = jnp.zeros((n,), dt)
                     continue

@@ -114,7 +114,7 @@ def unpack_state(F, I, step) -> WavefrontState:
         # unpack resets them (correct for env=None nee=None fixed-
         # budget renders, which is all this model supports).
         had_diffuse=jnp.zeros(I.shape[1:], bool),
-        prev_diff=jnp.zeros(I.shape[1:], bool),
+        prev_pdf=jnp.zeros(I.shape[1:], jnp.float32),
         lum_m2=jnp.zeros(I.shape[1:], jnp.float32),
         step=jnp.asarray(step, jnp.uint32),
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -205,13 +206,15 @@ def shade(cam: Camera, mat: MaterialsSoA, hit: Hits, ray_p: V3,
 
 
 def apply_factors(s, f_l: V3, f_b: V3, f_s: V3, f_r: V3, inside, color: V3,
-                  emit_mask=None):
+                  emit_mask=None, emit_scale=None):
     """Factor updates + emitter contribution (prog.cl:329-366).
 
-    emit_mask: optional override of the emitter-pickup lanes — NEE
-    passes is_emit & ~prev_diff so direct light gathered explicitly at
-    the previous diffuse vertex is not double-counted (ops/nee.py);
-    None keeps reference behavior (every emitter hit contributes)."""
+    emit_mask: optional override of the emitter-pickup lanes.
+    emit_scale: optional per-lane pickup multiplier — NEE passes the
+    MIS balance weight (ops.nee.pickup_mis_weight) so the emitter hit
+    after a diffuse bounce shares the direct-light term with the
+    explicit gather instead of double-counting it; None keeps
+    reference behavior (every emitter hit contributes fully)."""
     mat = s["mat"]
     f_l = vwhere(
         s["is_diff"], vmul(f_l, vscale(mat.kd, s["intens_d"])), f_l
@@ -227,6 +230,8 @@ def apply_factors(s, f_l: V3, f_b: V3, f_s: V3, f_r: V3, inside, color: V3,
         vmul(mat.emission, vmul(vadd(f_l, f_b), vmul(f_s, f_r))),
         s["emit_cos"],
     )
+    if emit_scale is not None:
+        contrib = vscale(contrib, emit_scale)
     if emit_mask is None:
         emit_mask = s["is_emit"]
     color = vwhere(emit_mask, vadd(color, contrib), color)
@@ -261,11 +266,12 @@ def trace_sample(
     env: optional EnvLight — miss contributions per the reference's
     dormant sky-light code (prog.cl:367-376); None = shipped parity.
     nee: optional ops.nee.EmitterTable — gather direct light at every
-    diffuse vertex via one shadow ray and suppress the next bounce's
-    emitter pickup (same converged image, far lower variance at small
-    emitters; ~2x intersect cost per bounce). NEE draws come from an
-    independent counter-hash stream, so parity mode's per-lane Lehmer
-    streams still match the reference bit for bit.
+    diffuse vertex via one shadow ray; gather and the next bounce's
+    emitter pickup split the term by MIS balance weights (ops/nee.py)
+    so the converged image is unchanged at far lower variance (~2x
+    intersect cost per bounce). NEE draws come from an independent
+    counter-hash stream, so parity mode's per-lane Lehmer streams
+    still match the reference bit for bit.
     """
     n = state.rng_state.shape[0]
     if ids is None:
@@ -316,7 +322,7 @@ def trace_sample(
 
     def body(b, carry):
         (ray_p, ray_d, rng_state, f_l, f_b, f_s, f_r,
-         color, alive, inside, had_diffuse, prev_diff,
+         color, alive, inside, had_diffuse, prev_pdf,
          rays_traced) = carry
 
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
@@ -349,9 +355,10 @@ def trace_sample(
             # Direct-light gather at this bounce's diffuse vertices,
             # gated on the path SURVIVING to the next intersect
             # (b < iterations-1) so truncation matches the base
-            # estimator exactly; the pickup that gather replaces is
-            # suppressed below via emit_mask (prev_diff from the
-            # PREVIOUS bounce).
+            # estimator exactly; gather and the next bounce's pickup
+            # split the term by MIS balance weights (ops/nee.py) —
+            # prev_pdf carries the previous diffuse bounce's
+            # direction pdf for the pickup side.
             u = rng.fast_uniforms(nee_key, s_idx, 10_000 + b, (n,), 3)
             gather = s["is_diff"] & (b < iterations - 1)
             color = vadd(color, nee_mod.direct_light(
@@ -363,13 +370,20 @@ def trace_sample(
             rays_traced = rays_traced + jnp.sum(
                 alive.astype(jnp.float32)
             )  # the shadow ray batch
-            emit_mask = s["is_emit"] & ~prev_diff
-            prev_diff = s["is_diff"]
+            emit_scale = nee_mod.pickup_mis_weight(
+                nee, prev_pdf, s["emit_cos"], hit.t
+            )
+            prev_pdf = jnp.where(
+                s["is_diff"],
+                s["intens_d"] * jnp.float32(1.0 / np.pi),
+                0.0,
+            )
         else:
-            emit_mask = None
+            emit_scale = None
 
         f_l, f_b, f_s, f_r, inside, color = apply_factors(
-            s, f_l, f_b, f_s, f_r, inside, color, emit_mask=emit_mask
+            s, f_l, f_b, f_s, f_r, inside, color,
+            emit_scale=emit_scale,
         )
 
         # Miss -> break (prog.cl:367-376): lane goes dead. With an
@@ -384,7 +398,7 @@ def trace_sample(
         # env=None: had_diffuse stays the untouched zeros carry (free).
         alive = has_hit
         return (s["new_p"], s["new_d"], rng_state, f_l, f_b, f_s, f_r,
-                color, alive, inside, had_diffuse, prev_diff,
+                color, alive, inside, had_diffuse, prev_pdf,
                 rays_traced)
 
     carry = (
@@ -394,7 +408,7 @@ def trace_sample(
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
         jnp.zeros((n,), bool),
-        jnp.zeros((n,), bool),
+        jnp.zeros((n,), jnp.float32),
         jnp.float32(0.0),
     )
     carry = jax.lax.fori_loop(0, iterations, body, carry, unroll=False)

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -79,11 +80,12 @@ class WavefrontState:
     # prog.cl:316,339 — only consumed by the optional EnvLight's miss
     # tiers, megakernel.env_miss_update).
     had_diffuse: jnp.ndarray
-    # (N,) bool: the PREVIOUS bounce was diffuse (type 0) — NEE's
-    # pickup-suppression flag (ops/nee.py: the emitter hit after a
-    # diffuse bounce is double-counted once direct light is gathered
-    # explicitly). Identity pass-through when nee is None.
-    prev_diff: jnp.ndarray
+    # (N,) f32: the PREVIOUS bounce's diffuse direction pdf (cos/pi;
+    # 0 = previous bounce was not diffuse) — NEE's MIS bookkeeping
+    # (ops.nee.pickup_mis_weight: the emitter hit after a diffuse
+    # bounce shares the direct-light term with the explicit gather).
+    # Identity pass-through when nee is None.
+    prev_pdf: jnp.ndarray
     # (N,) f32: Welford M2 of completed-sample LUMINANCE per pixel —
     # per-pixel variance for adaptive sampling (sample variance =
     # m2/(samples-1)). Updated only when a step runs with
@@ -136,7 +138,7 @@ def init_wavefront(cam: Camera, num_pixels: int, *, seed: int = 1,
         inside=jnp.zeros((n,), bool),
         bounce=jnp.zeros((n,), jnp.int32),
         had_diffuse=jnp.zeros((n,), bool),
-        prev_diff=jnp.zeros((n,), bool),
+        prev_pdf=jnp.zeros((n,), jnp.float32),
         lum_m2=jnp.zeros((n,), jnp.float32),
         step=jnp.uint32(1),
     )
@@ -245,11 +247,12 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     lanes collect nothing (the reference loop just ends).
 
     nee: optional ops.nee.EmitterTable — next-event estimation: one
-    shadow ray gathers direct light at each diffuse vertex; the next
-    bounce's emitter pickup is suppressed (prev_diff flag) so nothing
-    is double-counted. Converges to the same image with far less
-    variance at small emitters; ~2x intersect cost per step. NEE draws
-    use an independent counter-hash stream keyed on lane POSITION, so
+    shadow ray gathers direct light at each diffuse vertex; gather and
+    the next bounce's emitter pickup split the term by MIS balance
+    weights (ops/nee.py, prev_pdf bookkeeping) so nothing is
+    double-counted. Converges to the same image with far less
+    variance; ~2x intersect cost per step. NEE draws use an
+    independent counter-hash stream keyed on lane POSITION, so
     parity-mode Lehmer streams stay reference-exact but the gathered
     term varies under lane permutations (sort_every / compaction) —
     unbiased either way.
@@ -336,14 +339,21 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
             f_l=st.f_l, f_b=st.f_b, f_s=st.f_s, f_r=st.f_r,
             is_diff=gather, u1=u[0], u2=u[1], u3=u[2],
         ))
-        emit_mask = s["is_emit"] & ~st.prev_diff
-        prev_diff = jnp.where(active, s["is_diff"], st.prev_diff)
+        emit_scale = nee_mod.pickup_mis_weight(
+            nee, st.prev_pdf, s["emit_cos"], hit.t
+        )
+        prev_pdf = jnp.where(
+            active,
+            jnp.where(s["is_diff"],
+                      s["intens_d"] * jnp.float32(1.0 / np.pi), 0.0),
+            st.prev_pdf,
+        )
     else:
-        emit_mask = None
-        prev_diff = st.prev_diff  # identity: costs the hot loop nothing
+        emit_scale = None
+        prev_pdf = st.prev_pdf  # identity: costs the hot loop nothing
     f_l, f_b, f_s, f_r, inside, cur_color = apply_factors(
         s, st.f_l, st.f_b, st.f_s, st.f_r, st.inside, cur_color,
-        emit_mask=emit_mask,
+        emit_scale=emit_scale,
     )
     if env is not None:
         from opencl_path_tracer_tpu.models.megakernel import (
@@ -451,8 +461,8 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         bounce=jnp.where(terminated, 0, bounce),
         had_diffuse=(jnp.where(terminated, False, had_diffuse)
                      if env is not None else had_diffuse),
-        prev_diff=(jnp.where(terminated, False, prev_diff)
-                   if nee is not None else prev_diff),
+        prev_pdf=(jnp.where(terminated, 0.0, prev_pdf)
+                  if nee is not None else prev_pdf),
         lum_m2=lum_m2,
         step=st.step + jnp.uint32(1),
     )

@@ -34,11 +34,24 @@ visibility test "y is the first hit along d_l" (nearest-hit distance
 >= r within tolerance — which also correctly rejects emitter back-faces
 occluded by their own front, keeping the area<->direction map 1:1).
 
-Pickup-suppression bookkeeping (`prev_diff`) and the per-model wiring
-live in models/{megakernel,wavefront}.py; this module owns the emitter
-table and the gather math. Triangle emitters only — analytic-sphere
-emitters would need a solid-angle sampler (no scene in the library has
-one; build_emitter_table raises if given one so the gap is loud).
+Both strategies that can find the lamp — the explicit area sample and
+the BSDF's cosine-sampled continuation ray — are combined with
+MULTIPLE IMPORTANCE SAMPLING (balance heuristic, Veach 95): the gather
+is weighted by p_area/(p_area + p_cos->area) and the next bounce's
+emitter pickup by the complement (computed from the PREVIOUS bounce's
+direction pdf, carried per lane as `prev_pdf`; models/*.py own that
+bookkeeping). The weighted terms still sum to the base estimator's
+expectation, and each strategy dominates exactly where its pdf is
+sharpest (area sampling for small/far lamps, BSDF sampling for
+large/near ones — cornell's lamp is large, so pure suppression
+measurably underperforms MIS there). prev_pdf == 0 means "previous
+bounce was not diffuse": the pickup keeps full weight, matching the
+reference for specular chains and emitter-continuations.
+
+This module owns the emitter table, the gather, and the two MIS
+weights. Triangle emitters only — analytic-sphere emitters would need
+a solid-angle sampler (no scene in the library has one;
+build_emitter_table raises if given one so the gap is loud).
 """
 
 from __future__ import annotations
@@ -202,8 +215,32 @@ def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
     )
     scale = (table.total_area * _INV_PI * cos_l * ecos * ecos
              / jnp.maximum(dist2, 1e-12))
-    contrib = vscale(vmul(vmul(vmul(w, f_s), f_r), emission), scale)
+    # MIS (balance heuristic) against the BSDF's cosine-sampled
+    # continuation, both pdfs in AREA measure at y:
+    #   p_area = 1/A,  p_cos->area = (cos_l/pi) * ecos / r^2.
+    p_area = 1.0 / table.total_area
+    p_bsdf = _INV_PI * cos_l * ecos / jnp.maximum(dist2, 1e-12)
+    w_mis = p_area / (p_area + p_bsdf)
+    contrib = vscale(vmul(vmul(vmul(w, f_s), f_r), emission),
+                     scale * w_mis)
 
     take_it = is_diff & visible & (cos_l > 0.0)
     zeros = tuple(jnp.zeros((n,), jnp.float32) for _ in range(3))
     return vwhere(take_it, contrib, zeros)
+
+
+def pickup_mis_weight(table: EmitterTable, prev_pdf, emit_cos, t):
+    """Balance-heuristic weight for the EMITTER PICKUP at a vertex
+    reached by the previous bounce's cosine-sampled continuation.
+
+    prev_pdf: (N,) the previous bounce's direction pdf (cos/pi) if it
+    was diffuse, 0 otherwise — 0 keeps FULL pickup weight (specular
+    chains, emitter-continuations, primaries: NEE never gathered for
+    those, so there is nothing to share with).
+    emit_cos / t: the pickup hit's |cos| at the emitter and distance
+    (the area-measure Jacobian of the direction pdf)."""
+    p_bsdf = prev_pdf * emit_cos / jnp.maximum(t * t, 1e-12)
+    p_area = 1.0 / table.total_area
+    return jnp.where(prev_pdf > 0.0,
+                     p_bsdf / (p_bsdf + p_area),
+                     jnp.float32(1.0))

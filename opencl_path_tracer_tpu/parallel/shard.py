@@ -168,7 +168,7 @@ def wavefront_state_spec():
         colors=v3, samples=lane, pixel=lane, rng_state=lane,
         ray_p=v3, ray_d=v3, f_l=v3, f_b=v3, f_s=v3, f_r=v3,
         cur_color=v3, inside=lane, bounce=lane, had_diffuse=lane,
-        prev_diff=lane, lum_m2=lane, step=P(),
+        prev_pdf=lane, lum_m2=lane, step=P(),
     )
 
 

@@ -60,9 +60,10 @@ def test_emissive_sphere_raises():
 
 
 def test_gather_matches_brute_cosine():
-    """E[direct_light] at a fixed diffuse vertex equals brute-force
-    cosine-direction sampling of the base estimator's pickup term
-    (the sharp, fast correctness anchor for the NEE math)."""
+    """The MIS identity at a fixed diffuse vertex: E[weighted gather]
+    + E[MIS-weighted BSDF pickup] equals the FULL brute-force pickup
+    term (the sharp, fast correctness anchor for the NEE math), and
+    the two weighted halves are each strictly smaller."""
     import dataclasses
     scene = library.cornell_box(with_spheres=False)
     isect = _isect(scene)
@@ -75,7 +76,7 @@ def test_gather_matches_brute_cosine():
     nv = (jnp.zeros(N), jnp.ones(N), jnp.zeros(N))
     u = jax.random.uniform(jax.random.key(0), (5, N))
 
-    # Base: cosine-sample a bounce direction, pickup if emitter
+    # Brute arm: cosine-sample a bounce direction, pickup if emitter
     # (kd=1, ks=0 so the weight is just cos * emit_cos * emission).
     p, d = bsdf.diffuse_ray(x, nv, u[0], u[1])
     hit = isect(Rays(p=p, d=d))
@@ -86,9 +87,13 @@ def test_gather_matches_brute_cosine():
     emit_cos = jnp.maximum(
         0.0, -(d[0] * nf[0] + d[1] * nf[1] + d[2] * nf[2]))
     cos_t = jnp.maximum(0.0, d[1])
-    base = [float(jnp.mean(jnp.where(
-        is_emit, mat.emission[k] * cos_t * emit_cos, 0.0)))
-        for k in range(3)]
+    pick = [jnp.where(is_emit, mat.emission[k] * cos_t * emit_cos, 0.0)
+            for k in range(3)]
+    full = [float(jnp.mean(c)) for c in pick]
+    # MIS-weighted pickup: the sampled direction's pdf is cos/pi.
+    w_pick = nee.pickup_mis_weight(tab, cos_t / np.float32(np.pi),
+                                   emit_cos, hit.t)
+    picked = [float(jnp.mean(c * w_pick)) for c in pick]
 
     m1 = mats.take_select(jnp.zeros((N,), jnp.int32))
     m1 = dataclasses.replace(
@@ -100,8 +105,14 @@ def test_gather_matches_brute_cosine():
         f_l=(jnp.ones(N),) * 3, f_b=(jnp.zeros(N),) * 3,
         f_s=(jnp.ones(N),) * 3, f_r=(jnp.ones(N),) * 3,
         is_diff=jnp.ones((N,), bool), u1=u[2], u2=u[3], u3=u[4])
-    got = [float(jnp.mean(k)) for k in c]
-    np.testing.assert_allclose(got, base, rtol=0.03)
+    gathered = [float(jnp.mean(k)) for k in c]
+    total = [g + pk for g, pk in zip(gathered, picked)]
+    np.testing.assert_allclose(total, full, rtol=0.03)
+    # Both strategies genuinely contribute (the split is ~95/5 at
+    # this floor-center vertex — area sampling dominates when the
+    # lamp subtends a modest solid angle).
+    assert all(g > 0.05 * f for g, f in zip(gathered, full))
+    assert all(pk > 0.02 * f for pk, f in zip(picked, full))
 
 
 @pytest.mark.slow
