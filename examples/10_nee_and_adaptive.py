@@ -4,10 +4,11 @@ Two framework extensions that improve rays-to-QUALITY rather than
 rays/sec (the reference has neither — its loop gives every pixel every
 sample and finds light only by chance, prog.cl:358-381):
 
-  * NEE (ops/nee.py): one shadow ray per diffuse vertex gathers direct
-    light explicitly; the double-counted next-bounce emitter pickup is
-    suppressed. Same converged image, ~200x lower dim-pixel variance
-    at equal spp on cornell (tests/test_nee.py).
+  * NEE with MIS (ops/nee.py): one shadow ray per diffuse vertex
+    gathers direct light explicitly, combined with the BSDF-sampled
+    emitter pickup by balance-heuristic weights. Same converged
+    image, ~200x lower dim-pixel variance at equal spp on cornell
+    (tests/test_nee.py).
   * Adaptive sampling (models.wavefront.render_adaptive): per-pixel
     Welford variance stops each pixel at a target luminance standard
     error; converged lanes are compacted away so flat regions stop

@@ -108,11 +108,12 @@ class RenderConfig:
     # lockstep machine). None = reference behavior (fixed depth).
     rr_start: int | None = None
     rr_pmin: float = 0.05
-    # Next-event estimation (framework extension, ops/nee.py): gather
-    # direct light at every diffuse vertex via one shadow ray and
-    # suppress the double-counted emitter pickup. Same converged image
-    # as the base tracer, far lower variance at small emitters; ~2x
-    # intersect cost per bounce. False = reference estimator.
+    # Next-event estimation with MIS (framework extension,
+    # ops/nee.py): gather direct light at every diffuse vertex via one
+    # shadow ray, combined with the BSDF-sampled emitter pickup by
+    # balance-heuristic weights. Same converged image as the base
+    # tracer at far lower variance; ~2x intersect cost per bounce.
+    # False = reference estimator.
     nee: bool = False
     # Offline multi-chip rendering: shard the framebuffer (megakernel)
     # or the lane axis (wavefront) over this many devices (0 = all

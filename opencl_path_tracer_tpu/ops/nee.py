@@ -5,9 +5,9 @@ The reference is a pure path tracer: light reaches a pixel only when a
 bounce ray happens to hit an emitter (prog.cl:358-366), so a small lamp
 (cornell's is ~2% of the ceiling) makes most diffuse samples worthless.
 NEE gathers direct light explicitly at every diffuse vertex by sampling
-a point on an emitter and tracing one shadow ray, and suppresses the
-now-double-counted emitter pickup on the NEXT bounce when this one was
-diffuse. The estimator is constructed to converge to the SAME image as
+a point on an emitter and tracing one shadow ray, and MIS-weights the
+NEXT bounce's emitter pickup so the term is shared, not
+double-counted. The estimator is constructed to converge to the SAME image as
 the base tracer (tests/test_nee.py proves estimator equality):
 
 The base estimator's expected direct-light term at a diffuse vertex x
