@@ -371,7 +371,7 @@ def trace_sample(
                 alive.astype(jnp.float32)
             )  # the shadow ray batch
             emit_scale = nee_mod.pickup_mis_weight(
-                nee, prev_pdf, s["emit_cos"], hit.t
+                nee, prev_pdf, s["emit_cos"], hit.t, mat.emission
             )
             prev_pdf = jnp.where(
                 s["is_diff"],

@@ -69,6 +69,7 @@ from opencl_path_tracer_tpu.core.types import (
 from opencl_path_tracer_tpu.ops import bsdf
 
 _INV_PI = np.float32(1.0 / np.pi)
+_LUM = (0.2126, 0.7152, 0.0722)  # Reinhard's weights (prog.cl:249)
 
 
 def _register(cls):
@@ -87,8 +88,16 @@ class EmitterTable:
     v0/e1/e2: V3 of (E,) — first vertex and the two edges.
     m: V3 of (E,) unit geometric normals.
     emission: V3 of (E,) per-emitter radiance (material emission).
-    cum: (E,) float32 inclusive cumulative area fractions (cum[-1]=1).
-    total_area: (,) float32 summed emitter area (the 1/pdf factor).
+    cum: (E,) float32 inclusive cumulative POWER fractions
+        (power = area x emission luminance; cum[-1] = 1) — sampling is
+        power-proportional, so a dim skylight panel doesn't starve a
+        bright bulb of samples. Uniform-emission scenes degenerate to
+        area-proportional exactly.
+    p_area: (E,) float32 per-emitter area DENSITY of that sampling
+        (lum_i / total_power) — the pdf at any point of emitter i.
+    total_area: (,) float32 summed emitter area.
+    power_lum: (,) float32 total power (sum area_i * lum_i), the
+        pickup side's pdf normalizer (pickup_mis_weight).
     """
 
     v0: V3
@@ -97,7 +106,9 @@ class EmitterTable:
     m: V3
     emission: V3
     cum: jnp.ndarray
+    p_area: jnp.ndarray
     total_area: jnp.ndarray
+    power_lum: jnp.ndarray
 
     @property
     def count(self) -> int:
@@ -138,8 +149,12 @@ def build_emitter_table(tris, mats: MaterialsSoA,
     em = em[is_em][keep]
     m = cr / np.linalg.norm(cr, axis=-1, keepdims=True)
     total = float(area.sum())
-    cum = np.cumsum(area / total).astype(np.float32)
+    lum = em @ np.asarray(_LUM, np.float32)
+    power = area * lum
+    w_total = float(power.sum())
+    cum = np.cumsum(power / w_total).astype(np.float32)
     cum[-1] = 1.0
+    p_area = (lum / w_total).astype(np.float32)
 
     def _v3(a):
         return tuple(jnp.asarray(a[:, k], jnp.float32) for k in range(3))
@@ -148,16 +163,19 @@ def build_emitter_table(tris, mats: MaterialsSoA,
         v0=_v3(r1), e1=_v3(e1), e2=_v3(e2), m=_v3(m),
         emission=_v3(em),
         cum=jnp.asarray(cum),
+        p_area=jnp.asarray(p_area),
         total_area=jnp.float32(total),
+        power_lum=jnp.float32(w_total),
     )
 
 
 def sample_emitters(table: EmitterTable, u1, u2, u3):
     """Area-uniform point on the emitter set.
 
-    u1 picks the triangle (area-proportional via the cumulative table);
-    (u2, u3) pick the square-root-warped barycentrics. Returns
-    (y: V3, m: V3, emission: V3), each per-lane."""
+    u1 picks the triangle (POWER-proportional via the cumulative
+    table); (u2, u3) pick the square-root-warped barycentrics. Returns
+    (y: V3, m: V3, emission: V3, p_area), each per-lane — p_area is
+    the sampling pdf (area measure) at y."""
     idx = jnp.searchsorted(table.cum, u1, side="left")
     idx = jnp.minimum(idx, table.count - 1).astype(jnp.int32)
 
@@ -169,7 +187,8 @@ def sample_emitters(table: EmitterTable, u1, u2, u3):
     b1 = s * (1.0 - u3)
     b2 = s * u3
     y = vadd(v0, vadd(vscale(e1, b1), vscale(e2, b2)))
-    return y, take(table.m), take(table.emission)
+    return (y, take(table.m), take(table.emission),
+            jnp.take(table.p_area, idx, axis=0))
 
 
 def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
@@ -185,7 +204,7 @@ def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
     plain step in intersection — the variance win at small emitters is
     far larger (docs/BENCHMARKS.md "Next-event estimation")."""
     n = u1.shape[0]
-    y, m_y, emission = sample_emitters(table, u1, u2, u3)
+    y, m_y, emission, p_area = sample_emitters(table, u1, u2, u3)
 
     origin = vadd(hit_p, vscale(n_vec, bsdf.EPS))
     delta = vsub(y, origin)
@@ -213,12 +232,12 @@ def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
         vscale(vmul(f_l, mat.kd), cos_l),
         vscale(vmul(f_b, mat.ks), blinn),
     )
-    scale = (table.total_area * _INV_PI * cos_l * ecos * ecos
-             / jnp.maximum(dist2, 1e-12))
+    scale = (_INV_PI * cos_l * ecos * ecos
+             / jnp.maximum(dist2, 1e-12) / p_area)
     # MIS (balance heuristic) against the BSDF's cosine-sampled
     # continuation, both pdfs in AREA measure at y:
-    #   p_area = 1/A,  p_cos->area = (cos_l/pi) * ecos / r^2.
-    p_area = 1.0 / table.total_area
+    #   p_area = lum_i / total_power (power-proportional sampler),
+    #   p_cos->area = (cos_l/pi) * ecos / r^2.
     p_bsdf = _INV_PI * cos_l * ecos / jnp.maximum(dist2, 1e-12)
     w_mis = p_area / (p_area + p_bsdf)
     contrib = vscale(vmul(vmul(vmul(w, f_s), f_r), emission),
@@ -229,7 +248,8 @@ def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
     return vwhere(take_it, contrib, zeros)
 
 
-def pickup_mis_weight(table: EmitterTable, prev_pdf, emit_cos, t):
+def pickup_mis_weight(table: EmitterTable, prev_pdf, emit_cos, t,
+                      emission: V3):
     """Balance-heuristic weight for the EMITTER PICKUP at a vertex
     reached by the previous bounce's cosine-sampled continuation.
 
@@ -238,9 +258,16 @@ def pickup_mis_weight(table: EmitterTable, prev_pdf, emit_cos, t):
     chains, emitter-continuations, primaries: NEE never gathered for
     those, so there is nothing to share with).
     emit_cos / t: the pickup hit's |cos| at the emitter and distance
-    (the area-measure Jacobian of the direction pdf)."""
+    (the area-measure Jacobian of the direction pdf).
+    emission: the hit MATERIAL's emission — the power-proportional
+    sampler's area density there is lum(emission)/total_power."""
     p_bsdf = prev_pdf * emit_cos / jnp.maximum(t * t, 1e-12)
-    p_area = 1.0 / table.total_area
+    lum = (_LUM[0] * emission[0] + _LUM[1] * emission[1]
+           + _LUM[2] * emission[2])
+    p_area = lum / table.power_lum
+    # The guarded denominator keeps non-emitter lanes (lum = 0 AND
+    # grazing p_bsdf = 0) NaN-free — their weight is discarded by the
+    # is_emit gate, but NaN x 0 would not be.
     return jnp.where(prev_pdf > 0.0,
-                     p_bsdf / (p_bsdf + p_area),
+                     p_bsdf / jnp.maximum(p_bsdf + p_area, 1e-30),
                      jnp.float32(1.0))

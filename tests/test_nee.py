@@ -30,7 +30,7 @@ def test_emitter_table_cornell():
     # planes: for each sample, distance to its triangle plane ~ 0.
     k = jax.random.key(0)
     u = jax.random.uniform(k, (3, 512))
-    y, m, em = nee.sample_emitters(tab, u[0], u[1], u[2])
+    y, m, em, p_area = nee.sample_emitters(tab, u[0], u[1], u[2])
     # every sampled emission is one of the table's emission rows
     assert np.all(np.asarray(em[0]) >= 0.0)
     # plane check: dot(y - v0_of_some_emitter, m) == 0 for the right
@@ -92,7 +92,7 @@ def test_gather_matches_brute_cosine():
     full = [float(jnp.mean(c)) for c in pick]
     # MIS-weighted pickup: the sampled direction's pdf is cos/pi.
     w_pick = nee.pickup_mis_weight(tab, cos_t / np.float32(np.pi),
-                                   emit_cos, hit.t)
+                                   emit_cos, hit.t, mat.emission)
     picked = [float(jnp.mean(c * w_pick)) for c in pick]
 
     m1 = mats.take_select(jnp.zeros((N,), jnp.int32))
@@ -193,3 +193,73 @@ def test_cli_nee_render(tmp_path, monkeypatch):
     ])
     assert cli.main() == 0
     assert os.path.exists(png)
+
+
+def test_power_proportional_sampling_mixed_emitters():
+    """Two emitters, one 50x brighter: samples land power- (not
+    area-) proportionally, and the single-vertex MIS identity still
+    holds on the mixed set (the per-emitter p_area does its job)."""
+    import dataclasses
+    from opencl_path_tracer_tpu.scene.builder import SceneBuilder
+    b = SceneBuilder()
+    b.add_material((0.7, 0.7, 0.7), (0, 0, 0), (0, 0, 0),
+                   (1, 1, 1), (0, 0, 0), 50.0, 0)          # floor
+    b.add_material((0, 0, 0), (0, 0, 0), (50.0, 50.0, 50.0),
+                   (1, 1, 1), (0, 0, 0), 50.0, 3)          # bright
+    b.add_material((0, 0, 0), (0, 0, 0), (1.0, 1.0, 1.0),
+                   (1, 1, 1), (0, 0, 0), 50.0, 3)          # dim
+    # floor quad
+    b.add_triangle((-600, 0, -600), (600, 0, -600), (-600, 0, 600), 0)
+    b.add_triangle((600, 0, -600), (600, 0, 600), (-600, 0, 600), 0)
+    # SMALL bright panel + LARGE dim panel on the ceiling (y=500),
+    # both 1x..: bright 100x100, dim 400x400 -> powers 50e4 vs 16e4.
+    b.add_triangle((-150, 500, -50), (-50, 500, -50), (-150, 500, 50), 1)
+    b.add_triangle((-50, 500, -50), (-50, 500, 50), (-150, 500, 50), 1)
+    b.add_triangle((100, 500, -200), (500, 500, -200), (100, 500, 200), 2)
+    b.add_triangle((500, 500, -200), (500, 500, 200), (100, 500, 200), 2)
+    scene = b.build()
+    tab = nee.build_emitter_table(scene.tris, scene.mats, None)
+    assert tab.count == 4
+    # Sampling density: bright panel power = 100*100*50 = 5e5, dim =
+    # 400*400*1 = 1.6e5 -> bright share ~75.8%.
+    u = jax.random.uniform(jax.random.key(2), (3, 40_000))
+    y, m, em, p_area = nee.sample_emitters(tab, u[0], u[1], u[2])
+    bright = np.asarray(em[0]) > 10.0
+    share = bright.mean()
+    assert abs(share - 5e5 / 6.6e5) < 0.02, share
+    # MIS identity at a floor vertex (same protocol as the cornell
+    # cross-check).
+    isect = functools.partial(intersect.first_intersect,
+                              tris=scene.tris)
+    N = 200_000
+    x = (jnp.zeros(N), jnp.full((N,), 1.0), jnp.zeros(N))
+    nv = (jnp.zeros(N), jnp.ones(N), jnp.zeros(N))
+    uu = jax.random.uniform(jax.random.key(3), (5, N))
+    p, d = bsdf.diffuse_ray(x, nv, uu[0], uu[1])
+    hit = isect(Rays(p=p, d=d))
+    mat = scene.mats.take_select(hit.mati)
+    is_emit = hit.valid & (mat.type == 3)
+    flip = (d[0] * hit.n[0] + d[1] * hit.n[1] + d[2] * hit.n[2]) > 0
+    nf = tuple(jnp.where(flip, -c, c) for c in hit.n)
+    emit_cos = jnp.maximum(
+        0.0, -(d[0] * nf[0] + d[1] * nf[1] + d[2] * nf[2]))
+    cos_t = jnp.maximum(0.0, d[1])
+    pick = [jnp.where(is_emit, mat.emission[k] * cos_t * emit_cos, 0.0)
+            for k in range(3)]
+    full = [float(jnp.mean(c)) for c in pick]
+    w_pick = nee.pickup_mis_weight(tab, cos_t / np.float32(np.pi),
+                                   emit_cos, hit.t, mat.emission)
+    picked = [float(jnp.mean(c * w_pick)) for c in pick]
+    m1 = scene.mats.take_select(jnp.zeros((N,), jnp.int32))
+    m1 = dataclasses.replace(
+        m1, kd=(jnp.ones(N),) * 3, ks=(jnp.zeros(N),) * 3)
+    cam = library.cornell_camera(8, 8)
+    c = nee.direct_light(
+        tab, intersect_fn=isect, cam_eye=cam.eye,
+        hit_p=x, n_vec=nv, mat=m1,
+        f_l=(jnp.ones(N),) * 3, f_b=(jnp.zeros(N),) * 3,
+        f_s=(jnp.ones(N),) * 3, f_r=(jnp.ones(N),) * 3,
+        is_diff=jnp.ones((N,), bool), u1=uu[2], u2=uu[3], u3=uu[4])
+    gathered = [float(jnp.mean(k)) for k in c]
+    total = [g + pk for g, pk in zip(gathered, picked)]
+    np.testing.assert_allclose(total, full, rtol=0.04)
