@@ -311,7 +311,10 @@ def trace_sample(
         dof_key = jax.random.fold_in(
             key if key is not None else jax.random.key(401),
             ids[0].astype(jnp.uint32))
-        lu = rng.fast_uniforms(dof_key, s_idx, 31, (n,), 2)
+        # Salt 20_000: the bounce draws use salts 1..iterations
+        # (<= max_iterations 50) and NEE uses 10_000+b — the lens
+        # draws must not collide with either.
+        lu = rng.fast_uniforms(dof_key, s_idx, 20_000, (n,), 2)
         rays = raygen.camera_rays_dof(cam, ids, r1, r2, lu[0], lu[1],
                                       dof[0], dof[1])
     else:
