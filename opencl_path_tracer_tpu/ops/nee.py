@@ -21,10 +21,12 @@ of prog.cl:330-338):
               * emission * ecos(d) * V(d) dd
 
 Changing variables to emitter area (dd = ecos / r^2 dA) and sampling y
-uniformly-by-area over the emitter set (pdf 1/A_total) gives the
-equal-expectation per-sample NEE term used here:
+with area density p_area(y) (power-proportional: p_area = lum_i /
+total_power, which is 1/A_total when every emitter has the same
+luminance) gives the equal-expectation per-sample NEE term used here:
 
-    c = A_total * (cos_l / pi) * (f_l kd cos_l + f_b ks blinn(d_l))
+    c = (1 / p_area(y)) * (cos_l / pi)
+        * (f_l kd cos_l + f_b ks blinn(d_l))
         * f_s * f_r * emission_y * ecos_l^2 / r^2 * V
 
 with d_l the unit direction x->y, cos_l = max(0, d_l . n),
@@ -170,7 +172,7 @@ def build_emitter_table(tris, mats: MaterialsSoA,
 
 
 def sample_emitters(table: EmitterTable, u1, u2, u3):
-    """Area-uniform point on the emitter set.
+    """Power-proportional point on the emitter set.
 
     u1 picks the triangle (POWER-proportional via the cumulative
     table); (u2, u3) pick the square-root-warped barycentrics. Returns
