@@ -829,7 +829,10 @@ class RenderEngine:
             )
             tiled = self._tiled_wf_step(iters, max_spp,
                                         variance=variance)
-            shard_sort = make_shard_sort_open_first(self.mesh)
+            if ("shard_sort",) not in self._steps:
+                self._steps[("shard_sort",)] = (
+                    make_shard_sort_open_first(self.mesh))
+            shard_sort = self._steps[("shard_sort",)]
         # Convergence-check cadence: every check costs a host
         # round-trip (per-shard open counts) — through a tunneled TPU
         # backend that RTT dominates small-frame adaptive renders
