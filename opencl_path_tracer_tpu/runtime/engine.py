@@ -759,8 +759,24 @@ class RenderEngine:
         # geometric convergence with ONE host round-trip per check.
         max_steps = spp * iters + 16
         done = 0
+        # Per-DISPATCH step cap, time-calibrated: the k-step runner is
+        # ONE device program, and the remote runtime kills programs
+        # that run too long (measured: a 256-step NEE dispatch at
+        # 1536x864 ~ 40-65 s of device time crashed the TPU worker
+        # process; ~19 s dispatches survive). Start small, measure the
+        # per-step rate at the floor-fetch sync, then target ~8 s per
+        # dispatch — the ~50 ms dispatch RTT stays <1% overhead.
+        k_cap = 16
+        import time as _time
+        t_last = _time.time()
+        k_prev = 0
         while done < max_steps:
             floor = int(jax.device_get(jnp.min(self.state.samples)))
+            if k_prev:
+                dt = max(_time.time() - t_last, 1e-3)
+                rate = k_prev / dt  # steps/sec incl. queue drain
+                k_cap = int(min(max(8.0 * rate, 8), 512))
+            t_last = _time.time()
             if autosave_every and autosave_path and done:
                 import os
                 tmp = autosave_path + ".tmp.npz"
@@ -776,8 +792,9 @@ class RenderEngine:
                 )
             if floor >= target:
                 break
-            k = min(max(target - floor, 1), max_steps - done)
+            k = min(max(target - floor, 1), max_steps - done, k_cap)
             self.state = run(self.state, cam, cap, k)
+            k_prev = k
             done += k
             self._rays_traced += float(k * self.num_pixels)
         else:
@@ -842,6 +859,14 @@ class RenderEngine:
         # optimal is negligible next to that.
         chunk = max(iters * 6, 24)
         max_steps = max_spp * iters + chunk
+        # Same per-dispatch watchdog cap as _render_wavefront: the
+        # single-device run_k is one fori_loop program; keep each
+        # dispatch ~8 s (measured: ~40 s device programs get killed
+        # by the remote runtime).
+        k_cap = 16
+        import time as _time
+        t_last = _time.time()
+        k_prev = 0
         # Compaction: when few lanes are open, permute them to the
         # front and halve the live bucket (jit retraces once per
         # power-of-two size); the converged tail parks untouched.
@@ -860,6 +885,10 @@ class RenderEngine:
             per_shard_open = jnp.sum(
                 (~mask).reshape(n_dev, -1), axis=1)
             n_open = int(jax.device_get(jnp.max(per_shard_open)))
+            if k_prev and self.mesh is None:
+                dt = max(_time.time() - t_last, 1e-3)
+                k_cap = int(min(max(8.0 * (k_prev / dt), 8), 512))
+            t_last = _time.time()
             if progress and done:
                 self.meter.tick(
                     int(jax.device_get(jnp.min(live.samples))),
@@ -885,12 +914,16 @@ class RenderEngine:
                     live, tail = self._steps[sk](live)
                 parked.append(tail)
                 bucket = target
-            k = min(chunk, max_steps - done)
+            k = min(chunk, max_steps - done,
+                    k_cap if self.mesh is None else chunk)
             if self.mesh is None:
                 live = run_k(live, cam, cap, k)
             else:
+                # Each tiled call is its own dispatch — no watchdog
+                # exposure.
                 for _ in range(k):
                     live, _lum = tiled(live)
+            k_prev = k
             done += k
             self._rays_traced += float(k * bucket * n_dev)
         self.state = (wavefront.state_concat([live] + parked)
