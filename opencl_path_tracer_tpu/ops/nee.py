@@ -111,6 +111,12 @@ class EmitterTable:
     p_area: jnp.ndarray
     total_area: jnp.ndarray
     power_lum: jnp.ndarray
+    # (E, 16) row-packed copy of [v0, e1, e2, m, emission, p_area]:
+    # the per-lane fetch is ONE row gather instead of 16 column
+    # gathers — the same trick that took the smooth-shading attribute
+    # fetch 173.4 -> 37.3 ms (docs/BENCHMARKS.md); TPU gathers cost
+    # ~10 ms per 2M-element fetch regardless of the table's size.
+    packed: jnp.ndarray
 
     @property
     def count(self) -> int:
@@ -161,6 +167,10 @@ def build_emitter_table(tris, mats: MaterialsSoA,
     def _v3(a):
         return tuple(jnp.asarray(a[:, k], jnp.float32) for k in range(3))
 
+    packed = np.concatenate(
+        [r1, e1, e2, m, em, p_area[:, None]], axis=-1
+    ).astype(np.float32)
+
     return EmitterTable(
         v0=_v3(r1), e1=_v3(e1), e2=_v3(e2), m=_v3(m),
         emission=_v3(em),
@@ -168,6 +178,7 @@ def build_emitter_table(tris, mats: MaterialsSoA,
         p_area=jnp.asarray(p_area),
         total_area=jnp.float32(total),
         power_lum=jnp.float32(w_total),
+        packed=jnp.asarray(packed),
     )
 
 
@@ -177,20 +188,29 @@ def sample_emitters(table: EmitterTable, u1, u2, u3):
     u1 picks the triangle (POWER-proportional via the cumulative
     table); (u2, u3) pick the square-root-warped barycentrics. Returns
     (y: V3, m: V3, emission: V3, p_area), each per-lane — p_area is
-    the sampling pdf (area measure) at y."""
-    idx = jnp.searchsorted(table.cum, u1, side="left")
+    the sampling pdf (area measure) at y.
+
+    The per-lane fetch is ONE (N, 16) row gather of table.packed
+    (16 column gathers cost ~10 ms EACH per 2M lanes on TPU), and the
+    CDF inversion is a branchless compare-count — jnp.searchsorted's
+    scan lowering measured 88.9 ms at 1.33M lanes x 288 emitters on
+    v5e (2x a full minarg intersect!), while the fused
+    broadcast-compare reduce is ~1 ms."""
+    idx = jnp.sum(
+        (table.cum[None, :] < u1[:, None]).astype(jnp.int32), axis=1
+    )
     idx = jnp.minimum(idx, table.count - 1).astype(jnp.int32)
+    row = jnp.take(table.packed, idx, axis=0)  # (N, 16)
 
-    def take(v: V3) -> V3:
-        return tuple(jnp.take(c, idx, axis=0) for c in v)
+    def col3(base):
+        return (row[:, base], row[:, base + 1], row[:, base + 2])
 
-    v0, e1, e2 = take(table.v0), take(table.e1), take(table.e2)
+    v0, e1, e2 = col3(0), col3(3), col3(6)
     s = jnp.sqrt(u2)
     b1 = s * (1.0 - u3)
     b2 = s * u3
     y = vadd(v0, vadd(vscale(e1, b1), vscale(e2, b2)))
-    return (y, take(table.m), take(table.emission),
-            jnp.take(table.p_area, idx, axis=0))
+    return y, col3(9), col3(12), row[:, 15]
 
 
 def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
