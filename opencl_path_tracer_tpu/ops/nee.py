@@ -190,16 +190,38 @@ def sample_emitters(table: EmitterTable, u1, u2, u3):
     (y: V3, m: V3, emission: V3, p_area), each per-lane — p_area is
     the sampling pdf (area measure) at y.
 
-    The per-lane fetch is ONE (N, 16) row gather of table.packed
-    (16 column gathers cost ~10 ms EACH per 2M lanes on TPU), and the
-    CDF inversion is a branchless compare-count — jnp.searchsorted's
-    scan lowering measured 88.9 ms at 1.33M lanes x 288 emitters on
-    v5e (2x a full minarg intersect!), while the fused
-    broadcast-compare reduce is ~1 ms."""
+    The CDF inversion is a branchless compare-count
+    (jnp.searchsorted's scan lowering measured 88.9 ms at 1.33M lanes
+    x 288 emitters on v5e — 2x a full minarg intersect — vs ~1 ms for
+    the fused broadcast-compare reduce). The per-lane fetch follows
+    the materials take_select rule: small tables (<= 64 emitters,
+    e.g. cornell's 2) are where-chains of scalar rows (~free — a real
+    gather here measured 41 -> 11 spp/s on the rrnee bench leg);
+    large ones are ONE (N, 16) row gather of table.packed (16 column
+    gathers cost ~10 ms EACH per 2M lanes)."""
     idx = jnp.sum(
         (table.cum[None, :] < u1[:, None]).astype(jnp.int32), axis=1
     )
     idx = jnp.minimum(idx, table.count - 1).astype(jnp.int32)
+    e = table.count
+    if e <= 64:
+        cols = []
+        for c in range(16):
+            out = jnp.full(idx.shape, table.packed[0, c])
+            for j in range(1, e):
+                out = jnp.where(idx == j, table.packed[j, c], out)
+            cols.append(out)
+
+        def col3(base):
+            return (cols[base], cols[base + 1], cols[base + 2])
+
+        s = jnp.sqrt(u2)
+        b1 = s * (1.0 - u3)
+        b2 = s * u3
+        v0, e1, e2 = col3(0), col3(3), col3(6)
+        y = vadd(v0, vadd(vscale(e1, b1), vscale(e2, b2)))
+        return y, col3(9), col3(12), cols[15]
+
     row = jnp.take(table.packed, idx, axis=0)  # (N, 16)
 
     def col3(base):
