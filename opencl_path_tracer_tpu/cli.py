@@ -40,6 +40,12 @@ def _build_scene(name: str, models_dir: str | None,
         return library.stress_scene(100_000, analytic=True)
     if name == "cornell-empty":
         return library.cornell_box(with_spheres=False)
+    if name == "cornell-sphere-lamp":
+        # Emissive ANALYTIC sphere as the lamp (the sphere-emitter
+        # scene: --nee exercises the solid-angle cone sampler).
+        return library.cornell_box(with_spheres=True,
+                                   analytic_spheres=True,
+                                   sphere_lamp=True)
     if name == "reference":
         return library.reference_scene(models_dir, smooth=smooth)
     if name == "stress":

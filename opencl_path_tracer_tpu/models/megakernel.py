@@ -374,7 +374,8 @@ def trace_sample(
                 alive.astype(jnp.float32)
             )  # the shadow ray batch
             emit_scale = nee_mod.pickup_mis_weight(
-                nee, prev_pdf, s["emit_cos"], hit.t, mat.emission
+                nee, prev_pdf, s["emit_cos"], hit.t, mat.emission,
+                mati=hit.mati, hit_p=hit.p, ray_p=ray_p,
             )
             prev_pdf = jnp.where(
                 s["is_diff"],

@@ -340,7 +340,8 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
             is_diff=gather, u1=u[0], u2=u[1], u3=u[2],
         ))
         emit_scale = nee_mod.pickup_mis_weight(
-            nee, st.prev_pdf, s["emit_cos"], hit.t, mat.emission
+            nee, st.prev_pdf, s["emit_cos"], hit.t, mat.emission,
+            mati=hit.mati, hit_p=hit.p, ray_p=st.ray_p,
         )
         prev_pdf = jnp.where(
             active,

@@ -51,9 +51,27 @@ bounce was not diffuse": the pickup keeps full weight, matching the
 reference for specular chains and emitter-continuations.
 
 This module owns the emitter table, the gather, and the two MIS
-weights. Triangle emitters only — analytic-sphere emitters would need
-a solid-angle sampler (no scene in the library has one;
-build_emitter_table raises if given one so the gap is loud).
+weights, for BOTH emitter kinds:
+
+* **Triangle emitters**: area sampling (sqrt-warped barycentrics),
+  densities in area measure as derived above.
+* **Analytic-sphere emitters** (core/spheres.py): solid-angle CONE
+  sampling — from a shading point x outside the sphere, directions
+  are drawn uniformly inside the cone subtended by the sphere
+  (cos_theta_max = sqrt(1 - R^2/|c-x|^2)), pdf_sa = sel_i /
+  (2 pi (1 - cos_theta_max)); from INSIDE an emissive sphere the cone
+  degenerates to the full 4 pi sphere of directions (cos_theta_max =
+  -1). The sample point y is the forward ray-sphere hit, and the
+  sampler reports the EQUIVALENT area density p_area = pdf_sa *
+  ecos / r^2 (the direction->area Jacobian), so the gather formula
+  and both MIS weights are measure-uniform across emitter kinds.
+  Selection is power-proportional with sphere power = 4 pi R^2 * lum
+  (its full surface area — only relative weights matter for
+  correctness). The pickup side recovers the sphere's cone pdf from
+  the hit: emissive spheres must not SHARE a material id with
+  emissive triangles (build_emitter_table raises), so hit.mati
+  identifies the kind exactly and |hit - c_j| disambiguates spheres
+  sharing one material.
 """
 
 from __future__ import annotations
@@ -117,34 +135,47 @@ class EmitterTable:
     # fetch 173.4 -> 37.3 ms (docs/BENCHMARKS.md); TPU gathers cost
     # ~10 ms per 2M-element fetch regardless of the table's size.
     packed: jnp.ndarray
+    # --- analytic-sphere emitters (Es entries, may be 0) ---
+    # s_c/s_rad/s_emission: center, radius, radiance per sphere.
+    # s_sel: (Es,) selection probability (power fraction of total).
+    # s_mati: (Es,) int32 material index — the pickup side's exact
+    #   kind discriminator (emissive mats are kind-unique by build
+    #   check).
+    # s_packed: (Es, 8) row pack of [c, rad, emission, sel].
+    s_c: V3
+    s_rad: jnp.ndarray
+    s_emission: V3
+    s_sel: jnp.ndarray
+    s_mati: jnp.ndarray
+    s_packed: jnp.ndarray
 
     @property
     def count(self) -> int:
+        """Total emitter count (triangles + spheres; cum's length)."""
         return int(self.cum.shape[0])
+
+    @property
+    def tri_count(self) -> int:
+        return int(self.p_area.shape[0])
+
+    @property
+    def sphere_count(self) -> int:
+        return int(self.s_rad.shape[0])
 
 
 def build_emitter_table(tris, mats: MaterialsSoA,
                         spheres=None) -> EmitterTable:
-    """Collect the emissive triangles (host-side, once per scene).
+    """Collect the emissive triangles AND analytic spheres (host-side,
+    once per scene).
 
-    Raises if the scene has no triangle emitter, or any SPHERE emitter
-    (unsupported — would silently lose its direct light)."""
-    if spheres is not None and spheres.count:
-        s_em = np.stack(
-            [np.asarray(c)[np.asarray(spheres.mati)]
-             for c in mats.emission]
-        )
-        if np.any(s_em != 0.0):
-            raise ValueError(
-                "NEE supports triangle emitters only, but the scene "
-                "has an emissive analytic sphere (no solid-angle "
-                "sphere sampler); use the tessellated scene variant"
-            )
+    Raises if the scene has no emitter at all, or if an emissive
+    material id is used by BOTH a triangle and an analytic sphere —
+    the pickup MIS weight identifies the emitter KIND by hit.mati
+    (exact, unlike any position-epsilon test), so emissive materials
+    must be kind-unique. Non-emissive materials may be shared freely."""
     mati = np.asarray(tris.mati)
     em = np.stack([np.asarray(c)[mati] for c in mats.emission], axis=-1)
     is_em = np.any(em != 0.0, axis=-1)
-    if not np.any(is_em):
-        raise ValueError("NEE needs at least one emissive triangle")
     r1 = np.asarray(tris.r1)[is_em]
     r2 = np.asarray(tris.r2)[is_em]
     r3 = np.asarray(tris.r3)[is_em]
@@ -155,20 +186,64 @@ def build_emitter_table(tris, mats: MaterialsSoA,
     keep = area > 0.0  # degenerate OBJ faces are never-hit (n=0)
     r1, e1, e2, cr, area = (a[keep] for a in (r1, e1, e2, cr, area))
     em = em[is_em][keep]
-    m = cr / np.linalg.norm(cr, axis=-1, keepdims=True)
+    tri_mati_em = mati[is_em][keep]
+    m = cr / np.maximum(np.linalg.norm(cr, axis=-1, keepdims=True),
+                        1e-30)
     total = float(area.sum())
     lum = em @ np.asarray(_LUM, np.float32)
     power = area * lum
-    w_total = float(power.sum())
-    cum = np.cumsum(power / w_total).astype(np.float32)
+
+    # Emissive analytic spheres: power = full surface area x luminance.
+    if spheres is not None and spheres.count:
+        s_mati = np.asarray(spheres.mati)
+        s_em_all = np.stack(
+            [np.asarray(c)[s_mati] for c in mats.emission], axis=-1
+        )
+        s_is_em = np.any(s_em_all != 0.0, axis=-1)
+        s_c = np.stack([np.asarray(c) for c in spheres.c],
+                       axis=-1)[s_is_em]
+        s_rad = np.asarray(spheres.rad)[s_is_em]
+        s_em = s_em_all[s_is_em]
+        s_mati = s_mati[s_is_em]
+        shared = np.intersect1d(np.unique(tri_mati_em),
+                                np.unique(s_mati))
+        if shared.size:
+            raise ValueError(
+                "NEE pickup identifies the emitter kind by material "
+                f"id, but material(s) {shared.tolist()} are emissive "
+                "on both a triangle and an analytic sphere — give the "
+                "sphere emitters their own material"
+            )
+    else:
+        s_c = np.zeros((0, 3), np.float32)
+        s_rad = np.zeros((0,), np.float32)
+        s_em = np.zeros((0, 3), np.float32)
+        s_mati = np.zeros((0,), np.int32)
+    s_lum = s_em @ np.asarray(_LUM, np.float32)
+    s_power = 4.0 * np.pi * s_rad * s_rad * s_lum
+
+    if power.size + s_power.size == 0 or not (
+            float(power.sum()) + float(s_power.sum()) > 0.0):
+        raise ValueError(
+            "NEE needs at least one emitter (emissive triangle or "
+            "analytic sphere)"
+        )
+    w_total = float(power.sum()) + float(s_power.sum())
+    cum = np.cumsum(
+        np.concatenate([power, s_power]) / w_total
+    ).astype(np.float32)
     cum[-1] = 1.0
     p_area = (lum / w_total).astype(np.float32)
+    s_sel = (s_power / w_total).astype(np.float32)
 
     def _v3(a):
         return tuple(jnp.asarray(a[:, k], jnp.float32) for k in range(3))
 
     packed = np.concatenate(
         [r1, e1, e2, m, em, p_area[:, None]], axis=-1
+    ).astype(np.float32)
+    s_packed = np.concatenate(
+        [s_c, s_rad[:, None], s_em, s_sel[:, None]], axis=-1
     ).astype(np.float32)
 
     return EmitterTable(
@@ -179,60 +254,143 @@ def build_emitter_table(tris, mats: MaterialsSoA,
         total_area=jnp.float32(total),
         power_lum=jnp.float32(w_total),
         packed=jnp.asarray(packed),
+        s_c=_v3(s_c),
+        s_rad=jnp.asarray(s_rad),
+        s_emission=_v3(s_em),
+        s_sel=jnp.asarray(s_sel),
+        s_mati=jnp.asarray(s_mati, dtype=jnp.int32),
+        s_packed=jnp.asarray(s_packed),
     )
 
 
-def sample_emitters(table: EmitterTable, u1, u2, u3):
-    """Power-proportional point on the emitter set.
+def _fetch_rows(packed, idx, ncols: int):
+    """Per-lane row fetch from a small host table, following the
+    materials take_select size rule: <= 64 rows are where-chains of
+    scalar rows (~free — a real gather on cornell's 2-emitter table
+    measured 41 -> 11 spp/s on the rrnee bench leg); larger tables
+    are ONE row gather (16 column gathers cost ~10 ms EACH per 2M
+    lanes on v5e; the row-pack gather ~20 ms total)."""
+    e = int(packed.shape[0])
+    if e <= 64:
+        cols = []
+        for c in range(ncols):
+            out = jnp.full(idx.shape, packed[0, c])
+            for j in range(1, e):
+                out = jnp.where(idx == j, packed[j, c], out)
+            cols.append(out)
+        return cols
+    row = jnp.take(packed, idx, axis=0)  # (N, ncols)
+    return [row[:, c] for c in range(ncols)]
 
-    u1 picks the triangle (POWER-proportional via the cumulative
-    table); (u2, u3) pick the square-root-warped barycentrics. Returns
-    (y: V3, m: V3, emission: V3, p_area), each per-lane — p_area is
-    the sampling pdf (area measure) at y.
+
+def _sample_tri(table: EmitterTable, idx, u2, u3):
+    """Point on emissive triangle idx: sqrt-warped barycentrics.
+    Returns (y, m, emission, p_area) per-lane."""
+    cols = _fetch_rows(table.packed, idx, 16)
+
+    def col3(base):
+        return (cols[base], cols[base + 1], cols[base + 2])
+
+    s = jnp.sqrt(u2)
+    b1 = s * (1.0 - u3)
+    b2 = s * u3
+    v0, e1, e2 = col3(0), col3(3), col3(6)
+    y = vadd(v0, vadd(vscale(e1, b1), vscale(e2, b2)))
+    return y, col3(9), col3(12), cols[15]
+
+
+def _sample_sphere(table: EmitterTable, idx, origin: V3, u2, u3):
+    """Cone-sample emissive sphere idx as seen from `origin`.
+
+    Uniform direction in the subtended cone (uniform 4-pi sphere when
+    origin is inside), forward ray-sphere hit as the sample point y,
+    outward unit normal m, and the EQUIVALENT AREA density p_area =
+    pdf_sa * ecos / r^2 so downstream math is measure-uniform with the
+    triangle sampler. ecos -> 0 at the silhouette makes p_area -> 0
+    there; direct_light's combined-denominator form (ecos^2 /
+    (p_area + p_bsdf)) keeps the contribution finite (it tends to the
+    correct 0/q_sa limit)."""
+    cols = _fetch_rows(table.s_packed, idx, 8)
+    c = (cols[0], cols[1], cols[2])
+    rad, emission, sel = cols[3], (cols[4], cols[5], cols[6]), cols[7]
+
+    dcv = vsub(c, origin)
+    dc2 = vdot(dcv, dcv)
+    safe_dc2 = jnp.maximum(dc2, 1e-12)
+    outside = dc2 > rad * rad
+    cosmax = jnp.where(
+        outside,
+        jnp.sqrt(jnp.maximum(0.0, 1.0 - rad * rad / safe_dc2)),
+        jnp.float32(-1.0),
+    )
+    one_minus = 1.0 - cosmax  # in (0, 1] outside, 2 inside
+    cos_t = 1.0 - u2 * one_minus
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = jnp.float32(2.0 * np.pi) * u3
+    w_axis = vscale(dcv, 1.0 / jnp.sqrt(safe_dc2))
+    t1v, t2v = bsdf.orthonormal_base(w_axis)
+    d = vadd(
+        vscale(w_axis, cos_t),
+        vadd(vscale(t1v, sin_t * jnp.cos(phi)),
+             vscale(t2v, sin_t * jnp.sin(phi))),
+    )
+    # Forward ray-sphere hit along d: nearest root outside, far root
+    # inside. Cone directions always intersect; disc is clamped so
+    # silhouette-edge rounding degrades to the tangent point.
+    b = vdot(d, dcv)
+    disc = jnp.maximum(0.0, b * b - (dc2 - rad * rad))
+    sq = jnp.sqrt(disc)
+    t = jnp.where(outside, b - sq, b + sq)
+    y = vadd(origin, vscale(d, t))
+    m = vnormalize(vsub(y, c))
+    q_sa = sel / (jnp.float32(2.0 * np.pi) * one_minus)
+    ecos = jnp.abs(vdot(d, m))
+    p_area = q_sa * ecos / jnp.maximum(t * t, 1e-12)
+    return y, m, emission, p_area
+
+
+def sample_emitters(table: EmitterTable, u1, u2, u3, origin: V3 = None):
+    """Power-proportional sample on the emitter set (triangles AND
+    analytic spheres).
+
+    u1 picks the emitter (POWER-proportional via the cumulative
+    table); (u2, u3) warp to sqrt-barycentrics (triangles) or a cone
+    direction (spheres; requires `origin`, the shading point — cone
+    geometry is per-lane). Returns (y: V3, m: V3, emission: V3,
+    p_area), each per-lane — p_area is the sampling pdf in AREA
+    measure at y for both kinds.
 
     The CDF inversion is a branchless compare-count
     (jnp.searchsorted's scan lowering measured 88.9 ms at 1.33M lanes
     x 288 emitters on v5e — 2x a full minarg intersect — vs ~1 ms for
-    the fused broadcast-compare reduce). The per-lane fetch follows
-    the materials take_select rule: small tables (<= 64 emitters,
-    e.g. cornell's 2) are where-chains of scalar rows (~free — a real
-    gather here measured 41 -> 11 spp/s on the rrnee bench leg);
-    large ones are ONE (N, 16) row gather of table.packed (16 column
-    gathers cost ~10 ms EACH per 2M lanes)."""
+    the fused broadcast-compare reduce)."""
     idx = jnp.sum(
         (table.cum[None, :] < u1[:, None]).astype(jnp.int32), axis=1
     )
     idx = jnp.minimum(idx, table.count - 1).astype(jnp.int32)
-    e = table.count
-    if e <= 64:
-        cols = []
-        for c in range(16):
-            out = jnp.full(idx.shape, table.packed[0, c])
-            for j in range(1, e):
-                out = jnp.where(idx == j, table.packed[j, c], out)
-            cols.append(out)
-
-        def col3(base):
-            return (cols[base], cols[base + 1], cols[base + 2])
-
-        s = jnp.sqrt(u2)
-        b1 = s * (1.0 - u3)
-        b2 = s * u3
-        v0, e1, e2 = col3(0), col3(3), col3(6)
-        y = vadd(v0, vadd(vscale(e1, b1), vscale(e2, b2)))
-        return y, col3(9), col3(12), cols[15]
-
-    row = jnp.take(table.packed, idx, axis=0)  # (N, 16)
-
-    def col3(base):
-        return (row[:, base], row[:, base + 1], row[:, base + 2])
-
-    v0, e1, e2 = col3(0), col3(3), col3(6)
-    s = jnp.sqrt(u2)
-    b1 = s * (1.0 - u3)
-    b2 = s * u3
-    y = vadd(v0, vadd(vscale(e1, b1), vscale(e2, b2)))
-    return y, col3(9), col3(12), row[:, 15]
+    et, es = table.tri_count, table.sphere_count
+    if es == 0:
+        return _sample_tri(table, idx, u2, u3)
+    if origin is None:
+        raise ValueError(
+            "sample_emitters needs `origin` (the shading point) when "
+            "the table has analytic-sphere emitters"
+        )
+    if et == 0:
+        return _sample_sphere(table, idx, origin, u2, u3)
+    is_sph = idx >= et
+    yt, mt, emt, pt = _sample_tri(
+        table, jnp.minimum(idx, et - 1), u2, u3
+    )
+    ys, ms, ems, ps = _sample_sphere(
+        table, jnp.clip(idx - et, 0, es - 1), origin, u2, u3
+    )
+    return (
+        vwhere(is_sph, ys, yt),
+        vwhere(is_sph, ms, mt),
+        vwhere(is_sph, ems, emt),
+        jnp.where(is_sph, ps, pt),
+    )
 
 
 def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
@@ -248,9 +406,10 @@ def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
     plain step in intersection — the variance win at small emitters is
     far larger (docs/BENCHMARKS.md "Next-event estimation")."""
     n = u1.shape[0]
-    y, m_y, emission, p_area = sample_emitters(table, u1, u2, u3)
-
     origin = vadd(hit_p, vscale(n_vec, bsdf.EPS))
+    y, m_y, emission, p_area = sample_emitters(table, u1, u2, u3,
+                                               origin=origin)
+
     delta = vsub(y, origin)
     dist2 = vdot(delta, delta)
     dist = jnp.sqrt(dist2)
@@ -276,16 +435,20 @@ def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
         vscale(vmul(f_l, mat.kd), cos_l),
         vscale(vmul(f_b, mat.ks), blinn),
     )
-    scale = (_INV_PI * cos_l * ecos * ecos
-             / jnp.maximum(dist2, 1e-12) / p_area)
     # MIS (balance heuristic) against the BSDF's cosine-sampled
     # continuation, both pdfs in AREA measure at y:
-    #   p_area = lum_i / total_power (power-proportional sampler),
+    #   p_area: triangle = lum_i / total_power (power-proportional
+    #     sampler); sphere = cone pdf_sa * ecos / r^2,
     #   p_cos->area = (cos_l/pi) * ecos / r^2.
+    # The algebra (1/p_area) * w_mis folds into one guarded combined
+    # denominator — identical for triangles, and finite at the sphere
+    # silhouette where p_area -> 0 with ecos.
     p_bsdf = _INV_PI * cos_l * ecos / jnp.maximum(dist2, 1e-12)
-    w_mis = p_area / (p_area + p_bsdf)
+    scale_mis = (_INV_PI * cos_l * ecos * ecos
+                 / jnp.maximum(dist2, 1e-12)
+                 / jnp.maximum(p_area + p_bsdf, 1e-30))
     contrib = vscale(vmul(vmul(vmul(w, f_s), f_r), emission),
-                     scale * w_mis)
+                     scale_mis)
 
     take_it = is_diff & visible & (cos_l > 0.0)
     zeros = tuple(jnp.zeros((n,), jnp.float32) for _ in range(3))
@@ -293,7 +456,8 @@ def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
 
 
 def pickup_mis_weight(table: EmitterTable, prev_pdf, emit_cos, t,
-                      emission: V3):
+                      emission: V3, *, mati=None, hit_p: V3 = None,
+                      ray_p: V3 = None):
     """Balance-heuristic weight for the EMITTER PICKUP at a vertex
     reached by the previous bounce's cosine-sampled continuation.
 
@@ -304,11 +468,56 @@ def pickup_mis_weight(table: EmitterTable, prev_pdf, emit_cos, t,
     emit_cos / t: the pickup hit's |cos| at the emitter and distance
     (the area-measure Jacobian of the direction pdf).
     emission: the hit MATERIAL's emission — the power-proportional
-    sampler's area density there is lum(emission)/total_power."""
+    sampler's area density at a TRIANGLE hit is
+    lum(emission)/total_power.
+    mati / hit_p / ray_p: required when the table has analytic-sphere
+    emitters — a hit whose material id belongs to an emissive sphere
+    (kind-unique by build check) instead gets the CONE sampler's
+    equivalent area density sel_j * ecos / (2 pi (1 - cos_theta_max)
+    * t^2), with cos_theta_max recomputed from the previous vertex
+    ray_p exactly as the gather would have; spheres sharing one
+    material are disambiguated by |hit_p - c_j| (disjoint surfaces,
+    so the nearest-surface match is the generating sphere)."""
     p_bsdf = prev_pdf * emit_cos / jnp.maximum(t * t, 1e-12)
     lum = (_LUM[0] * emission[0] + _LUM[1] * emission[1]
            + _LUM[2] * emission[2])
     p_area = lum / table.power_lum
+    es = table.sphere_count
+    if es:
+        if mati is None or hit_p is None or ray_p is None:
+            raise ValueError(
+                "pickup_mis_weight needs mati/hit_p/ray_p when the "
+                "emitter table has analytic-sphere emitters"
+            )
+        # Host loop over the (few) emissive spheres: where-chains are
+        # ~20 VPU ops each per lane — fine into the hundreds of
+        # emissive spheres (the gather ledger's crossover).
+        sc = np.stack([np.asarray(c) for c in table.s_c], axis=-1)
+        srad = np.asarray(table.s_rad)
+        ssel = np.asarray(table.s_sel)
+        smati = np.asarray(table.s_mati)
+        best = jnp.full(t.shape, jnp.float32(np.inf))
+        for j in range(es):
+            cj = tuple(jnp.float32(sc[j, k]) for k in range(3))
+            r2j = jnp.float32(srad[j] * srad[j])
+            dy = vsub(hit_p, cj)
+            score = jnp.abs(vdot(dy, dy) - r2j)
+            dcv = vsub(cj, ray_p)
+            dc2 = vdot(dcv, dcv)
+            outside = dc2 > r2j
+            cosmax = jnp.where(
+                outside,
+                jnp.sqrt(jnp.maximum(
+                    0.0, 1.0 - r2j / jnp.maximum(dc2, 1e-12))),
+                jnp.float32(-1.0),
+            )
+            q_sa = jnp.float32(ssel[j]) / (
+                jnp.float32(2.0 * np.pi) * (1.0 - cosmax)
+            )
+            p_j = q_sa * emit_cos / jnp.maximum(t * t, 1e-12)
+            match = (mati == int(smati[j])) & (score < best)
+            p_area = jnp.where(match, p_j, p_area)
+            best = jnp.where(match, score, best)
     # The guarded denominator keeps non-emitter lanes (lum = 0 AND
     # grazing p_bsdf = 0) NaN-free — their weight is discarded by the
     # is_emit gate, but NaN x 0 would not be.

@@ -40,7 +40,8 @@ def _add_archetypes(b: SceneBuilder) -> None:
 def cornell_box(*, with_spheres: bool = True,
                 light_scale: float = 1.0,
                 analytic_spheres: bool = False,
-                smooth_spheres: bool = False) -> Scene:
+                smooth_spheres: bool = False,
+                sphere_lamp: bool = False) -> Scene:
     """Cornell-style box in reference coordinates (the commented scene at
     main.cpp:793-816: box spanning x in [-100, 1100], y in [0, 1000],
     red left / green right / white elsewhere, lamp quad at y=999.9).
@@ -49,7 +50,11 @@ def cornell_box(*, with_spheres: bool = True,
     spheres for exact analytic quadrics (core/spheres.py) at the same
     centers/radii/materials — no reference counterpart.
     smooth_spheres=True keeps the tessellation but attaches analytic
-    vertex normals for smooth shading (engine smooth=True)."""
+    vertex normals for smooth shading (engine smooth=True).
+    sphere_lamp=True swaps the ceiling lamp quad for an emissive
+    ANALYTIC SPHERE hanging below the ceiling (same LAMP material) —
+    the library's sphere-emitter scene, exercising NEE's solid-angle
+    cone sampler (ops/nee.py)."""
     if analytic_spheres and smooth_spheres:
         raise ValueError(
             "analytic_spheres and smooth_spheres are mutually "
@@ -59,11 +64,17 @@ def cornell_box(*, with_spheres: bool = True,
     b = SceneBuilder()
     _add_archetypes(b)
 
-    # Lamp (main.cpp:765-766).
-    b.add_triangle((300.0, 999.9, 700.0), (300.0, 999.9, 300.0),
-                   (700.0, 999.9, 700.0), LAMP)
-    b.add_triangle((700.0, 999.9, 700.0), (300.0, 999.9, 300.0),
-                   (700.0, 999.9, 300.0), LAMP)
+    if sphere_lamp:
+        # Emissive sphere below the ceiling: comparable emitted power
+        # to the lamp quad (its 4 pi R^2 at R=120 ~ 45% of the quad's
+        # 400x400 area).
+        b.add_analytic_sphere((500.0, 840.0, 500.0), 120.0, LAMP)
+    else:
+        # Lamp (main.cpp:765-766).
+        b.add_triangle((300.0, 999.9, 700.0), (300.0, 999.9, 300.0),
+                       (700.0, 999.9, 700.0), LAMP)
+        b.add_triangle((700.0, 999.9, 700.0), (300.0, 999.9, 300.0),
+                       (700.0, 999.9, 300.0), LAMP)
 
     # Front (behind the scene, +z) (main.cpp:794-795).
     b.add_triangle((-100.0, 0.0, 1000.0), (-100.0, 1000.0, 1000.0),

@@ -45,7 +45,10 @@ def test_emitter_table_cornell():
     assert np.all(ys >= lo) and np.all(ys <= hi)
 
 
-def test_emissive_sphere_raises():
+def test_emitter_table_sphere_and_kind_unique_materials():
+    """Emissive analytic spheres join the table (power = 4 pi R^2 x
+    lum); an emissive material shared between a triangle and a sphere
+    raises (the pickup's kind discriminator is hit.mati)."""
     from opencl_path_tracer_tpu.scene.builder import SceneBuilder
     b = SceneBuilder()
     b.add_material((0.5, 0.5, 0.5), (0, 0, 0), (0, 0, 0),
@@ -55,8 +58,205 @@ def test_emissive_sphere_raises():
     b.add_triangle((0, 0, 0), (1, 0, 0), (0, 1, 0), 0)
     b.add_analytic_sphere((0.0, 5.0, 0.0), 1.0, 1)
     scene = b.build()
-    with pytest.raises(ValueError, match="sphere"):
-        nee.build_emitter_table(scene.tris, scene.mats, scene.spheres)
+    tab = nee.build_emitter_table(scene.tris, scene.mats, scene.spheres)
+    assert (tab.tri_count, tab.sphere_count, tab.count) == (0, 1, 1)
+    assert float(tab.s_sel[0]) == 1.0
+    np.testing.assert_allclose(
+        float(tab.power_lum), 4 * np.pi * 1.0 * 5.0, rtol=1e-5)
+
+    # Same emissive material on BOTH kinds -> loud error.
+    b2 = SceneBuilder()
+    b2.add_material((0, 0, 0), (0, 0, 0), (5.0, 5.0, 5.0),
+                    (1, 1, 1), (0, 0, 0), 50.0, 3)
+    b2.add_triangle((0, 0, 0), (1, 0, 0), (0, 1, 0), 0)
+    b2.add_analytic_sphere((0.0, 5.0, 0.0), 1.0, 0)
+    s2 = b2.build()
+    with pytest.raises(ValueError, match="kind"):
+        nee.build_emitter_table(s2.tris, s2.mats, s2.spheres)
+
+
+def test_sphere_cone_sampler_geometry():
+    """Solid-angle cone sampler: every sample lies on the sphere with
+    a unit outward normal, and E[1/p_area] reproduces the VISIBLE cap
+    area 2 pi R^2 (1 - R/d) — the pdf normalization identity."""
+    scene = library.cornell_box(with_spheres=False, sphere_lamp=True)
+    tab = nee.build_emitter_table(scene.tris, scene.mats,
+                                  scene.spheres)
+    N = 100_000
+    x = (jnp.full((N,), 500.0), jnp.full((N,), 1.0),
+         jnp.full((N,), 500.0))
+    u = jax.random.uniform(jax.random.key(0), (3, N))
+    y, m, em, p_area = nee.sample_emitters(tab, u[0], u[1], u[2],
+                                           origin=x)
+    ys = np.stack([np.asarray(c) for c in y], -1)
+    c0 = np.array([500.0, 840.0, 500.0])
+    r = np.linalg.norm(ys - c0, axis=-1)
+    assert np.abs(r - 120.0).max() < 5e-3
+    ms = np.stack([np.asarray(k) for k in m], -1)
+    assert np.abs(np.linalg.norm(ms, axis=-1) - 1.0).max() < 1e-5
+    # outward normal: m parallel to (y - c)
+    assert np.abs((ms * (ys - c0)).sum(-1) / r - 1.0).max() < 1e-4
+    d = float(np.linalg.norm(np.array([500.0, 1.0, 500.0]) - c0))
+    cap = 2 * np.pi * 120.0 ** 2 * (1.0 - 120.0 / d)
+    est = float(jnp.mean(1.0 / p_area))
+    assert abs(est - cap) / cap < 0.05, (est, cap)
+
+
+def test_sphere_gather_matches_brute_cosine():
+    """The MIS identity on a SPHERE emitter: weighted gather +
+    MIS-weighted BSDF pickup == full brute-force pickup term at a
+    fixed diffuse vertex (same protocol as the triangle-lamp
+    cross-check above)."""
+    import dataclasses
+    from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+
+    scene = library.cornell_box(with_spheres=False, sphere_lamp=True)
+    isect = make_intersect_fn(scene, "bruteforce")
+    tab = nee.build_emitter_table(scene.tris, scene.mats,
+                                  scene.spheres)
+    mats = scene.mats
+    N = 300_000
+    x = (jnp.full((N,), 400.0), jnp.full((N,), 50.0),
+         jnp.full((N,), 400.0))
+    nv = (jnp.zeros(N), jnp.ones(N), jnp.zeros(N))
+    u = jax.random.uniform(jax.random.key(1), (5, N))
+
+    p, d = bsdf.diffuse_ray(x, nv, u[0], u[1])
+    hit = isect(Rays(p=p, d=d))
+    mat = mats.take_select(hit.mati)
+    is_emit = hit.valid & (mat.type == 3)
+    flip = (d[0] * hit.n[0] + d[1] * hit.n[1] + d[2] * hit.n[2]) > 0
+    nf = tuple(jnp.where(flip, -c, c) for c in hit.n)
+    emit_cos = jnp.maximum(
+        0.0, -(d[0] * nf[0] + d[1] * nf[1] + d[2] * nf[2]))
+    cos_t = jnp.maximum(0.0, d[1])
+    pick = [jnp.where(is_emit, mat.emission[k] * cos_t * emit_cos, 0.0)
+            for k in range(3)]
+    full = [float(jnp.mean(c)) for c in pick]
+    w_pick = nee.pickup_mis_weight(
+        tab, cos_t / np.float32(np.pi), emit_cos, hit.t, mat.emission,
+        mati=hit.mati, hit_p=hit.p, ray_p=p)
+    picked = [float(jnp.mean(c * w_pick)) for c in pick]
+
+    m1 = mats.take_select(jnp.zeros((N,), jnp.int32))
+    m1 = dataclasses.replace(
+        m1, kd=(jnp.ones(N),) * 3, ks=(jnp.zeros(N),) * 3)
+    cam = library.cornell_camera(8, 8)
+    c = nee.direct_light(
+        tab, intersect_fn=isect, cam_eye=cam.eye,
+        hit_p=x, n_vec=nv, mat=m1,
+        f_l=(jnp.ones(N),) * 3, f_b=(jnp.zeros(N),) * 3,
+        f_s=(jnp.ones(N),) * 3, f_r=(jnp.ones(N),) * 3,
+        is_diff=jnp.ones((N,), bool), u1=u[2], u2=u[3], u3=u[4])
+    gathered = [float(jnp.mean(k)) for k in c]
+    total = [g + pk for g, pk in zip(gathered, picked)]
+    np.testing.assert_allclose(total, full, rtol=0.04)
+    # Both strategies genuinely contribute.
+    assert all(g > 0.05 * f for g, f in zip(gathered, full))
+    assert all(pk > 0.01 * f for pk, f in zip(picked, full))
+
+
+def test_mixed_tri_and_sphere_emitters_identity():
+    """Triangle lamp + emissive sphere in ONE scene: selection shares
+    match the power fractions and the single-vertex MIS identity holds
+    across the mixed table."""
+    import dataclasses
+    from opencl_path_tracer_tpu.scene.builder import SceneBuilder
+    from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+
+    b = SceneBuilder()
+    b.add_material((0.7, 0.7, 0.7), (0, 0, 0), (0, 0, 0),
+                   (1, 1, 1), (0, 0, 0), 50.0, 0)          # floor
+    b.add_material((0, 0, 0), (0, 0, 0), (8.0, 8.0, 8.0),
+                   (1, 1, 1), (0, 0, 0), 50.0, 3)          # tri lamp
+    b.add_material((0, 0, 0), (0, 0, 0), (4.0, 4.0, 4.0),
+                   (1, 1, 1), (0, 0, 0), 50.0, 3)          # sphere lamp
+    b.add_triangle((-600, 0, -600), (600, 0, -600), (-600, 0, 600), 0)
+    b.add_triangle((600, 0, -600), (600, 0, 600), (-600, 0, 600), 0)
+    b.add_triangle((-200, 500, -100), (0, 500, -100), (-200, 500, 100),
+                   1)
+    b.add_triangle((0, 500, -100), (0, 500, 100), (-200, 500, 100), 1)
+    b.add_analytic_sphere((250.0, 350.0, 0.0), 60.0, 2)
+    scene = b.build()
+    tab = nee.build_emitter_table(scene.tris, scene.mats, scene.spheres)
+    assert (tab.tri_count, tab.sphere_count) == (2, 1)
+    # power: tri lamp 200*200*8 = 3.2e5; sphere 4 pi 60^2 * 4 ~ 1.81e5
+    p_tri = 200 * 200 * 8.0
+    p_sph = 4 * np.pi * 60.0 ** 2 * 4.0
+    u = jax.random.uniform(jax.random.key(2), (3, 40_000))
+    x0 = (jnp.zeros(40_000), jnp.full((40_000,), 1.0),
+          jnp.zeros(40_000))
+    y, m, em, p_area = nee.sample_emitters(tab, u[0], u[1], u[2],
+                                           origin=x0)
+    sph_share = float(jnp.mean((em[0] < 6.0).astype(jnp.float32)))
+    assert abs(sph_share - p_sph / (p_tri + p_sph)) < 0.02, sph_share
+
+    isect = make_intersect_fn(scene, "bruteforce")
+    N = 300_000
+    x = (jnp.zeros(N), jnp.full((N,), 1.0), jnp.zeros(N))
+    nv = (jnp.zeros(N), jnp.ones(N), jnp.zeros(N))
+    uu = jax.random.uniform(jax.random.key(3), (5, N))
+    p, d = bsdf.diffuse_ray(x, nv, uu[0], uu[1])
+    hit = isect(Rays(p=p, d=d))
+    mat = scene.mats.take_select(hit.mati)
+    is_emit = hit.valid & (mat.type == 3)
+    flip = (d[0] * hit.n[0] + d[1] * hit.n[1] + d[2] * hit.n[2]) > 0
+    nf = tuple(jnp.where(flip, -c, c) for c in hit.n)
+    emit_cos = jnp.maximum(
+        0.0, -(d[0] * nf[0] + d[1] * nf[1] + d[2] * nf[2]))
+    cos_t = jnp.maximum(0.0, d[1])
+    pick = [jnp.where(is_emit, mat.emission[k] * cos_t * emit_cos, 0.0)
+            for k in range(3)]
+    full = [float(jnp.mean(c)) for c in pick]
+    w_pick = nee.pickup_mis_weight(
+        tab, cos_t / np.float32(np.pi), emit_cos, hit.t, mat.emission,
+        mati=hit.mati, hit_p=hit.p, ray_p=p)
+    picked = [float(jnp.mean(c * w_pick)) for c in pick]
+    m1 = scene.mats.take_select(jnp.zeros((N,), jnp.int32))
+    m1 = dataclasses.replace(
+        m1, kd=(jnp.ones(N),) * 3, ks=(jnp.zeros(N),) * 3)
+    cam = library.cornell_camera(8, 8)
+    c = nee.direct_light(
+        tab, intersect_fn=isect, cam_eye=cam.eye,
+        hit_p=x, n_vec=nv, mat=m1,
+        f_l=(jnp.ones(N),) * 3, f_b=(jnp.zeros(N),) * 3,
+        f_s=(jnp.ones(N),) * 3, f_r=(jnp.ones(N),) * 3,
+        is_diff=jnp.ones((N,), bool), u1=uu[2], u2=uu[3], u3=uu[4])
+    gathered = [float(jnp.mean(k)) for k in c]
+    total = [g + pk for g, pk in zip(gathered, picked)]
+    np.testing.assert_allclose(total, full, rtol=0.04)
+
+
+@pytest.mark.slow
+def test_estimator_equality_sphere_lamp():
+    """Renderer-level: NEE with the sphere-emitter cone sampler
+    converges to the base tracer's image on the sphere-lamp cornell
+    (the same protocol as the triangle-lamp equality test)."""
+    w = h = 16
+    scene = library.cornell_box(with_spheres=False, sphere_lamp=True)
+    from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+    cam = library.cornell_camera(w, h)
+    isect = make_intersect_fn(scene, "bruteforce")
+    tab = nee.build_emitter_table(scene.tris, scene.mats,
+                                  scene.spheres)
+    kw = dict(intersect_fn=isect, num_pixels=w * h, iterations=2,
+              mode="fast")
+
+    def img(spp, seed, **k):
+        st = megakernel.render(cam, scene.mats, spp=spp, seed=seed,
+                               **kw, **k)
+        return np.asarray(megakernel.colors_array(st)).reshape(-1, 3)
+
+    b1, b2 = img(1200, 3), img(1200, 11)
+    n1, n2 = img(400, 7, nee=tab), img(400, 23, nee=tab)
+    bm, nm = 0.5 * (b1 + b2), 0.5 * (n1 + n2)
+    dim = bm.max(-1) < 1.0
+    assert dim.sum() > w * h // 2
+    bd, nd = bm[dim].mean(), nm[dim].mean()
+    assert abs(bd - nd) < 0.04 * bd + 0.005, (bd, nd)
+    base_dev = np.abs(b1 - b2)[dim].mean()
+    nee_dev = np.abs(n1 - n2)[dim].mean()
+    assert nee_dev < 0.6 * base_dev, (nee_dev, base_dev)
 
 
 def test_gather_matches_brute_cosine():
@@ -190,6 +390,22 @@ def test_cli_nee_render(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "ptx", "render", "--scene", "cornell-empty", "--size", "16x12",
         "--spp", "4", "--iters", "3", "--nee", "--out", png,
+    ])
+    assert cli.main() == 0
+    assert os.path.exists(png)
+
+
+def test_cli_nee_sphere_lamp_render(tmp_path, monkeypatch):
+    """End-to-end: the sphere-emitter scene renders through the engine
+    with --nee (cone sampler + pickup weights wired through the
+    wavefront model and the merged sphere intersector)."""
+    import sys, os
+    from opencl_path_tracer_tpu import cli
+    png = str(tmp_path / "sl.png")
+    monkeypatch.setattr(sys, "argv", [
+        "ptx", "render", "--scene", "cornell-sphere-lamp",
+        "--size", "16x12", "--spp", "4", "--iters", "3", "--nee",
+        "--out", png,
     ])
     assert cli.main() == 0
     assert os.path.exists(png)
