@@ -48,6 +48,11 @@ def _build_scene(name: str, models_dir: str | None,
                                    sphere_lamp=True)
     if name == "reference":
         return library.reference_scene(models_dir, smooth=smooth)
+    if name == "reference-analytic":
+        # Native representation: the two sphere models (emissive lamp
+        # + gold ball) as exact quadrics, other models as meshes.
+        return library.reference_scene(models_dir, smooth=smooth,
+                                       analytic=True)
     if name == "stress":
         # smooth: 100k-tri smooth shading rides the pair
         # intersector's with_ids surface (engine SMOOTH_ACCELS).

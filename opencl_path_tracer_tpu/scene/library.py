@@ -201,7 +201,8 @@ def write_sphere_obj(path: str, *, radius: float = 1.0, lat: int = 16,
 
 
 def reference_scene(models_dir: str | None = None,
-                    smooth: bool = False) -> Scene:
+                    smooth: bool = False,
+                    analytic: bool = False) -> Scene:
     """The default scene of onInitialization (main.cpp:745-1017): huge
     ground plane + 10 archetypes + seven OBJ models (main.cpp:1002-1010).
     The model files are not in the reference repo; missing ones are
@@ -212,7 +213,17 @@ def reference_scene(models_dir: str | None = None,
     smooth=True builds vertex shading normals for every model (OBJ vn
     or computed, builder._shape_normals; analytic for the sphere
     stand-ins) — the capability the reference lacks (face normals
-    only, prog.cl:11-16)."""
+    only, prog.cl:11-16).
+
+    analytic=True swaps the two SPHERE models — lsphere (the emissive
+    ceiling lamp, scaled x200) and sphere (the gold ball, x100) — for
+    exact analytic quadrics at the same centers/radii/materials; the
+    five non-sphere models stay meshes. This assumes unit-sphere model
+    files (true of the committed procedural stand-ins,
+    scripts/gen_models.py; a custom models_dir with non-sphere
+    lsphere/sphere geometry should keep analytic=False). The emissive
+    quadric exercises NEE's solid-angle cone sampler on the
+    reference's own scene content."""
     b = SceneBuilder()
     _add_archetypes(b)
 
@@ -239,7 +250,16 @@ def reference_scene(models_dir: str | None = None,
         ("glass-table.obj", (-200, 0, -200), (500, 500, 500), 0, 0,
          GLASS, 0.6),
     ]
+    # Native representation of the two unit-sphere models (see
+    # docstring): sphere center = the add_Obj translate (model-space
+    # origin; the X-flip and uniform scale leave it there), radius =
+    # the uniform scale factor.
+    analytic_spheres = {"lsphere.obj": LAMP, "sphere.obj": GOLD}
     for name, pos, scale, pitch, yaw, fallback_mat, fb_rad in objs:
+        if analytic and name in analytic_spheres:
+            b.add_analytic_sphere(pos, float(scale[0]),
+                                  analytic_spheres[name])
+            continue
         path = os.path.join(models_dir, name) if models_dir else None
         if path and os.path.exists(path):
             b.add_obj(path, pos, scale, pitch, yaw,

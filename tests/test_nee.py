@@ -227,6 +227,75 @@ def test_mixed_tri_and_sphere_emitters_identity():
     np.testing.assert_allclose(total, full, rtol=0.04)
 
 
+def test_reference_scene_analytic_spheres():
+    """reference_scene(analytic=True): the two unit-sphere models
+    become quadrics (emissive lamp + gold ball) at the add_Obj
+    translate/scale, the other five stay meshes, and the emitter
+    table picks up the sphere lamp for cone-sampled NEE."""
+    import os
+    here = os.path.dirname(__file__)
+    mdir = os.path.join(here, "assets", "models")
+    base = library.reference_scene(mdir)
+    ana = library.reference_scene(mdir, analytic=True)
+    assert ana.spheres is not None and ana.spheres.count == 2
+    assert ana.num_triangles < base.num_triangles
+    c = np.stack([np.asarray(k) for k in ana.spheres.c], -1)
+    np.testing.assert_allclose(
+        c, [[0.0, 1000.0, -50.0], [-490.0, 377.0, -400.0]])
+    np.testing.assert_allclose(np.asarray(ana.spheres.rad),
+                               [200.0, 100.0])
+    tab = nee.build_emitter_table(ana.tris, ana.mats, ana.spheres)
+    assert (tab.tri_count, tab.sphere_count) == (0, 1)
+    # Emission is the LAMP archetype's (the gold ball is not emissive).
+    np.testing.assert_allclose(
+        [float(k[0]) for k in tab.s_emission], [120.0, 100.0, 80.0])
+
+
+def test_reference_analytic_primary_hit_parity():
+    """Mesh vs analytic reference builds agree on primary visibility:
+    deterministic center-pixel rays hit the same material (up to the
+    tessellation silhouette band) on >=97% of pixels."""
+    import os
+    from opencl_path_tracer_tpu.ops import raygen
+    from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+    here = os.path.dirname(__file__)
+    mdir = os.path.join(here, "assets", "models")
+    w, h = 96, 54
+    cam = library.reference_camera(w, h)
+    ids = raygen.pixel_ids_like(w * h)
+    half = jnp.full((w * h,), 0.5)
+    rays = raygen.camera_rays(cam, ids, half, half)
+
+    def mat_key_img(scene):
+        """Per-pixel MATERIAL CONTENT key (kd+emission+type), not the
+        raw index: skipping an OBJ load shifts every later MTL
+        material's index, so equal surfaces legitimately differ in
+        mati across the two builds."""
+        hits = make_intersect_fn(scene, "bruteforce")(rays)
+        mi = np.asarray(hits.mati)
+        key = sum(
+            np.round(np.asarray(comp) * 1000).astype(np.int64)[mi]
+            * (10 ** (3 * k))
+            for k, comp in enumerate(
+                list(scene.mats.kd) + list(scene.mats.emission))
+        ) * 4 + np.asarray(scene.mats.type)[mi]
+        return np.where(np.asarray(hits.valid), key, -1)
+
+    a = mat_key_img(library.reference_scene(mdir))
+    b = mat_key_img(library.reference_scene(mdir, analytic=True))
+    agree = (a == b).mean()
+    assert agree >= 0.95, agree
+    # Both sphere models are actually seen by the analytic build
+    # (emissive lamp pixels + gold-type pixels present).
+    ana = library.reference_scene(mdir, analytic=True)
+    hits = make_intersect_fn(ana, "bruteforce")(rays)
+    mi = np.asarray(hits.mati)
+    t = np.asarray(ana.mats.type)[mi]
+    em = np.asarray(ana.mats.emission[0])[mi]
+    assert ((t == 3) & (em > 0) & np.asarray(hits.valid)).sum() > 0
+    assert ((mi == library.GOLD) & np.asarray(hits.valid)).sum() > 0
+
+
 @pytest.mark.slow
 def test_estimator_equality_sphere_lamp():
     """Renderer-level: NEE with the sphere-emitter cone sampler
