@@ -231,10 +231,17 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
                    rr: tuple[int, float] | None = None,
                    qmc: bool = False, dof=None,
                    variance_tol: float | None = None,
-                   min_samples: int = 8) -> WavefrontState:
+                   min_samples: int = 8,
+                   lane_offset=0) -> WavefrontState:
     """One wavefront step: intersect every live lane once, shade,
     terminate/regenerate. `ids` must match init_wavefront's (unused once
     lanes carry st.pixel, kept for API compatibility).
+
+    lane_offset: global index of this state's first lane — a lane-axis
+    SHARD of a larger wavefront passes its start offset so fast-mode
+    counter-hash draws continue the single-device streams (the tiled
+    step passes axis_index * lanes_per_shard; see rng.fast_uniforms).
+    Parity mode ignores it (Lehmer streams ride in st.rng_state).
 
     sort_every > 0: re-sort lanes for spatial coherence every that many
     steps (requires scene_bounds = (lo, inv_extent) 3-vectors); use with
@@ -314,7 +321,8 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         need1 = is_d_or_e | (has_hit & (mtype == 2))
         rng_state, r1, r2 = _draws_parity(rng_state, need1, is_d_or_e)
     else:
-        u = rng.fast_uniforms(key, st.step, 0, (n,), 2)
+        u = rng.fast_uniforms(key, st.step, 0, (n,), 2,
+                              lane_offset=lane_offset)
         r1, r2 = u[0], u[1]
 
     s = shade(cam, mat, hit, st.ray_p, st.ray_d, st.inside, r1, r2,
@@ -327,7 +335,8 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     if nee is not None:
         from opencl_path_tracer_tpu.ops import nee as nee_mod
         nee_key = key if key is not None else jax.random.key(1791)
-        u = rng.fast_uniforms(nee_key, st.step, 2, (n,), 3)
+        u = rng.fast_uniforms(nee_key, st.step, 2, (n,), 3,
+                              lane_offset=lane_offset)
         # Gather only when the path survives to the next intersect
         # (bounce+1 < iterations), matching the base estimator's
         # truncation exactly (the replaced pickup happens at the NEXT
@@ -385,7 +394,8 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         p = jnp.clip(jnp.maximum(jnp.maximum(thr[0], thr[1]), thr[2]),
                      pmin, 1.0)
         rr_key = key if key is not None else jax.random.key(2791)
-        u = rng.fast_uniforms(rr_key, st.step, 3, (n,), 1)[0]
+        u = rng.fast_uniforms(rr_key, st.step, 3, (n,), 1,
+                              lane_offset=lane_offset)[0]
         gate = continuing & (bounce >= start)
         dead = gate & (u >= p)
         # Survivors compensate: scaling any one factor scales every
@@ -434,11 +444,13 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         # (pixel, sample index)).
         g1, g2 = rng.r2_jitter(key, st.pixel, samples)
     else:
-        u = rng.fast_uniforms(key, st.step, 1, (n,), 2)
+        u = rng.fast_uniforms(key, st.step, 1, (n,), 2,
+                              lane_offset=lane_offset)
         g1, g2 = u[0], u[1]
     if dof is not None:
         dkey = key if key is not None else jax.random.key(401)
-        lu = rng.fast_uniforms(dkey, st.step, 4, (n,), 2)
+        lu = rng.fast_uniforms(dkey, st.step, 4, (n,), 2,
+                               lane_offset=lane_offset)
         fresh = raygen.camera_rays_dof(cam, ids, g1, g2, lu[0], lu[1],
                                        dof[0], dof[1])
     else:

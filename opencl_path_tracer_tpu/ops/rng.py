@@ -122,7 +122,8 @@ def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
 
 
 def fast_uniforms(key: jax.Array, sample: jnp.ndarray, bounce,
-                  shape: tuple[int, ...], num: int) -> jnp.ndarray:
+                  shape: tuple[int, ...], num: int,
+                  lane_offset=0) -> jnp.ndarray:
     """`num` uniform draws per element for a given (sample, bounce) event.
 
     Returns float32 array of shape (num,) + shape in [0, 1) — num on the
@@ -130,11 +131,18 @@ def fast_uniforms(key: jax.Array, sample: jnp.ndarray, bounce,
     padded 64x in TPU HBM). Stateless: the same (key, sample, bounce)
     always produces the same draws, so sample batches can be sharded
     across devices in any order.
+
+    lane_offset shifts the per-element stream index: a lane-axis SHARD
+    of a larger array passes its global start so every shard draws the
+    slice of the single-device stream it owns (lane-axis sharding would
+    otherwise hand all shards the SAME local-iota streams — correlated
+    across chips and unmatchable against one device).
     """
     kd = jnp.ravel(jax.random.key_data(key)).astype(jnp.uint32)
     out_shape = (num,) + shape
     lane = jax.lax.broadcasted_iota(jnp.uint32, out_shape,
                                     len(out_shape) - 1)
+    lane = lane + jnp.asarray(lane_offset, jnp.uint32)
     draw = jax.lax.broadcasted_iota(jnp.uint32, out_shape, 0)
     h = lane * _GOLD
     h = h + kd[0]

@@ -128,18 +128,28 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
 
     Returns step(state) -> (state, mean_luminance); state sharded as by
     shard_wavefront_state. Per-lane results are bit-identical to the
-    single-device wavefront_step (test_parallel.py)."""
+    single-device wavefront_step in BOTH modes (test_parallel.py):
+    parity streams ride in the state, and fast-mode counter-hash draws
+    get each shard's global lane offset (axis_index x lanes/shard) so
+    every shard draws its slice of the single-device streams — without
+    it all shards would share the same local-iota streams (cross-chip
+    correlated sampling)."""
     from opencl_path_tracer_tpu.models import wavefront
 
     n_dev = mesh.devices.size
 
     def per_shard(state):
+        offset = (
+            jax.lax.axis_index(RENDER_AXIS).astype(jnp.uint32)
+            * jnp.uint32(state.samples.shape[0])
+        )
         new = wavefront.wavefront_step(
             cam, mats, state, intersect_fn=intersect_fn,
             iterations=iterations, mode=mode, key=key,
             max_samples=max_samples, env=env, nee=nee, rr=rr,
             qmc=qmc, dof=dof,
             variance_tol=variance_tol, min_samples=min_samples,
+            lane_offset=offset,
         )
         lum = jax.lax.psum(
             sum(jnp.sum(c) for c in new.colors), RENDER_AXIS

@@ -221,6 +221,62 @@ def test_tiled_wavefront_matches_single_device():
     )
 
 
+def test_tiled_wavefront_sphere_emitter_nee_matches_single_device():
+    """NEE with a SPHERE emitter (cone sampler + pickup kind
+    discrimination) sharded over the mesh: per-lane state after k
+    steps is bit-identical to the single-device wavefront — the cone
+    geometry is per-lane, so sharding must not perturb it."""
+    from opencl_path_tracer_tpu.models import wavefront
+    from opencl_path_tracer_tpu.ops import nee
+    from opencl_path_tracer_tpu.parallel import make_tiled_wavefront_step
+    from opencl_path_tracer_tpu.parallel.shard import (
+        shard_wavefront_state,
+    )
+    from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+    from opencl_path_tracer_tpu.scene import library
+
+    w = h = 16
+    scene = library.cornell_box(with_spheres=False, sphere_lamp=True)
+    cam = library.cornell_camera(w, h)
+    isect = make_intersect_fn(scene, "bruteforce")
+    tab = nee.build_emitter_table(scene.tris, scene.mats,
+                                  scene.spheres)
+    assert tab.sphere_count == 1
+    mesh = make_render_mesh()
+    n = w * h
+    key = jax.random.key(5)
+
+    ref = wavefront.init_wavefront(cam, n, seed=1, mode="fast",
+                                   key=key)
+    step1 = lazy_lift_jit(lambda st: wavefront.wavefront_step(
+        cam, scene.mats, st, intersect_fn=isect, iterations=3,
+        mode="fast", key=key, nee=tab,
+    ))
+    for _ in range(4):
+        ref = step1(ref)
+
+    st = shard_wavefront_state(
+        wavefront.init_wavefront(cam, n, seed=1, mode="fast",
+                                 key=key),
+        mesh,
+    )
+    step8 = make_tiled_wavefront_step(
+        cam, scene.mats, mesh, intersect_fn=isect, iterations=3,
+        mode="fast", key=key, nee=tab,
+    )
+    for _ in range(4):
+        st, lum = step8(st)
+
+    for name in ("colors", "ray_p", "ray_d", "cur_color"):
+        for a, b in zip(getattr(ref, name), getattr(st, name)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for name in ("samples", "pixel", "inside", "bounce", "prev_pdf"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(st, name)),
+        )
+
+
 @pytest.mark.slow
 def test_tiled_wavefront_4k_shapes():
     """BASELINE.json milestone 5 shape check: a full-size 4K (3840x2160
