@@ -19,6 +19,8 @@ and writes the trio side by side: base 16 spp, NEE 8 spp (NEE steps
 cost ~2x), and NEE+adaptive (tol 0.05, 4..32 spp as needed).
 
 Run:  python examples/10_nee_and_adaptive.py [--size 128x96]
+      (--sphere-lamp swaps the lamp quad for an emissive analytic
+      sphere: NEE then rides the solid-angle cone sampler)
 """
 
 import argparse
@@ -36,10 +38,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="128x96")
     ap.add_argument("--out", default="out/nee_adaptive_demo.png")
+    ap.add_argument("--sphere-lamp", action="store_true",
+                    help="emissive analytic-sphere lamp (cone-sampled "
+                         "NEE) instead of the lamp quad")
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
 
-    scene = library.cornell_box(with_spheres=True)
+    scene = library.cornell_box(with_spheres=True,
+                                analytic_spheres=args.sphere_lamp,
+                                sphere_lamp=args.sphere_lamp)
     cam = library.cornell_camera(w, h)
     isect = make_intersect_fn(scene, "auto")
     table = nee.build_emitter_table(scene.tris, scene.mats,
