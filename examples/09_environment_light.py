@@ -11,6 +11,13 @@ framework resurrects that code as an opt-in (`env_light=True`, or
 This scene is an open horizon — a matte floor next to a mirror floor
 under an empty sky — so all three miss tiers are visible: sky above
 the horizon, sky-tinted mirror reflections, sky-lit matte ground.
+
+--envmap swaps the constant sky for IMAGE-BASED lighting
+(ops/envmap.py, a framework extension with no reference analog): an
+equirect radiance map — 'sunsky' puts a small bright sun disc in the
+sky, and a luminance-importance-sampled gather + MIS finds it from
+every diffuse vertex (sharp sun shadows at low spp that the
+pickup-only estimator would take thousands of samples to resolve).
 """
 
 import argparse
@@ -52,20 +59,31 @@ def main() -> None:
     ap.add_argument("--size", default="256x256")
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--out", default="out/example09.png")
+    ap.add_argument("--envmap", default=None,
+                    choices=["sunsky", "gradient"],
+                    help="image-based environment instead of the "
+                         "constant sky (importance-sampled NEE + MIS)")
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
 
+    env_kw = (
+        dict(env_map=args.envmap, env_scale=1.0)
+        if args.envmap else
+        dict(env_light=True,             # the dormant prog.cl:367-376
+             env_sky=(0.25, 0.55, 1.0))  # softer blue than 0/0.75/2
+    )
     cfg = RenderConfig(
         width=w, height=h, iterations=8, spp=args.spp, mode="fast",
-        env_light=True,                  # the dormant prog.cl:367-376
-        env_sky=(0.25, 0.55, 1.0),       # a softer blue than 0/0.75/2
         camera=CameraConfig(fov=60.0, yaw=0.0, pitch=14.0,
                             shift=(0.0, 0.0, 0.0)),
+        **env_kw,
     )
     eng = RenderEngine(open_horizon_scene(), cfg)
     eng.render(cfg.spp, progress=False)
     eng.save_png(args.out)
-    print(f"wrote {args.out} (env-lit open scene, {cfg.spp} spp)")
+    kind = args.envmap or "constant sky"
+    print(f"wrote {args.out} (env-lit open scene, {kind}, "
+          f"{cfg.spp} spp)")
 
 
 if __name__ == "__main__":

@@ -103,6 +103,8 @@ def cmd_render(args) -> int:
             dof_focus=(args.dof[1] if args.dof else 0.0),
             env_light=args.env, env_sky=tuple(args.env_sky),
             env_deep=tuple(args.env_deep),
+            env_map=args.envmap, env_scale=args.env_scale,
+            env_nee=not args.no_env_nee,
             camera=_camera_preset(args.scene, w, h, args),
         )
     if args.median and args.denoise:
@@ -197,6 +199,8 @@ def cmd_view(args) -> int:
         dof_focus=(args.dof[1] if args.dof else 0.0),
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
+        env_map=args.envmap, env_scale=args.env_scale,
+        env_nee=not args.no_env_nee,
         camera=_camera_preset(args.scene, w, h, args),
     )
     eng = RenderEngine(scene, cfg)
@@ -228,6 +232,8 @@ def cmd_serve(args) -> int:
         dof_focus=(args.dof[1] if args.dof else 0.0),
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
+        env_map=args.envmap, env_scale=args.env_scale,
+        env_nee=not args.no_env_nee,
         camera=_camera_preset(args.scene, w, h, args),
     )
     ViewerServer(RenderEngine(scene, cfg), port=args.port).serve()
@@ -270,6 +276,8 @@ def cmd_anim(args) -> int:
         dof_focus=(args.dof[1] if args.dof else 0.0),
         env_light=args.env, env_sky=tuple(args.env_sky),
         env_deep=tuple(args.env_deep),
+        env_map=args.envmap, env_scale=args.env_scale,
+        env_nee=not args.no_env_nee,
         camera=_camera_preset(args.scene, w, h, args),
     )
     eng = RenderEngine(scene, cfg)
@@ -366,6 +374,17 @@ def main(argv=None) -> int:
                             "reference kernel's dormant miss-branch "
                             "sky code (prog.cl:367-376; off = shipped "
                             "parity, miss contributes nothing)")
+        p.add_argument("--envmap", default=None, metavar="SRC",
+                       help="image-based environment light "
+                            "(ops/envmap.py): 'gradient', 'sunsky', "
+                            "or a .pfm/.png equirect path; adds an "
+                            "importance-sampled gather + MIS unless "
+                            "--no-env-nee")
+        p.add_argument("--env-scale", type=float, default=1.0,
+                       help="radiance multiplier for --envmap")
+        p.add_argument("--no-env-nee", action="store_true",
+                       help="light misses only (no environment "
+                            "shadow rays / MIS) for --envmap")
         p.add_argument("--env-sky", type=float, nargs=3,
                        default=(0.0, 0.75, 2.0), metavar=("R", "G", "B"),
                        help="sky color for --env (dormant-code "

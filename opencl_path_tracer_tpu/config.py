@@ -87,6 +87,16 @@ class RenderConfig:
     env_light: bool = False
     env_sky: tuple[float, float, float] = (0.0, 0.75, 2.0)
     env_deep: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Image-based environment lighting (framework extension,
+    # ops/envmap.py): an equirect radiance map lights the scene —
+    # 'gradient' / 'sunsky' (procedural) or a .pfm/.png path. With
+    # env_nee=True (default) one luminance-importance-sampled gather
+    # runs at each diffuse vertex, MIS-split against the miss pickup.
+    # Mutually exclusive with env_light (one environment at a time).
+    env_map: str | None = None
+    env_scale: float = 1.0
+    env_nee: bool = True
+    env_sample_res: tuple[int, int] = (64, 32)
     # Thin-lens depth of field (framework extension; the reference
     # camera is a pure pinhole, prog.cl:82-92): lens radius in world
     # units and focal-plane distance along the view axis. aperture 0
@@ -144,6 +154,19 @@ class RenderConfig:
             raise ValueError("devices must be >= 0 (0 = all)")
         if len(self.env_sky) != 3 or len(self.env_deep) != 3:
             raise ValueError("env_sky/env_deep must be RGB 3-tuples")
+        if self.env_map is not None:
+            if self.env_light:
+                raise ValueError(
+                    "env_map and env_light are mutually exclusive "
+                    "(one environment at a time)"
+                )
+            if self.env_scale <= 0.0:
+                raise ValueError("env_scale must be > 0")
+            if len(self.env_sample_res) != 2 or \
+                    min(self.env_sample_res) < 1:
+                raise ValueError(
+                    "env_sample_res must be (Ws, Hs) positive ints"
+                )
         if self.dof_aperture < 0.0:
             raise ValueError("dof_aperture must be >= 0")
         if self.dof_aperture > 0.0 and self.dof_focus <= 0.0:
@@ -176,7 +199,8 @@ class RenderConfig:
     def from_json(cls, text: str) -> "RenderConfig":
         raw: dict[str, Any] = json.loads(text)
         cam = raw.pop("camera", None)
-        for key in ("env_sky", "env_deep"):  # JSON lists -> tuples
+        # JSON lists -> tuples
+        for key in ("env_sky", "env_deep", "env_sample_res"):
             if key in raw:
                 raw[key] = tuple(raw[key])
         cfg = cls(**raw)

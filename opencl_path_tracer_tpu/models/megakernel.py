@@ -250,7 +250,7 @@ def trace_sample(
     ids: jnp.ndarray | None = None,
     sample_index: jnp.ndarray | None = None,
     with_stats: bool = False,
-    env: EnvLight | None = None,
+    env=None,  # EnvLight | ops.envmap.EnvMap | None
     nee=None,
     qmc: bool = False,
     dof: tuple[float, float] | None = None,
@@ -263,8 +263,11 @@ def trace_sample(
     renders a tile of a larger framebuffer or uses a tile-major pixel
     permutation. sample_index: optional override of the sample counter
     for fast-mode RNG decorrelation (multi-chip sample sharding).
-    env: optional EnvLight — miss contributions per the reference's
-    dormant sky-light code (prog.cl:367-376); None = shipped parity.
+    env: optional EnvLight (the reference's dormant sky-light code,
+    prog.cl:367-376) or ops.envmap.EnvMap (equirect radiance image;
+    env.nee=True adds an importance-sampled environment gather per
+    diffuse vertex, MIS-split with the miss pickup); None = shipped
+    parity.
     nee: optional ops.nee.EmitterTable — gather direct light at every
     diffuse vertex via one shadow ray; gather and the next bounce's
     emitter pickup split the term by MIS balance weights (ops/nee.py)
@@ -283,6 +286,15 @@ def trace_sample(
         nee_key = jax.random.fold_in(
             base_key, ids[0].astype(jnp.uint32)
         )
+    from opencl_path_tracer_tpu.ops.envmap import EnvMap
+    env_is_map = isinstance(env, EnvMap)
+    if env_is_map:
+        from opencl_path_tracer_tpu.ops import envmap as envmap_mod
+        if env.nee:
+            ebase = key if key is not None else jax.random.key(3791)
+            env_key = jax.random.fold_in(
+                ebase, ids[0].astype(jnp.uint32)
+            )
 
     # --- gen_ray (prog.cl:384-389): two unconditional draws per pixel.
     if mode == "parity":
@@ -327,6 +339,9 @@ def trace_sample(
         (ray_p, ray_d, rng_state, f_l, f_b, f_s, f_r,
          color, alive, inside, had_diffuse, prev_pdf,
          rays_traced) = carry
+        # The PREVIOUS bounce's direction pdf — the env miss pickup
+        # below weights against this, not this vertex's update.
+        prev_pdf_prev = prev_pdf
 
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         hit, mat = fetch_material(mats, intersect_fn,
@@ -384,6 +399,31 @@ def trace_sample(
             )
         else:
             emit_scale = None
+            if env_is_map and env.nee:
+                # env NEE alone still needs the pickup-side pdf.
+                prev_pdf = jnp.where(
+                    s["is_diff"],
+                    s["intens_d"] * jnp.float32(1.0 / np.pi),
+                    0.0,
+                )
+
+        if env_is_map and env.nee:
+            # Environment gather at this bounce's diffuse vertices —
+            # same survival gating and MIS split as the emitter
+            # gather, in solid-angle measure (ops/envmap.py). Salt
+            # 30_000+b: bounce draws use 1..50, NEE 10_000+b, lens
+            # 20_000.
+            u = rng.fast_uniforms(env_key, s_idx, 30_000 + b, (n,), 3)
+            gather = s["is_diff"] & (b < iterations - 1)
+            color = vadd(color, envmap_mod.direct_light_env(
+                env, intersect_fn=intersect_fn, cam_eye=cam.eye,
+                hit_p=hit.p, n_vec=s["n_vec"], mat=mat,
+                f_l=f_l, f_b=f_b, f_s=f_s, f_r=f_r,
+                is_diff=gather, u1=u[0], u2=u[1], u3=u[2],
+            ))
+            rays_traced = rays_traced + jnp.sum(
+                alive.astype(jnp.float32)
+            )  # the environment shadow-ray batch
 
         f_l, f_b, f_s, f_r, inside, color = apply_factors(
             s, f_l, f_b, f_s, f_r, inside, color,
@@ -393,7 +433,12 @@ def trace_sample(
         # Miss -> break (prog.cl:367-376): lane goes dead. With an
         # EnvLight, the dying lane first collects the dormant-code sky
         # contribution (cntr there counts diffuse bounces, prog.cl:339).
-        if env is not None:
+        if env_is_map:
+            color = envmap_mod.envmap_miss_update(
+                env, alive & ~hit.valid, b == 0, prev_pdf_prev,
+                f_l, f_b, f_s, f_r, ray_d, color,
+            )
+        elif env is not None:
             color = env_miss_update(
                 env, alive & ~hit.valid, b == 0, had_diffuse,
                 f_l, f_b, f_s, f_r, color,
@@ -436,7 +481,7 @@ def trace_sample(
 
 
 def make_sample_step(cam, mats, *, intersect_fn, iterations, mode="parity",
-                     key=None, env: EnvLight | None = None, nee=None,
+                     key=None, env=None, nee=None,
                      qmc: bool = False, dof=None):
     """A jitted state -> state progressive step (one sample/pixel)."""
     @jax.jit
@@ -452,7 +497,7 @@ def make_sample_step(cam, mats, *, intersect_fn, iterations, mode="parity",
 def render(cam, mats, *, intersect_fn, num_pixels, iterations, spp,
            mode="parity", seed=1, key=None,
            state: TraceState | None = None,
-           env: EnvLight | None = None, nee=None,
+           env=None, nee=None,
            qmc: bool = False, dof=None) -> TraceState:
     """Accumulate `spp` progressive samples (the onIdle loop,
     main.cpp:1171-1241, minus interactivity)."""

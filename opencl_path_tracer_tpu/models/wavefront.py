@@ -248,10 +248,16 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     the cluster intersector on large scenes where bounce-ray incoherence
     otherwise degrades per-tile culling to brute force.
 
-    env: optional megakernel.EnvLight — a lane whose path dies on a
-    miss first collects the dormant sky-light contribution
-    (prog.cl:367-376); None = shipped-kernel parity. Budget-terminated
-    lanes collect nothing (the reference loop just ends).
+    env: optional megakernel.EnvLight OR ops.envmap.EnvMap — a lane
+    whose path dies on a miss first collects the environment
+    contribution; None = shipped-kernel parity (miss = plain break).
+    EnvLight is the reference's dormant constant sky
+    (prog.cl:367-376). EnvMap is an equirect radiance image; with
+    env.nee=True one importance-sampled environment gather runs at
+    each diffuse vertex and the miss pickup is MIS-weighted against
+    it (ops/envmap.py — balance heuristic, same split as `nee`).
+    Budget-terminated lanes collect nothing (the reference loop just
+    ends).
 
     nee: optional ops.nee.EmitterTable — next-event estimation: one
     shadow ray gathers direct light at each diffuse vertex; gather and
@@ -332,6 +338,12 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         cur_color = vwhere(
             has_hit, vadd(s["mat"].kd, s["mat"].emission), cur_color
         )
+    from opencl_path_tracer_tpu.ops.envmap import EnvMap
+    env_is_map = isinstance(env, EnvMap)
+    # prev_pdf bookkeeping is shared by BOTH MIS splits (surface-
+    # emitter NEE and environment NEE): it carries the previous
+    # diffuse bounce's direction pdf (cos/pi in solid angle).
+    want_pdf = (nee is not None) or (env_is_map and env.nee)
     if nee is not None:
         from opencl_path_tracer_tpu.ops import nee as nee_mod
         nee_key = key if key is not None else jax.random.key(1791)
@@ -360,12 +372,46 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         )
     else:
         emit_scale = None
-        prev_pdf = st.prev_pdf  # identity: costs the hot loop nothing
+        if want_pdf:  # env NEE alone still needs the pickup pdf
+            prev_pdf = jnp.where(
+                active,
+                jnp.where(s["is_diff"],
+                          s["intens_d"] * jnp.float32(1.0 / np.pi),
+                          0.0),
+                st.prev_pdf,
+            )
+        else:
+            prev_pdf = st.prev_pdf  # identity: costs nothing
+    if env_is_map and env.nee:
+        from opencl_path_tracer_tpu.ops import envmap as envmap_mod
+        ekey = key if key is not None else jax.random.key(3791)
+        u = rng.fast_uniforms(ekey, st.step, 5, (n,), 3,
+                              lane_offset=lane_offset)
+        # Same survival gating as the emitter gather: the replaced
+        # pickup happens at the NEXT vertex (the miss), which a
+        # budget-terminated path never reaches.
+        gather = s["is_diff"] & (st.bounce + 1 < iterations)
+        cur_color = vadd(cur_color, envmap_mod.direct_light_env(
+            env, intersect_fn=intersect_fn, cam_eye=cam.eye,
+            hit_p=hit.p, n_vec=s["n_vec"], mat=mat,
+            f_l=st.f_l, f_b=st.f_b, f_s=st.f_s, f_r=st.f_r,
+            is_diff=gather, u1=u[0], u2=u[1], u3=u[2],
+        ))
     f_l, f_b, f_s, f_r, inside, cur_color = apply_factors(
         s, st.f_l, st.f_b, st.f_s, st.f_r, st.inside, cur_color,
         emit_scale=emit_scale,
     )
-    if env is not None:
+    if env_is_map:
+        from opencl_path_tracer_tpu.ops import envmap as envmap_mod
+        # st.prev_pdf (the PREVIOUS bounce's pdf) weights the pickup —
+        # the freshly updated prev_pdf belongs to THIS vertex, which a
+        # missing lane never had.
+        cur_color = envmap_mod.envmap_miss_update(
+            env, active & ~hit.valid, st.bounce == 0, st.prev_pdf,
+            f_l, f_b, f_s, f_r, st.ray_d, cur_color,
+        )
+        had_diffuse = st.had_diffuse
+    elif env is not None:
         from opencl_path_tracer_tpu.models.megakernel import (
             env_miss_update,
         )
@@ -473,9 +519,10 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
         inside=jnp.where(terminated, False, inside),
         bounce=jnp.where(terminated, 0, bounce),
         had_diffuse=(jnp.where(terminated, False, had_diffuse)
-                     if env is not None else had_diffuse),
+                     if (env is not None and not env_is_map)
+                     else had_diffuse),
         prev_pdf=(jnp.where(terminated, 0.0, prev_pdf)
-                  if nee is not None else prev_pdf),
+                  if want_pdf else prev_pdf),
         lum_m2=lum_m2,
         step=st.step + jnp.uint32(1),
     )

@@ -449,11 +449,21 @@ class RenderEngine:
         self._key = jax.random.key(config.seed)
         # Optional environment light (the dormant prog.cl:367-376 sky
         # code); None keeps shipped-kernel parity in every model.
-        self.env = (
-            megakernel.EnvLight(sky=tuple(config.env_sky),
-                                deep=tuple(config.env_deep))
-            if config.env_light else None
-        )
+        if config.env_map is not None:
+            # Image-based environment (ops/envmap.py): host-built
+            # once; env_nee wires the importance-sampled gather + MIS.
+            from opencl_path_tracer_tpu.ops.envmap import load_envmap
+            self.env = load_envmap(
+                config.env_map, scale=config.env_scale,
+                sample_res=tuple(config.env_sample_res),
+                nee=config.env_nee,
+            )
+        else:
+            self.env = (
+                megakernel.EnvLight(sky=tuple(config.env_sky),
+                                    deep=tuple(config.env_deep))
+                if config.env_light else None
+            )
         # Optional next-event estimation (ops/nee.py): the emitter
         # table is host-built once per scene; None = reference
         # estimator (emitter pickup only).

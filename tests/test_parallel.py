@@ -322,3 +322,59 @@ def test_tiled_wavefront_4k_shapes():
     assert st.colors[0].shape == (n,)
     assert np.isfinite(float(lum))
     assert np.isfinite(_c(st)).all()
+
+
+def test_tiled_wavefront_envmap_nee_matches_single_device():
+    """Image-based environment NEE (ops/envmap.py: importance-sampled
+    gather + MIS-weighted miss pickup) sharded over the mesh is
+    bit-identical to the single-device wavefront — env draws ride
+    fast_uniforms with the shard's lane_offset, and the radiance /
+    pdf tables are replicated closure constants."""
+    from opencl_path_tracer_tpu.models import wavefront
+    from opencl_path_tracer_tpu.ops import envmap
+    from opencl_path_tracer_tpu.parallel import make_tiled_wavefront_step
+    from opencl_path_tracer_tpu.parallel.shard import (
+        shard_wavefront_state,
+    )
+    from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+    from opencl_path_tracer_tpu.scene import library
+
+    w = h = 16
+    scene = library.cornell_box(with_spheres=False)
+    cam = library.cornell_camera(w, h)
+    isect = make_intersect_fn(scene, "bruteforce")
+    E = envmap.build_envmap(envmap.sun_sky(res=(64, 32)),
+                            sample_res=(32, 16), nee=True)
+    mesh = make_render_mesh()
+    n = w * h
+    key = jax.random.key(5)
+
+    ref = wavefront.init_wavefront(cam, n, seed=1, mode="fast",
+                                   key=key)
+    step1 = lazy_lift_jit(lambda st: wavefront.wavefront_step(
+        cam, scene.mats, st, intersect_fn=isect, iterations=3,
+        mode="fast", key=key, env=E,
+    ))
+    for _ in range(4):
+        ref = step1(ref)
+
+    st = shard_wavefront_state(
+        wavefront.init_wavefront(cam, n, seed=1, mode="fast",
+                                 key=key),
+        mesh,
+    )
+    step8 = make_tiled_wavefront_step(
+        cam, scene.mats, mesh, intersect_fn=isect, iterations=3,
+        mode="fast", key=key, env=E,
+    )
+    for _ in range(4):
+        st, lum = step8(st)
+
+    for name in ("colors", "ray_p", "ray_d", "cur_color"):
+        for a, b in zip(getattr(ref, name), getattr(st, name)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for name in ("samples", "pixel", "inside", "bounce", "prev_pdf"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(st, name)),
+        )
