@@ -31,9 +31,11 @@ Usage: python bench.py [--scene cornell|stress|ref-workload]
 from __future__ import annotations
 
 import argparse
+import contextlib
 import functools
 import json
 import os
+import signal
 import sys
 import time
 
@@ -41,6 +43,33 @@ import jax
 import jax.numpy as jnp
 
 PER_CHIP_TARGET_MRAYS = 125.0  # 1 Grays/s / 8 chips (BASELINE.md)
+
+_T_START = time.time()
+
+
+class LegTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def _alarm(seconds: int):
+    """Bound one bench leg with SIGALRM so a hung remote compile can't
+    eat the whole run (round 3's official artifact was rc=124 with the
+    first warmup never finishing — BENCH_r03.json)."""
+    if seconds <= 0 or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+
+    def _raise(signum, frame):
+        raise LegTimeout(f"leg exceeded {seconds}s")
+
+    prev = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(int(seconds))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
 
 
 def make_isect(scene, accel: str, on_cpu: bool):
@@ -445,13 +474,20 @@ def main() -> int:
                     help="wavefront steps per device program")
     ap.add_argument("--lanes", type=int, default=1,
                     help="samples in flight per pixel (lane multiplier)")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET", 900)),
+                    help="wall-clock budget (s): extra legs are skipped "
+                         "once exceeded; the headline JSON always "
+                         "prints as soon as the first leg lands")
     args = ap.parse_args()
 
     # Persistent compilation cache (TPU probe e0: entries persist
     # through the axon remote-compile backend). The stress pair path
     # carries ~100 s of variadic-sort compiles; with a warm repo-local
-    # cache the official run skips them entirely.
-    import os
+    # cache the official run skips them entirely. The cache directory
+    # is COMMITTED to git (round 4): the driver benches a cleaned
+    # checkout, so a gitignored cache is always cold there
+    # (BENCH_r03.json died inside the first cold warmup).
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     try:
@@ -470,31 +506,94 @@ def main() -> int:
 
     if args.scene:
         results = [bench_scene(args.scene, args)]
-    elif args.model in ("fused", "lazy"):
+        _emit(results, args)
+        return 0
+    if args.model in ("fused", "lazy"):
         # Triangle-only research models: the analytic scenes would be
         # rejected (spheres dropped), so default to the tessellated
         # pair, like the pre-analytic bench.
         results = [bench_scene("cornell", args)]
+        _emit(results, args)
         try:
             results.append(bench_scene("stress", args))
         except Exception as exc:
             print(f"# stress bench failed: {exc}", file=sys.stderr)
-    else:
-        # Headline = cornell in the framework's NATIVE representation
-        # (12 box tris + 2 analytic quadrics — same scene content,
-        # same image up to tessellation error; the reference
-        # tessellates only because prog.cl has no sphere primitive,
-        # main.cpp:1002,1009). The reference-parity tessellated
-        # number and the stress numbers (both representations) ride
-        # in "extra" so none hides another.
-        results = [bench_scene("cornell-analytic", args)]
-        for name in ("cornell", "stress", "stress-analytic",
-                     "cornell-analytic-rrnee"):
-            try:
-                results.append(bench_scene(name, args))
-            except Exception as exc:  # never lose the headline
-                print(f"# {name} bench failed: {exc}", file=sys.stderr)
+        _emit(results, args)
+        return 0
 
+    # -- Default run: headline first, JSON out IMMEDIATELY, then extras
+    # appended incrementally with a wall-clock budget (VERDICT r3 #1:
+    # round 3's single end-of-run JSON print lost the whole artifact to
+    # a timeout during the FIRST scene's warmup).
+    #
+    # Headline = cornell in the framework's NATIVE representation
+    # (12 box tris + 2 analytic quadrics — same scene content, same
+    # image up to tessellation error; the reference tessellates only
+    # because prog.cl has no sphere primitive, main.cpp:1002,1009).
+    # The reference-parity tessellated number and the stress numbers
+    # ride in "extra" so none hides another.
+    results = []
+    for attempt, (name, cap) in enumerate([
+        ("cornell-analytic", max(120, int(args.budget * 0.6))),
+        ("cornell-analytic", 300),   # transient compile-service retry
+        ("cornell", 300),            # tessellated minarg fallback
+    ]):
+        try:
+            with _alarm(cap):
+                results = [bench_scene(name, args)]
+            break
+        except Exception as exc:  # LegTimeout included
+            print(f"# headline attempt {attempt + 1} ({name}) failed: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
+    if not results:
+        print(json.dumps({
+            "metric": "Mrays/sec/chip (all headline attempts failed)",
+            "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+        }), flush=True)
+        return 1
+    _emit(results, args)
+
+    extras = ["cornell", "stress", "ref-workload", "stress-analytic",
+              "cornell-analytic-rrnee"]
+    if results[0]["scene"] == "cornell":  # headline fell back
+        extras.remove("cornell")
+    for name in extras:
+        remaining = args.budget - (time.time() - _T_START)
+        if remaining < 30:
+            print(f"# budget {args.budget}s exhausted, skipping "
+                  f"{name} onwards", file=sys.stderr)
+            break
+        try:
+            with _alarm(int(min(remaining + 15, 300))):
+                results.append(bench_scene(name, args))
+        except Exception as exc:  # never lose what's already banked
+            print(f"# {name} bench failed: {type(exc).__name__}: "
+                  f"{exc}", file=sys.stderr)
+            continue
+        _emit(results, args)
+
+    # HBM-DMA-branch exactness smoke (VERDICT r3 #7): CPU CI only ever
+    # runs the VMEM-resident branch, so record a per-round TPU
+    # exactness result for the pair kernel's DMA path in the artifact.
+    remaining = args.budget - (time.time() - _T_START)
+    if jax.devices()[0].platform != "cpu" and remaining > 60:
+        try:
+            with _alarm(int(min(remaining + 15, 300))):
+                smoke = run_dma_smoke()
+            results[0].setdefault("rider", {})["dma_smoke"] = smoke
+            _emit(results, args)
+        except Exception as exc:
+            print(f"# dma smoke failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+    return 0
+
+
+def _emit(results, args) -> None:
+    """Print the one-line JSON artifact for the CURRENT result set and
+    flush. Called after every completed leg: each line supersedes the
+    previous (same headline value, strictly more extras), so whichever
+    line a parser picks — first or last — carries the measured headline
+    and vs_baseline even if the process is killed mid-leg."""
     head = results[0]
     # BASELINE.md per-chip metrics: Mrays/sec/chip AND spp/sec.
     extra = {f"{head['scene']}_spp_per_sec": head["spp_per_sec"]}
@@ -509,6 +608,8 @@ def main() -> int:
     # (docs/BENCHMARKS.md "Aggregate-throughput estimate").
     extra["aggregate_grays_v5e8_projected"] = round(
         head["mrays"] * 8 * 0.96 / 1000.0, 3)
+    extra.update(head.get("rider", {}))
+    extra["elapsed_s"] = round(time.time() - _T_START, 1)
     print(json.dumps({
         "metric": (
             f"Mrays/sec/chip ({args.model}+{args.accel}, "
@@ -522,8 +623,50 @@ def main() -> int:
         "unit": "Mrays/s",
         "vs_baseline": round(head["mrays"] / PER_CHIP_TARGET_MRAYS, 4),
         **({"extra": extra} if extra else {}),
-    }))
-    return 0
+    }), flush=True)
+
+
+def run_dma_smoke(warm_steps: int = 6) -> dict:
+    """Pair-kernel HBM-DMA branch vs the dense brute-force kernel on a
+    steady-state bounce-ray population: report hit flips (must be 0).
+
+    Small edition of scripts/tpu_pair_exactness.py sized to ride the
+    official bench run. The wavefront is advanced with the DENSE
+    intersector so the rays under test are produced independently of
+    the kernel under test. TPU-only (interpret mode has no DMA
+    emulation — ops/pallas/sorted_intersect.py:15-19)."""
+    from opencl_path_tracer_tpu.models import wavefront
+    from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
+        make_pallas_intersect,
+    )
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        PAIR_TPU_WINNER, make_pair_intersect,
+    )
+    from opencl_path_tracer_tpu.scene import library
+
+    w, h = 512, 512
+    n = w * h
+    scene = library.stress_scene(100_000)
+    cam = library.cornell_camera(w, h)
+    key = jax.random.key(3)
+    dense = make_pallas_intersect(scene.tris)
+    pair = make_pair_intersect(scene.tris, **PAIR_TPU_WINNER)
+
+    state = wavefront.init_wavefront(cam, n, mode="fast", key=key)
+    step = jax.jit(lambda st: wavefront.wavefront_step(
+        cam, scene.mats, st, intersect_fn=dense, iterations=5,
+        mode="fast", key=key))
+    for _ in range(warm_steps):
+        state = step(state)
+    jax.block_until_ready(state.ray_p[0])
+    from opencl_path_tracer_tpu.core.types import Rays
+    rays = Rays(p=state.ray_p, d=state.ray_d)
+    hd = jax.jit(dense)(rays)
+    hp = jax.jit(pair)(rays)
+    flips = int(jnp.sum(hd.t != hp.t)) + int(jnp.sum(hd.mati != hp.mati))
+    print(f"# dma smoke: {n} steady-state rays, {flips} hit flips",
+          file=sys.stderr)
+    return {"rays": n, "flips": flips}
 
 
 if __name__ == "__main__":
