@@ -88,17 +88,24 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _block_mean(a: np.ndarray, hs: int, ws: int) -> np.ndarray:
-    """Area-weighted mean-pool a (Hi, Wi) array to (hs, ws): each
-    coarse texel averages the fine rows/cols whose index range it
-    covers (exact block mean when divisible, reduceat ranges else)."""
-    hi, wi = a.shape
-    re = np.floor(np.linspace(0, hi, hs + 1)).astype(np.int64)
-    ce = np.floor(np.linspace(0, wi, ws + 1)).astype(np.int64)
-    rows = np.add.reduceat(a, re[:-1], axis=0)
-    cells = np.add.reduceat(rows, ce[:-1], axis=1)
-    counts = np.outer(np.diff(re), np.diff(ce)).astype(np.float64)
-    return cells / np.maximum(counts, 1)
+def _bin_power(lum: np.ndarray, hs: int, ws: int) -> np.ndarray:
+    """Bin fine-texel luminance into the (hs, ws) coarse grid as POWER
+    (radiance x solid angle), using the SAME pi/hs x 2pi/ws angular
+    edges the sampler uses (ADVICE r3: index-block pooling attributed
+    a shifted angular band to each texel when hs/ws don't divide the
+    image, degrading importance sampling right where a bright feature
+    straddles the mismatch). Each fine row carries its exact
+    solid-angle weight cos(theta_i) - cos(theta_i+1) and lands in the
+    coarse theta/phi bin its CENTER falls in."""
+    hi, wi = lum.shape
+    edges = np.cos(np.linspace(0.0, np.pi, hi + 1))
+    wrow = edges[:-1] - edges[1:]  # (hi,) fine-row solid angle / dphi
+    rbin = ((np.arange(hi) + 0.5) * hs / hi).astype(np.int64)
+    cbin = ((np.arange(wi) + 0.5) * ws / wi).astype(np.int64)
+    power = np.zeros((hs, ws), np.float64)
+    np.add.at(power, (rbin[:, None], cbin[None, :]),
+              lum * wrow[:, None])
+    return power * (2.0 * np.pi / wi)
 
 
 def build_envmap(img: np.ndarray, *, sample_res=(64, 32),
@@ -122,12 +129,9 @@ def build_envmap(img: np.ndarray, *, sample_res=(64, 32),
     ws, hs = min(ws, wi), min(hs, hi)
 
     lum = img @ np.asarray(_LUM, np.float64)
-    coarse = _block_mean(lum, hs, ws)  # (Hs, Ws) mean radiance
-    # Texel power = mean radiance x texel solid angle
-    # (dphi * (cos t0 - cos t1) — rows near the poles weigh less).
-    th = np.cos(np.linspace(0.0, np.pi, hs + 1))
-    dcos = th[:-1] - th[1:]  # (Hs,), positive, sums to 2
-    power = coarse * dcos[:, None] * (2.0 * np.pi / ws)
+    # Texel power = sum of fine-texel radiance x fine solid angle,
+    # binned by the sampler's own angular edges (see _bin_power).
+    power = _bin_power(lum, hs, ws)
     total = power.sum()
     if total <= 0:
         raise ValueError("envmap is black — nothing to sample")
@@ -190,11 +194,24 @@ def sun_sky(sun_dir=(0.3, 0.8, 0.2), sun_radiance=(4000.0, 3600.0,
     return img
 
 
+def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    """Inverse of the reference's piecewise sRGB encode
+    (prog.cl:247-258 / ops.tonemap.srgb): PNG pixels are
+    sRGB-encoded, so decode before using them as radiance (ADVICE r3:
+    treating them as linear darkens midtone environment light by
+    ~gamma 2.2)."""
+    return np.where(c <= 0.04045, c / 12.92,
+                    ((c + 0.055) / 1.055) ** 2.4)
+
+
 def load_envmap(source: str, *, scale: float = 1.0,
-                sample_res=(64, 32), nee: bool = True) -> EnvMap:
+                sample_res=(64, 32), nee: bool = True,
+                srgb: bool = True) -> EnvMap:
     """Build an EnvMap from a CLI/config source string: 'gradient' /
-    'sunsky' (procedural, see above), a .pfm path (HDR, io/image.py),
-    or a .png path (LDR, decoded to [0, 1] linear-ish radiance)."""
+    'sunsky' (procedural, see above), a .pfm path (HDR, io/image.py,
+    already linear), or a .png path (LDR, sRGB-decoded to linear
+    radiance; pass srgb=False for PNGs that already store linear
+    values)."""
     if source == "gradient":
         img = gradient_sky()
     elif source == "sunsky":
@@ -208,6 +225,8 @@ def load_envmap(source: str, *, scale: float = 1.0,
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         img = img[:, :, :3]
+        if srgb:
+            img = _srgb_to_linear(img)
     else:
         raise ValueError(
             f"envmap source {source!r}: expected 'gradient', "
@@ -298,8 +317,12 @@ def env_pdf_sa(em: EnvMap, d: V3) -> jnp.ndarray:
     theta, phi = _dir_angles(d)
     r = jnp.clip((theta * _INV_PI * em.Hs).astype(jnp.int32),
                  0, em.Hs - 1)
-    c = jnp.clip(((phi * (1.0 / _TWO_PI) + 0.5)
-                  * em.Ws).astype(jnp.int32), 0, em.Ws - 1)
+    # Longitude WRAPS (ADVICE r3): phi == +pi means u == 1.0, which is
+    # the seam — the same texel 0 that u == 0.0 maps to (env_radiance's
+    # bilinear taps use the same jnp.mod convention). Clipping would
+    # read texel Ws-1's probability for that direction instead.
+    c = jnp.mod(((phi * (1.0 / _TWO_PI) + 0.5)
+                 * em.Ws).astype(jnp.int32), em.Ws)
     ct0, ct1 = _row_cos_bounds(em, r)
     dphi = np.float32(2.0 * np.pi / em.Ws)
     return jnp.take(em.prob, r * em.Ws + c, axis=0) / jnp.maximum(
@@ -309,7 +332,8 @@ def env_pdf_sa(em: EnvMap, d: V3) -> jnp.ndarray:
 
 def direct_light_env(em: EnvMap, *, intersect_fn, cam_eye, hit_p: V3,
                      n_vec: V3, mat, f_l: V3, f_b: V3, f_s: V3,
-                     f_r: V3, is_diff, u1, u2, u3) -> V3:
+                     f_r: V3, is_diff, u1, u2, u3,
+                     occluded_fn=None) -> V3:
     """Per-lane environment gather at a diffuse vertex (zeros
     elsewhere): one importance-sampled direction, one shadow ray that
     must ESCAPE the scene, MIS against the cosine pickup.
@@ -324,10 +348,16 @@ def direct_light_env(em: EnvMap, *, intersect_fn, cam_eye, hit_p: V3,
     d_l, p_env = sample_envmap(em, u1, u2, u3)
     cos_l = jnp.maximum(0.0, vdot(d_l, n_vec))
 
-    sh = intersect_fn(Rays(p=origin, d=d_l))
-    if isinstance(sh, tuple):  # textured intersect_fn -> (Hits, kd)
-        sh = sh[0]
-    visible = ~sh.valid
+    if occluded_fn is not None:
+        # ESCAPE test = any-hit at unbounded rmax (same predicate as
+        # ~nearest-hit.valid, cheaper: no argmin/attribute machinery).
+        visible = ~occluded_fn(Rays(p=origin, d=d_l),
+                               jnp.full((n,), 3.0e38, jnp.float32))
+    else:
+        sh = intersect_fn(Rays(p=origin, d=d_l))
+        if isinstance(sh, tuple):  # textured intersect_fn -> (Hits, kd)
+            sh = sh[0]
+        visible = ~sh.valid
 
     radiance = env_radiance(em, d_l)
 
