@@ -395,7 +395,8 @@ def sample_emitters(table: EmitterTable, u1, u2, u3, origin: V3 = None):
 
 def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
                  hit_p: V3, n_vec: V3, mat, f_l: V3, f_b: V3,
-                 f_s: V3, f_r: V3, is_diff, u1, u2, u3) -> V3:
+                 f_s: V3, f_r: V3, is_diff, u1, u2, u3,
+                 occluded_fn=None) -> V3:
     """Per-lane NEE contribution (zeros on non-diffuse lanes).
 
     mat is the per-lane material fetch (kd, ks, shininess consumed).
@@ -404,7 +405,16 @@ def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
     the base estimator's pickup exactly.
     One shadow ray per lane (intersect_fn), so a NEE step costs ~2x a
     plain step in intersection — the variance win at small emitters is
-    far larger (docs/BENCHMARKS.md "Next-event estimation")."""
+    far larger (docs/BENCHMARKS.md "Next-event estimation").
+
+    occluded_fn: optional any-hit visibility kernel
+    (tilecull_kernel.make_anyhit_occluded contract:
+    occluded(rays, rmax) -> bool). Visibility only needs "is there
+    ANY hit with t < dist" — strictly less than the nearest-hit
+    intersect computes (reference anchor prog.cl:113-122), and the
+    any-hit kernel answers the SAME predicate bit-identically with
+    segment culling, no argmin and no attribute fetch. When None the
+    shadow ray reuses intersect_fn (the reference-shaped path)."""
     n = u1.shape[0]
     origin = vadd(hit_p, vscale(n_vec, bsdf.EPS))
     y, m_y, emission, p_area = sample_emitters(table, u1, u2, u3,
@@ -418,10 +428,14 @@ def direct_light(table: EmitterTable, *, intersect_fn, cam_eye,
     cos_l = jnp.maximum(0.0, vdot(d_l, n_vec))
     ecos = jnp.abs(vdot(d_l, m_y))
 
-    sh = intersect_fn(Rays(p=origin, d=d_l))
-    if isinstance(sh, tuple):  # textured intersect_fn -> (Hits, kd_mod)
-        sh = sh[0]
-    visible = (~sh.valid) | (sh.t >= dist * (1.0 - 1e-3))
+    if occluded_fn is not None:
+        visible = ~occluded_fn(Rays(p=origin, d=d_l),
+                               dist * (1.0 - 1e-3))
+    else:
+        sh = intersect_fn(Rays(p=origin, d=d_l))
+        if isinstance(sh, tuple):  # textured fn -> (Hits, kd_mod)
+            sh = sh[0]
+        visible = (~sh.valid) | (sh.t >= dist * (1.0 - 1e-3))
 
     eye_dir = vnormalize(
         tuple(cam_eye[k] - hit_p[k] for k in range(3))

@@ -1,0 +1,418 @@
+"""Sorted-tile group-culling intersectors: the mid-scene lever between
+the dense minarg kernel and the pair pipeline.
+
+Why. The dense minarg kernel tests EVERY ray against EVERY triangle at
+70.3 Gtests/s — 93% of the measured VPU compare-chain bound — so the
+804-tri Cornell workload is boxed at ~72 Mrays/s e2e no matter how the
+per-test math is tuned (docs/BENCHMARKS.md round 3: bf16 VPU is slower
+than f32, the MXU+f32-tail form serializes to ~80 Gt/s). The remaining
+lever is ALGORITHMIC: test fewer pairs. Cornell's geometry offers a lot
+— 792 of its 804 triangles tessellate two spheres that most rays miss.
+
+Design (TPU-shaped hierarchy, two levels, zero divergence cost):
+ * Host build: order triangles by centroid Morton code, cut the order
+   into contiguous groups of `gs` rows, compute one padded AABB per
+   group (build_groups). The table stays whole-scene VMEM-resident
+   like minarg's.
+ * Kernel: per 1024-ray tile, each group's slab test runs per-LANE
+   (~25 VPU ops vs gs*20 for testing the group's rows), the tile
+   reduces the mask to ONE scalar, and `pl.when` skips the group's
+   row tests unless some lane needs them. Lockstep vectors mean a
+   per-lane skip saves nothing — the unit of savings is the whole
+   tile, which is why this kernel wants SORTED rays
+   (models/wavefront.sort_state: (direction octant, origin Morton)
+   keys, measured 4.4 ms per 2M-lane state): coherent tiles agree,
+   and agreement is what `pl.when` turns into skipped work.
+ * Exactness: a group's AABB contains its triangles, inflated by a
+   relative epsilon against slab-arithmetic rounding, so culling
+   never drops a true winner; the row tests are op-for-op the minarg
+   kernel's f32 math (same t bits). The winner's attributes come from
+   the same bit-exact one-hot refine fetch
+   (plucker_kernel._run_refine1).
+
+The any-hit variant (make_anyhit_occluded) answers NEE's visibility
+question — "is there ANY occluder with t < rmax?" (ops/nee.py
+`visible = ~valid | t >= dist*(1-1e-3)`, i.e. exactly this predicate
+negated; reference anchor: visibility needs strictly less than
+first_intersect computes, prog.cl:113-122) — with three extra savings
+over a nearest-hit intersect: segment culling (a group behind the
+light never runs: tn <= rmax joins the slab test), already-occluded
+lanes drop out of the tile's need-mask (a fully-occluded tile skips
+every remaining group), and there is no argmin bookkeeping and no
+attribute fetch at all.
+
+Scope: T <= gs * MAX_GROUPS (the kernel unrolls the group loop; 64
+groups at gs=128 = 8k triangles). Larger scenes belong to the pair
+pipeline (sorted_intersect.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
+from opencl_path_tracer_tpu.core.types import Hits, Rays
+from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
+    BIG, _round_up, build_tri_pack, pack_rays,
+)
+
+MAX_GROUPS = 64
+
+
+def build_groups(tris: TrianglesSoA, gs: int = 128):
+    """Morton-order the triangles and cut into contiguous groups of
+    `gs`, one padded AABB each.
+
+    Returns (tris_reordered, perm, boxes): perm[i] = original index of
+    reordered row i (int32 np array, for with_ids callers); boxes =
+    list of ((lox, loy, loz), (hix, hiy, hiz)) python floats — baked
+    into the kernel as constants."""
+    r1 = np.asarray(tris.r1, np.float64)
+    r2 = np.asarray(tris.r2, np.float64)
+    r3 = np.asarray(tris.r3, np.float64)
+    t_count = r1.shape[0]
+    cen = (r1 + r2 + r3) / 3.0
+    lo = np.minimum(np.minimum(r1.min(0), r2.min(0)), r3.min(0))
+    hi = np.maximum(np.maximum(r1.max(0), r2.max(0)), r3.max(0))
+    extent = np.maximum(hi - lo, 1e-12)
+    q = np.clip((cen - lo) / extent, 0.0, 1.0)
+    # 10-bit 3-axis Morton interleave (host-side numpy twin of
+    # accel.lbvh.morton3).
+    cells = np.minimum((q * 1024.0).astype(np.uint64), 1023)
+
+    def _spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (_spread(cells[:, 0]) << np.uint64(2)) \
+        | (_spread(cells[:, 1]) << np.uint64(1)) | _spread(cells[:, 2])
+    perm = np.argsort(code, kind="stable").astype(np.int32)
+    tris2 = tris.take(jnp.asarray(perm))
+
+    pad = 1e-4 * float(extent.max()) + 1e-7
+    boxes = []
+    for g0 in range(0, t_count, gs):
+        g1 = min(g0 + gs, t_count)
+        rows = perm[g0:g1]
+        blo = np.minimum(np.minimum(r1[rows].min(0), r2[rows].min(0)),
+                         r3[rows].min(0)) - pad
+        bhi = np.maximum(np.maximum(r1[rows].max(0), r2[rows].max(0)),
+                         r3[rows].max(0)) + pad
+        boxes.append((tuple(float(v) for v in blo),
+                      tuple(float(v) for v in bhi)))
+    return tris2, perm, boxes
+
+
+def _safe_inv(d):
+    tiny = 1e-30
+    mag = jnp.abs(d)
+    s = jnp.where(d < 0.0, -tiny, tiny)
+    return 1.0 / jnp.where(mag < tiny, s, d)
+
+
+def _slab(px, py, pz, idx, idy, idz, lo, hi):
+    """Per-lane ray-vs-AABB entry/exit (t_near, t_far); the caller
+    tests tf >= tn & tf >= 0 (+ tn <= rmax for segments). Zero dir
+    components ride the clamped reciprocal (_safe_inv): origin inside
+    the slab spans (-big, +big) — conservatively hit — and outside
+    lands both bounds on one side — a miss, matching IEEE intent
+    without inf*0 NaNs."""
+    t1x = (lo[0] - px) * idx
+    t2x = (hi[0] - px) * idx
+    t1y = (lo[1] - py) * idy
+    t2y = (hi[1] - py) * idy
+    t1z = (lo[2] - pz) * idz
+    t2z = (hi[2] - pz) * idz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                 jnp.minimum(t1y, t2y)),
+                     jnp.minimum(t1z, t2z))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                 jnp.maximum(t1y, t2y)),
+                     jnp.maximum(t1z, t2z))
+    return tn, tf
+
+
+def _tilecull_kernel(ray_ref, tri_ref, t_ref, i_ref, *, boxes, gs: int,
+                     chunk: int):
+    tpad = tri_ref.shape[0]
+    rays = ray_ref[:]
+    px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    idx, idy, idz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    tr = px.shape[1]
+    t_ref[0, :] = jnp.full((tr,), BIG, jnp.float32)
+    i_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+    for g, (lo, hi) in enumerate(boxes):
+        tn, tf = _slab(px, py, pz, idx, idy, idz, lo, hi)
+        need = (tf >= tn) & (tf >= 0.0) & (tn < t_ref[0:1, :])
+        any_need = jnp.max(jnp.where(need, 1.0, 0.0))
+
+        @pl.when(any_need > 0.0)
+        def _(g=g):
+            base = g * gs
+            end = min(base + gs, tpad)
+            for c0 in range(base, end, chunk):
+                cc = min(chunk, end - c0)
+                tri = tri_ref[c0:c0 + cc, :]
+
+                def col(k, tri=tri):
+                    return tri[:, k:k + 1]
+
+                def pd_dots(b, tri=tri):
+                    vx, vy, vz = (tri[:, b:b + 1], tri[:, b + 1:b + 2],
+                                  tri[:, b + 2:b + 3])
+                    return (vx * px + vy * py + vz * pz,
+                            vx * dx + vy * dy + vz * dz)
+
+                pn, vn = pd_dots(0)
+                t = (col(3) - pn) / vn
+                pm1, vm1 = pd_dots(4)
+                pm2, vm2 = pd_dots(8)
+                pm3, vm3 = pd_dots(12)
+                valid = (
+                    (t > 0.0)
+                    & (pm1 + t * vm1 >= col(7))
+                    & (pm2 + t * vm2 >= col(11))
+                    & (pm3 + t * vm3 >= col(15))
+                )
+                tm = jnp.where(valid, t, BIG)
+                m1 = jnp.min(tm, axis=0)
+                a1 = jnp.argmin(tm, axis=0)
+                g1 = (c0 + a1).astype(jnp.float32)
+                bet = m1 < t_ref[0, :]
+                t_ref[0, :] = jnp.where(bet, m1, t_ref[0, :])
+                i_ref[0, :] = jnp.where(bet, g1, i_ref[0, :])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _run_tilecull(rays8, tri_pack, boxes, gs: int, chunk: int,
+                  tr: int, interpret: bool):
+    rpad = rays8.shape[1]
+    tpad = tri_pack.shape[0]
+    tr = min(tr, rpad)
+    outs = pl.pallas_call(
+        functools.partial(_tilecull_kernel, boxes=boxes, gs=gs,
+                          chunk=chunk),
+        grid=(rpad // tr,),
+        in_specs=[
+            pl.BlockSpec((8, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tpad, 24), lambda rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, tr), lambda rt: (0, rt),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((1, rpad), jnp.float32)] * 2,
+        interpret=interpret,
+    )(rays8, tri_pack)
+    return outs
+
+
+def _build_tabt(tri_pack):
+    """Exact 3-way bf16 bit-split of the 17 used constants for the
+    one-hot refine fetch (same build as plucker_kernel's; asserted
+    bit-exact)."""
+    tab = np.asarray(tri_pack)
+    t17 = tab[:, :17].T
+    hi = np.asarray(jnp.asarray(t17).astype(jnp.bfloat16))
+    mid = np.asarray(jnp.asarray(
+        t17 - hi.astype(np.float32)).astype(jnp.bfloat16))
+    lo = np.asarray(jnp.asarray(
+        t17 - hi.astype(np.float32) - mid.astype(np.float32)
+    ).astype(jnp.bfloat16))
+    assert (hi.astype(np.float64) + mid.astype(np.float64)
+            + lo.astype(np.float64) == t17.astype(np.float64)).all()
+    tabt = jnp.zeros((64, tab.shape[0]), jnp.bfloat16)
+    tabt = tabt.at[0:17].set(jnp.asarray(hi))
+    tabt = tabt.at[17:34].set(jnp.asarray(mid))
+    tabt = tabt.at[34:51].set(jnp.asarray(lo))
+    return tabt
+
+
+def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
+                            tr: int = 1024, chunk: int = 128,
+                            with_ids: bool = False,
+                            interpret: bool = False):
+    """Exact grouped minarg intersect: Morton groups + per-tile AABB
+    culling + bit-exact one-hot attribute fetch. Drop-in for
+    make_minarg_intersect on scenes up to gs*MAX_GROUPS triangles;
+    pays when rays are tile-coherent (primary rays, or a wavefront
+    with sort_every=1).
+
+    with_ids=True additionally returns ORIGINAL-order triangle ids
+    (the first_intersect_ids contract — the Morton permutation is
+    folded back via one gather)."""
+    from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
+        _run_refine1,
+    )
+
+    tris2, perm, boxes = build_groups(tris, gs)
+    if len(boxes) > MAX_GROUPS:
+        raise ValueError(
+            f"{tris.count} tris -> {len(boxes)} groups exceeds "
+            f"MAX_GROUPS={MAX_GROUPS} at gs={gs}; use the pair "
+            f"pipeline for scenes this large"
+        )
+    tri_pack = build_tri_pack(tris2, tt=1 << 30)
+    tabt = _build_tabt(tri_pack)
+    boxes_t = tuple(boxes)
+    perm_j = jnp.asarray(perm)
+
+    def intersect(rays: Rays):
+        r = rays.p[0].shape[0]
+        rpad = _round_up(r, tr)
+        rays8 = pack_rays(rays.p, rays.d, rpad)
+        t1, g1 = _run_tilecull(rays8, tri_pack, boxes_t, gs, chunk,
+                               tr, interpret)
+        t_, nx, ny, nz, m = _run_refine1(rays8, t1, g1, tabt, tr,
+                                         interpret)
+        best_t = t_[0, :r]
+        any_hit = best_t > 0.0
+        z = jnp.zeros_like(best_t)
+        safe_t = jnp.where(any_hit, best_t, 0.0)
+        hit_p = tuple(
+            jnp.where(any_hit, rays.p[k] + rays.d[k] * safe_t, z)
+            for k in range(3)
+        )
+        hits = Hits(
+            t=best_t,
+            p=hit_p,
+            n=(nx[0, :r], ny[0, :r], nz[0, :r]),
+            mati=jnp.where(any_hit, m[0, :r], 0.0).astype(jnp.int32),
+        )
+        if not with_ids:
+            return hits
+        local = jnp.clip(g1[0, :r].astype(jnp.int32), 0,
+                         perm_j.shape[0] - 1)
+        ids = jnp.where(any_hit, jnp.take(perm_j, local, axis=0), -1)
+        return hits, ids
+
+    intersect.boxes = boxes_t
+    return intersect
+
+
+# ---------------------------------------------------------------------
+# Any-hit visibility: "does ANY triangle occlude the segment
+# (origin, origin + rmax*d)?" — no argmin, no attribute fetch, segment
+# culling, and fully-occluded tiles skip every remaining group.
+
+
+def _anyhit_kernel(ray_ref, rmax_ref, tri_ref, occ_ref, *, boxes,
+                   gs: int, chunk: int):
+    tpad = tri_ref.shape[0]
+    rays = ray_ref[:]
+    px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    rmax = rmax_ref[0:1, :]
+    idx, idy, idz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    tr = px.shape[1]
+    occ_ref[0, :] = jnp.zeros((tr,), jnp.float32)
+    for g, (lo, hi) in enumerate(boxes):
+        tn, tf = _slab(px, py, pz, idx, idy, idz, lo, hi)
+        need = ((tf >= tn) & (tf >= 0.0) & (tn <= rmax)
+                & (occ_ref[0:1, :] == 0.0))
+        any_need = jnp.max(jnp.where(need, 1.0, 0.0))
+
+        @pl.when(any_need > 0.0)
+        def _(g=g):
+            base = g * gs
+            end = min(base + gs, tpad)
+            hit_any = jnp.zeros((1, tr), jnp.float32)
+            for c0 in range(base, end, chunk):
+                cc = min(chunk, end - c0)
+                tri = tri_ref[c0:c0 + cc, :]
+
+                def col(k, tri=tri):
+                    return tri[:, k:k + 1]
+
+                def pd_dots(b, tri=tri):
+                    vx, vy, vz = (tri[:, b:b + 1], tri[:, b + 1:b + 2],
+                                  tri[:, b + 2:b + 3])
+                    return (vx * px + vy * py + vz * pz,
+                            vx * dx + vy * dy + vz * dz)
+
+                pn, vn = pd_dots(0)
+                t = (col(3) - pn) / vn
+                pm1, vm1 = pd_dots(4)
+                pm2, vm2 = pd_dots(8)
+                pm3, vm3 = pd_dots(12)
+                occl = (
+                    (t > 0.0) & (t < rmax)
+                    & (pm1 + t * vm1 >= col(7))
+                    & (pm2 + t * vm2 >= col(11))
+                    & (pm3 + t * vm3 >= col(15))
+                )
+                hit_any = jnp.maximum(
+                    hit_any,
+                    jnp.max(jnp.where(occl, 1.0, 0.0), axis=0,
+                            keepdims=True),
+                )
+            occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit_any[0, :])
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _run_anyhit(rays8, rmax_row, tri_pack, boxes, gs: int, tr: int,
+                interpret: bool, chunk: int = 128):
+    rpad = rays8.shape[1]
+    tpad = tri_pack.shape[0]
+    tr = min(tr, rpad)
+    out = pl.pallas_call(
+        functools.partial(_anyhit_kernel, boxes=boxes, gs=gs,
+                          chunk=chunk),
+        grid=(rpad // tr,),
+        in_specs=[
+            pl.BlockSpec((8, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda rt: (0, rt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tpad, 24), lambda rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, tr), lambda rt: (0, rt),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, rpad), jnp.float32)],
+        interpret=interpret,
+    )(rays8, rmax_row, tri_pack)
+    return out[0]
+
+
+def make_anyhit_occluded(tris: TrianglesSoA, *, gs: int = 128,
+                         tr: int = 1024, chunk: int = 128,
+                         interpret: bool = False):
+    """Returns occluded(rays, rmax) -> bool (R,): True iff some
+    triangle's EXACT f32 hit (the production test, op for op) lands in
+    (0, rmax). `visible = ~occluded(Rays(origin, d), dist*(1-1e-3))`
+    reproduces ops.nee.direct_light's nearest-hit visibility decision
+    bit-identically — min(t) < rmax iff any t < rmax."""
+    tris2, _perm, boxes = build_groups(tris, gs)
+    if len(boxes) > MAX_GROUPS:
+        raise ValueError(
+            f"{tris.count} tris -> {len(boxes)} groups exceeds "
+            f"MAX_GROUPS={MAX_GROUPS} at gs={gs}"
+        )
+    tri_pack = build_tri_pack(tris2, tt=1 << 30)
+    boxes_t = tuple(boxes)
+
+    def occluded(rays: Rays, rmax) -> jnp.ndarray:
+        r = rays.p[0].shape[0]
+        rpad = _round_up(r, tr)
+        rays8 = pack_rays(rays.p, rays.d, rpad)
+        row = jnp.zeros((1, rpad), jnp.float32)
+        row = jax.lax.dynamic_update_slice(
+            row, jnp.reshape(rmax.astype(jnp.float32), (1, r)), (0, 0)
+        )
+        occ = _run_anyhit(rays8, row, tri_pack, boxes_t, gs, tr,
+                          interpret, chunk)
+        return occ[0, :r] > 0.0
+
+    occluded.boxes = boxes_t
+    return occluded

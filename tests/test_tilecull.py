@@ -1,0 +1,134 @@
+"""Tile-culling grouped intersector + any-hit visibility kernel
+(interpret mode): t must equal the dense fused kernel bit for bit (the
+group AABB cull may never drop a winner), and the any-hit predicate
+must reproduce the nearest-hit visibility decision exactly."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from opencl_path_tracer_tpu.core.geometry import TrianglesSoA
+from opencl_path_tracer_tpu.core.types import Rays
+from opencl_path_tracer_tpu.ops.pallas import make_pallas_intersect
+from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel import (
+    make_anyhit_occluded, make_tilecull_intersect,
+)
+
+pytestmark = pytest.mark.slow
+
+
+def _rand_scene(t, seed=0, spread=10.0):
+    rs = np.random.default_rng(seed)
+    centers = rs.uniform(-spread, spread, size=(t, 1, 3))
+    v = (centers + rs.normal(size=(t, 3, 3)) * 0.6).astype(np.float32)
+    return TrianglesSoA.build(
+        v[:, 0], v[:, 1], v[:, 2], np.arange(t, dtype=np.int32) % 7
+    )
+
+
+def _rand_rays(n, seed=1, spread=12.0, axis_aligned_frac=0.1):
+    rs = np.random.default_rng(seed)
+    p = rs.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    # A slice of exactly axis-aligned directions: the slab test's
+    # zero-component path (_safe_inv) must stay conservative.
+    k = int(n * axis_aligned_frac)
+    if k:
+        ax = rs.integers(0, 3, size=k)
+        sg = rs.choice([-1.0, 1.0], size=k)
+        d[:k] = 0.0
+        d[np.arange(k), ax] = sg
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return Rays(
+        p=tuple(jnp.asarray(p[:, k]) for k in range(3)),
+        d=tuple(jnp.asarray(d[:, k]) for k in range(3)),
+    )
+
+
+@pytest.mark.parametrize("t,n,gs", [(60, 300, 16), (700, 500, 128)])
+def test_tilecull_bitexact_vs_fused_kernel(t, n, gs):
+    tris = _rand_scene(t)
+    rays = _rand_rays(n)
+    ref = make_pallas_intersect(tris, interpret=True)(rays)
+    hits = make_tilecull_intersect(tris, gs=gs, interpret=True)(rays)
+
+    np.testing.assert_array_equal(np.asarray(hits.t), np.asarray(ref.t))
+    hit = np.asarray(ref.t) >= 0.0
+    np.testing.assert_array_equal(
+        np.asarray(hits.mati)[hit], np.asarray(ref.mati)[hit]
+    )
+    for k in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(hits.n[k])[hit], np.asarray(ref.n[k])[hit]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hits.p[k])[hit], np.asarray(ref.p[k])[hit]
+        )
+
+
+def test_tilecull_cornell_scene_bitexact():
+    from opencl_path_tracer_tpu.ops import raygen
+    from opencl_path_tracer_tpu.scene import library
+
+    w = h = 48
+    scene = library.cornell_box(with_spheres=True)
+    cam = library.cornell_camera(w, h)
+    ids = raygen.pixel_ids_like(w * h)
+    r1 = jnp.full((w * h,), 0.3, jnp.float32)
+    r2 = jnp.full((w * h,), 0.7, jnp.float32)
+    rays = raygen.camera_rays(cam, ids, r1, r2)
+
+    ref = make_pallas_intersect(scene.tris, interpret=True)(rays)
+    hits = make_tilecull_intersect(scene.tris, interpret=True)(rays)
+    np.testing.assert_array_equal(np.asarray(hits.t), np.asarray(ref.t))
+    hit = np.asarray(ref.t) >= 0.0
+    np.testing.assert_array_equal(
+        np.asarray(hits.mati)[hit], np.asarray(ref.mati)[hit]
+    )
+
+
+def test_tilecull_with_ids_original_order():
+    from opencl_path_tracer_tpu.ops import intersect
+
+    tris = _rand_scene(90, seed=3)
+    rays = _rand_rays(200, seed=4)
+    hits, ids = make_tilecull_intersect(
+        tris, gs=16, with_ids=True, interpret=True
+    )(rays)
+    ref_hits, ref_ids = intersect.first_intersect_ids(rays, tris)
+    np.testing.assert_array_equal(np.asarray(hits.t),
+                                  np.asarray(ref_hits.t))
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_anyhit_matches_nearest_hit_predicate(seed):
+    tris = _rand_scene(200, seed=seed)
+    rays = _rand_rays(400, seed=seed + 1)
+    rs = np.random.default_rng(seed + 2)
+    rmax = jnp.asarray(
+        rs.uniform(0.5, 25.0, size=(400,)).astype(np.float32)
+    )
+    ref = make_pallas_intersect(tris, interpret=True)(rays)
+    occ = make_anyhit_occluded(tris, gs=32, interpret=True)(rays, rmax)
+    expect = (np.asarray(ref.t) >= 0.0) & (np.asarray(ref.t)
+                                           < np.asarray(rmax))
+    np.testing.assert_array_equal(np.asarray(occ), expect)
+
+
+def test_anyhit_escape_is_miss_predicate():
+    # rmax = BIG: occluded iff the ray hits ANYTHING — the envmap
+    # shadow-ray contract (direct_light_env: visible = ~hit).
+    tris = _rand_scene(150, seed=7)
+    rays = _rand_rays(300, seed=8)
+    rmax = jnp.full((300,), 3.0e38, jnp.float32)
+    ref = make_pallas_intersect(tris, interpret=True)(rays)
+    occ = make_anyhit_occluded(tris, gs=32, interpret=True)(rays, rmax)
+    np.testing.assert_array_equal(np.asarray(occ),
+                                  np.asarray(ref.t) >= 0.0)
+
+
+def test_group_count_guard():
+    tris = _rand_scene(600)
+    with pytest.raises(ValueError):
+        make_tilecull_intersect(tris, gs=8, interpret=True)
