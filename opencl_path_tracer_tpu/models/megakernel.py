@@ -254,6 +254,7 @@ def trace_sample(
     nee=None,
     qmc: bool = False,
     dof: tuple[float, float] | None = None,
+    occluded_fn=None,
 ):
     """Render ONE progressive sample for every pixel and fold it into the
     running average (prog.cl:379). `iterations` is the bounce depth
@@ -384,6 +385,7 @@ def trace_sample(
                 hit_p=hit.p, n_vec=s["n_vec"], mat=mat,
                 f_l=f_l, f_b=f_b, f_s=f_s, f_r=f_r,
                 is_diff=gather, u1=u[0], u2=u[1], u3=u[2],
+                occluded_fn=occluded_fn,
             ))
             rays_traced = rays_traced + jnp.sum(
                 alive.astype(jnp.float32)
@@ -420,6 +422,7 @@ def trace_sample(
                 hit_p=hit.p, n_vec=s["n_vec"], mat=mat,
                 f_l=f_l, f_b=f_b, f_s=f_s, f_r=f_r,
                 is_diff=gather, u1=u[0], u2=u[1], u3=u[2],
+                occluded_fn=occluded_fn,
             ))
             rays_traced = rays_traced + jnp.sum(
                 alive.astype(jnp.float32)

@@ -232,7 +232,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
                    qmc: bool = False, dof=None,
                    variance_tol: float | None = None,
                    min_samples: int = 8,
-                   lane_offset=0) -> WavefrontState:
+                   lane_offset=0, occluded_fn=None) -> WavefrontState:
     """One wavefront step: intersect every live lane once, shade,
     terminate/regenerate. `ids` must match init_wavefront's (unused once
     lanes carry st.pixel, kept for API compatibility).
@@ -292,7 +292,12 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
     samples. (Standard caveat: stopping on the estimate itself is
     very mildly biased — the RMS win at equal rays dwarfs it.)
     None = fixed-budget behavior, and the M2 field costs nothing
-    (identity pass-through)."""
+    (identity pass-through).
+
+    occluded_fn: optional any-hit visibility kernel (tilecull_kernel.
+    make_anyhit_occluded contract) routed to the nee / env-map
+    gathers' shadow rays — same visibility bits as the nearest-hit
+    form (proven bit-identical in test_tilecull), cheaper per step."""
     n = st.samples.shape[0]
     if sort_every and scene_bounds is not None:
         do_sort = (st.step % jnp.uint32(sort_every)) == 0
@@ -359,6 +364,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
             hit_p=hit.p, n_vec=s["n_vec"], mat=mat,
             f_l=st.f_l, f_b=st.f_b, f_s=st.f_s, f_r=st.f_r,
             is_diff=gather, u1=u[0], u2=u[1], u3=u[2],
+            occluded_fn=occluded_fn,
         ))
         emit_scale = nee_mod.pickup_mis_weight(
             nee, st.prev_pdf, s["emit_cos"], hit.t, mat.emission,
@@ -396,6 +402,7 @@ def wavefront_step(cam: Camera, mats: MaterialsSoA, st: WavefrontState,
             hit_p=hit.p, n_vec=s["n_vec"], mat=mat,
             f_l=st.f_l, f_b=st.f_b, f_s=st.f_s, f_r=st.f_r,
             is_diff=gather, u1=u[0], u2=u[1], u3=u[2],
+            occluded_fn=occluded_fn,
         ))
     f_l, f_b, f_s, f_r, inside, cur_color = apply_factors(
         s, st.f_l, st.f_b, st.f_s, st.f_r, st.inside, cur_color,

@@ -132,3 +132,42 @@ def test_group_count_guard():
     tris = _rand_scene(600)
     with pytest.raises(ValueError):
         make_tilecull_intersect(tris, gs=8, interpret=True)
+
+
+def test_wavefront_nee_bitidentical_with_anyhit_shadow():
+    """Routing NEE shadow rays through the any-hit kernel must not
+    change a single bit of the render: the occlusion predicate is the
+    nearest-hit one, answered cheaper."""
+    import functools
+
+    import jax
+
+    from opencl_path_tracer_tpu.models import wavefront
+    from opencl_path_tracer_tpu.ops import intersect
+    from opencl_path_tracer_tpu.ops.nee import build_emitter_table
+    from opencl_path_tracer_tpu.scene import library
+
+    w = h = 32
+    scene = library.cornell_box(with_spheres=True)
+    cam = library.cornell_camera(w, h)
+    key = jax.random.key(5)
+    isect = functools.partial(intersect.first_intersect,
+                              tris=scene.tris)
+    table = build_emitter_table(scene.tris, scene.mats, None)
+    occ = make_anyhit_occluded(scene.tris, interpret=True)
+
+    def run(occluded_fn):
+        st = wavefront.init_wavefront(cam, w * h, mode="fast", key=key)
+        for _ in range(6):
+            st = wavefront.wavefront_step(
+                cam, scene.mats, st, intersect_fn=isect, iterations=4,
+                mode="fast", key=key, nee=table,
+                occluded_fn=occluded_fn,
+            )
+        return st
+
+    a = run(None)
+    b = run(occ)
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(a.colors[k]),
+                                      np.asarray(b.colors[k]))
