@@ -125,6 +125,14 @@ class RenderConfig:
     # tracer at far lower variance; ~2x intersect cost per bounce.
     # False = reference estimator.
     nee: bool = False
+    # Shadow rays through the any-hit kernel instead of the full
+    # nearest-hit intersect (tilecull_kernel.make_scene_occluded) —
+    # visibility bits identical (test_tilecull), measured +39% NEE
+    # throughput on the spread reference-analytic scene and -3% on
+    # the enclosed cornell (docs/BENCHMARKS.md round 4). Applies to
+    # nee and env_nee gathers on scenes small enough for the grouped
+    # kernel; silently falls back to the nearest-hit form otherwise.
+    nee_anyhit: bool = True
     # Offline multi-chip rendering: shard the framebuffer (megakernel)
     # or the lane axis (wavefront) over this many devices (0 = all
     # visible devices; 1 = single device, the default). Tile sharding

@@ -416,3 +416,32 @@ def make_anyhit_occluded(tris: TrianglesSoA, *, gs: int = 128,
 
     occluded.boxes = boxes_t
     return occluded
+
+
+def make_scene_occluded(scene, *, gs: int = 128, tr: int = 1024,
+                        chunk: int = 128, interpret: bool = False):
+    """Whole-scene occlusion test for NEE/env shadow rays: the
+    triangle any-hit kernel, plus the analytic-sphere nearest hit
+    where the scene carries quadrics (cornell-analytic /
+    reference-analytic) — a sphere hit with t < rmax occludes exactly
+    like the merged nearest-hit intersect would decide. Returns
+    occluded(rays, rmax) -> bool (R,), or None when the scene is too
+    large for the grouped kernel (caller keeps the nearest-hit
+    fallback)."""
+    if scene.tris.count > gs * MAX_GROUPS:
+        return None
+    tri_occ = make_anyhit_occluded(scene.tris, gs=gs, tr=tr,
+                                   chunk=chunk, interpret=interpret)
+    spheres = getattr(scene, "spheres", None)
+    if spheres is None:
+        return tri_occ
+    from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
+        make_sphere_intersect,
+    )
+    sph = make_sphere_intersect(spheres, interpret=interpret)
+
+    def occluded(rays: Rays, rmax) -> jnp.ndarray:
+        h = sph(rays)
+        return tri_occ(rays, rmax) | (h.valid & (h.t < rmax))
+
+    return occluded

@@ -53,7 +53,7 @@ def shard_state(state: TraceState, mesh: Mesh) -> TraceState:
 def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
                     intersect_fn, iterations: int, mode: str = "parity",
                     key=None, env=None, nee=None, qmc: bool = False,
-                    dof=None):
+                    dof=None, occluded_fn=None):
     """One progressive sample, framebuffer tiled across the mesh.
 
     Returns step(state) -> (state, mean_luminance) where state's pixel
@@ -72,7 +72,7 @@ def make_tiled_step(cam: Camera, mats: MaterialsSoA, mesh: Mesh, *,
             cam, mats, state,
             intersect_fn=intersect_fn, iterations=iterations,
             mode=mode, key=key, ids=ids, env=env, nee=nee, qmc=qmc,
-            dof=dof,
+            dof=dof, occluded_fn=occluded_fn,
         )
         lum = jax.lax.psum(
             sum(jnp.sum(c) for c in new.colors), RENDER_AXIS
@@ -114,7 +114,8 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
                               env=None, nee=None, rr=None,
                               qmc: bool = False, dof=None,
                               variance_tol: float | None = None,
-                              min_samples: int = 8):
+                              min_samples: int = 8,
+                              occluded_fn=None):
     """One wavefront step (the flagship perf model), lane axis tiled
     across the mesh.
 
@@ -147,7 +148,7 @@ def make_tiled_wavefront_step(cam: Camera, mats: MaterialsSoA,
             cam, mats, state, intersect_fn=intersect_fn,
             iterations=iterations, mode=mode, key=key,
             max_samples=max_samples, env=env, nee=nee, rr=rr,
-            qmc=qmc, dof=dof,
+            qmc=qmc, dof=dof, occluded_fn=occluded_fn,
             variance_tol=variance_tol, min_samples=min_samples,
             lane_offset=offset,
         )

@@ -476,6 +476,19 @@ class RenderEngine:
             )
         else:
             self.nee = None
+        # Shadow rays through the any-hit kernel (bit-identical
+        # visibility, measured +39% NEE on reference-analytic): built
+        # only when some gather will actually trace shadow rays.
+        self.occluded = None
+        wants_shadow = (self.nee is not None
+                        or (config.env_map is not None
+                            and config.env_nee))
+        if wants_shadow and config.nee_anyhit:
+            from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel \
+                import make_scene_occluded
+            self.occluded = make_scene_occluded(
+                scene, interpret=jax.default_backend() == "cpu"
+            )  # None when the scene exceeds the grouped kernel
         # Russian-roulette config (wavefront only; config.validate
         # enforces the model).
         self.rr = ((config.rr_start, config.rr_pmin)
@@ -543,7 +556,7 @@ class RenderEngine:
                     intersect_fn=self.intersect_fn,
                     iterations=iterations, mode=mode, key=key,
                     env=self.env, nee=self.nee, qmc=self.cfg.qmc,
-                    dof=self.dof,
+                    dof=self.dof, occluded_fn=self.occluded,
                 )
 
             # Lift scene packs to runtime args: closure-captured packs
@@ -594,7 +607,8 @@ class RenderEngine:
                         iterations=iterations, mode=mode, key=key,
                         max_samples=cap, env=self.env,
                         nee=self.nee, rr=self.rr, qmc=self.cfg.qmc,
-                        dof=self.dof, **vkw,
+                        dof=self.dof, occluded_fn=self.occluded,
+                        **vkw,
                     )
                 return jax.lax.fori_loop(0, k, body, state)
 
@@ -629,6 +643,7 @@ class RenderEngine:
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, env=self.env,
                 nee=self.nee, qmc=self.cfg.qmc, dof=self.dof,
+                occluded_fn=self.occluded,
             )
         return self._steps[ck]
 
@@ -650,7 +665,8 @@ class RenderEngine:
                 intersect_fn=self.intersect_fn, iterations=iterations,
                 mode=self.cfg.mode, key=self._key, max_samples=target,
                 env=self.env, nee=self.nee, rr=self.rr,
-                qmc=self.cfg.qmc, dof=self.dof, **vkw,
+                qmc=self.cfg.qmc, dof=self.dof,
+                occluded_fn=self.occluded, **vkw,
             )
         return self._steps[ck]
 

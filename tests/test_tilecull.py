@@ -171,3 +171,55 @@ def test_wavefront_nee_bitidentical_with_anyhit_shadow():
     for k in range(3):
         np.testing.assert_array_equal(np.asarray(a.colors[k]),
                                       np.asarray(b.colors[k]))
+
+
+def test_wavefront_nee_bitidentical_anyhit_with_spheres():
+    """Analytic-sphere scenes: the composed occlusion test
+    (make_scene_occluded = tri any-hit | sphere nearest < rmax) must
+    reproduce the merged nearest-hit visibility bits — spheres
+    occlude shadow rays exactly as in the baseline."""
+    import functools
+
+    import jax
+
+    from opencl_path_tracer_tpu.models import wavefront
+    from opencl_path_tracer_tpu.ops import intersect
+    from opencl_path_tracer_tpu.ops.nee import build_emitter_table
+    from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
+        make_sphere_intersect,
+    )
+    from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel import (
+        make_scene_occluded,
+    )
+    from opencl_path_tracer_tpu.scene import library
+
+    w = h = 32
+    scene = library.cornell_box(with_spheres=True,
+                                analytic_spheres=True)
+    cam = library.cornell_camera(w, h)
+    key = jax.random.key(9)
+    tri_fn = functools.partial(intersect.first_intersect,
+                               tris=scene.tris)
+    sph_fn = make_sphere_intersect(scene.spheres, interpret=True)
+
+    def isect(rays):
+        return intersect.merge_hits(tri_fn(rays), sph_fn(rays))
+
+    table = build_emitter_table(scene.tris, scene.mats, scene.spheres)
+    occ = make_scene_occluded(scene, interpret=True)
+
+    def run(occluded_fn):
+        st = wavefront.init_wavefront(cam, w * h, mode="fast", key=key)
+        for _ in range(6):
+            st = wavefront.wavefront_step(
+                cam, scene.mats, st, intersect_fn=isect, iterations=4,
+                mode="fast", key=key, nee=table,
+                occluded_fn=occluded_fn,
+            )
+        return st
+
+    a = run(None)
+    b = run(occ)
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(a.colors[k]),
+                                      np.asarray(b.colors[k]))
