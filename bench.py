@@ -371,6 +371,17 @@ def bench_scene(scene_name: str, args) -> dict:
             __file__)), "tests", "assets", "models")
         scene = library.reference_scene(
             models if os.path.isdir(models) else None)
+    elif scene_name == "ref-analytic-nee":
+        # The reference's default scene, analytic spheres, with NEE
+        # shadow rays through the any-hit kernel — the round-4
+        # measured win (14.9 -> 20.7 Mrays/s vs nearest-hit shadow
+        # rays; each sample carries far less variance than the base
+        # estimator's).
+        w, h = 1536, 864
+        models = os.path.join(os.path.dirname(os.path.abspath(
+            __file__)), "tests", "assets", "models")
+        scene = library.reference_scene(
+            models if os.path.isdir(models) else None, analytic=True)
     elif scene_name == "cornell-analytic":
         # The SAME cornell content as 'cornell', represented the
         # TPU-native way: 12 box triangles + 2 analytic quadrics
@@ -452,6 +463,18 @@ def bench_scene(scene_name: str, args) -> dict:
             kw = dict(rr=(2, 0.05),
                       nee=build_emitter_table(scene.tris, scene.mats,
                                               None))
+        elif scene_name == "ref-analytic-nee":
+            from opencl_path_tracer_tpu.ops.nee import (
+                build_emitter_table,
+            )
+            from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel \
+                import make_scene_occluded
+            kw = dict(
+                nee=build_emitter_table(scene.tris, scene.mats,
+                                        scene.spheres),
+                occluded_fn=make_scene_occluded(scene,
+                                                interpret=on_cpu),
+            )
         mrays, dt, spp = run_wavefront(
             scene, cam, n, isect, iters=args.iters, steps=args.steps,
             chunk=args.chunk, lanes=args.lanes, **kw,
@@ -480,7 +503,8 @@ def main() -> int:
     ap.add_argument("--scene", default=None,
                     choices=["cornell", "cornell-analytic", "stress",
                              "stress-analytic", "ref-workload",
-                             "cornell-analytic-rrnee"],
+                             "cornell-analytic-rrnee",
+                             "ref-analytic-nee"],
                     help="default: cornell-analytic + cornell + "
                          "stress + stress-analytic in one run "
                          "(fused/lazy models: cornell + stress)")
@@ -578,7 +602,7 @@ def main() -> int:
     # ref-workload (~25 s warm) before stress (~150 s, its pair
     # compiles miss the persistent cache).
     extras = ["cornell", "ref-workload", "stress", "stress-analytic",
-              "cornell-analytic-rrnee"]
+              "cornell-analytic-rrnee", "ref-analytic-nee"]
     if results[0]["scene"] == "cornell":  # headline fell back
         extras.remove("cornell")
     for name in extras:

@@ -669,7 +669,7 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
                         tail: int = 8192, mxu: bool = False,
                         dop: bool = False, move: str = "gather",
                         infeat: bool = False, thin: bool = False,
-                        with_ids: bool = False,
+                        with_ids: bool = False, approx: bool = False,
                         interpret: bool = False):
     """Pair-expansion intersector for large scenes (hundreds of
     clusters, incoherent rays).
@@ -777,6 +777,10 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
         if l3 >= 64:
             raise ValueError("move='chain' folds march progress into "
                              "a *128 sort key; l3 must be < 64")
+    if approx and with_ids:
+        raise ValueError("approx=True returns (Hits, resolved) and "
+                         "skips the escalations the ids overlay rides "
+                         "on; use it without with_ids")
     if with_ids and not thin:
         raise ValueError("with_ids=True requires thin=True (only the "
                          "thin payload carries winner triangle ids)")
@@ -1024,6 +1028,27 @@ def make_pair_intersect(tris: TrianglesSoA, *, cluster_size: int = 512,
             # that cluster's test may be incomplete: the ray must not
             # certify until the dense tail re-tests it exhaustively.
             resolved = resolved & ~pend_ray
+
+        if approx:
+            # Round-1-only mode (the VERDICT r4 #4 "approximate-first"
+            # phase, built to MEASURE the two-phase stress design):
+            # return best-so-far plus the per-ray certificate —
+            # resolved lanes are PROVEN nearest (same certificate as
+            # the exact path), unresolved lanes may carry any
+            # passing hit or a spurious miss. Not a drop-in
+            # intersect_fn: callers own the debiasing/stall policy.
+            if thin:
+                fnx, fny, fnz, fm = fetch_fn(best[1])
+                use = best[1] >= 0.0
+                n3 = tuple(
+                    jnp.where(use, f, o)
+                    for f, o in zip((fnx, fny, fnz), overlay[:3])
+                )
+                m = jnp.where(use, fm, overlay[3])
+                return (_hits_from_raw(rays, best[0], n3, m, r),
+                        resolved[:r])
+            return (_hits_from_raw(rays, best[0], best[1:4], best[4],
+                                   r), resolved[:r])
 
         # Escalations never permute the per-ray arrays: unresolved rays
         # are COMPACTED via a 2-array (flag, iota) sort + u-row gathers,

@@ -1,0 +1,71 @@
+"""TPU: the adaptive-sampling win case (VERDICT r4 #8) — long render,
+large frame, live engine (closure cache warm), min_bucket=4096 ladder.
+
+A/B: fixed `max_spp` samples everywhere vs adaptive (stop each pixel
+at relative luminance SEM <= tol, cap max_spp). The fixed run is what
+the reference's progressive loop does (every pixel gets every sample
+forever, prog.cl:379); adaptive's claim is reaching the same
+convergence criterion in less wall-clock. Both runs repeat in-process:
+run 1 pays compiles (the bucket ladder retraces once per power-of-two
+size), run 2 is the steady-state number a live engine session sees.
+
+Run standalone: python scripts/tpu_adaptive_ab.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from opencl_path_tracer_tpu.config import CameraConfig, RenderConfig
+from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+from opencl_path_tracer_tpu.scene import library
+
+
+def make_engine():
+    scene = library.cornell_box(with_spheres=True,
+                                analytic_spheres=True)
+    cfg = RenderConfig(
+        width=1920, height=1080, iterations=5, mode="fast",
+        model="wavefront", accel="auto",
+        camera=CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
+                            shift=(0.0, 0.0, 0.0)),
+    )
+    return RenderEngine(scene, cfg)
+
+
+def main():
+    print(f"# device {jax.devices()[0].device_kind}", file=sys.stderr)
+    tol, max_spp, min_spp = 0.03, 1024, 32
+    eng = make_engine()
+    for rep in (1, 2):
+        eng.reset_accumulation()
+        t0 = time.time()
+        eng.render(spp=max_spp, progress=False)
+        t_fixed = time.time() - t0
+        print(f"RESULT fixed[{rep}]: {max_spp} spp in {t_fixed:.1f}s "
+              f"({max_spp/t_fixed:.1f} spp/s)", flush=True)
+
+        eng.reset_accumulation()
+        t0 = time.time()
+        eng.render_adaptive(tol, max_spp, min_spp=min_spp,
+                            progress=False)
+        t_ad = time.time() - t0
+        from opencl_path_tracer_tpu.models import wavefront
+        samples = np.asarray(eng.state.samples, np.float64) \
+            if hasattr(eng.state, "samples") else None
+        mean_spp = float(samples.mean()) if samples is not None else -1
+        print(f"RESULT adaptive[{rep}]: tol={tol} max={max_spp} "
+              f"min={min_spp}: {t_ad:.1f}s (mean spp {mean_spp:.0f}, "
+              f"speedup x{t_fixed/t_ad:.2f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

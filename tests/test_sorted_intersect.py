@@ -460,3 +460,27 @@ def test_pair_with_ids_validation():
     with pytest.raises(ValueError, match="chain"):
         make_pair_intersect(tris, mxu=True, thin=True, move="chain",
                             with_ids=True, interpret=True)
+
+
+@pytest.mark.parametrize("thin", [False, True])
+def test_pair_approx_certified_lanes_match_exact(thin):
+    """approx=True (round-1-only, the two-phase stress probe): every
+    RESOLVED lane's hit is bit-identical to the exact kernel (the
+    certificate is the same one the full path trusts); unresolved
+    lanes are a minority on an enclosed scene."""
+    from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
+        make_pair_intersect,
+    )
+    scene = library.stress_scene(6000)
+    rays = _rand_rays(4096, seed=11, lo=-80.0, hi=1080.0)
+    kw = dict(cluster_size=256, l1=4, l2=12, trp=512, u2_frac=2,
+              u3_frac=4, mxu=thin, thin=thin, interpret=True)
+    exact = make_pair_intersect(scene.tris, **kw)(rays)
+    hits, resolved = make_pair_intersect(scene.tris, approx=True,
+                                         **kw)(rays)
+    res = np.asarray(resolved)
+    assert res.mean() > 0.5, f"resolved fraction {res.mean():.2f}"
+    np.testing.assert_array_equal(np.asarray(hits.t)[res],
+                                  np.asarray(exact.t)[res])
+    np.testing.assert_array_equal(np.asarray(hits.mati)[res],
+                                  np.asarray(exact.mati)[res])
