@@ -615,13 +615,26 @@ class RenderEngine:
             example_cam = self.controller.camera(
                 self.cfg.width, self.cfg.height
             )
-            lifted, consts = lift_consts(
-                run_raw, self.state, example_cam,
-                jax.numpy.int32(1), jax.numpy.int32(1),
-            )
-            jitted = jax.jit(lifted)
+
+            # The lifted jaxpr is shape-specialized to the state's
+            # lane count, and render_adaptive's compaction ladder
+            # HALVES that count as pixels converge — replaying the
+            # full-size jaxpr on a halved state is an MLIR verifier
+            # error (found on TPU 2026-08-20; CPU tests never halve:
+            # min_bucket=4096 exceeds their lane counts). Re-lift per
+            # lane count: tracing is abstract (host-only), and the
+            # per-size XLA retrace is the ladder's documented cost.
+            by_size: dict[int, tuple] = {}
 
             def run(state, cam, cap, k):
+                nlanes = state.samples.shape[0]
+                if nlanes not in by_size:
+                    lifted, consts = lift_consts(
+                        run_raw, state, example_cam,
+                        jax.numpy.int32(1), jax.numpy.int32(1),
+                    )
+                    by_size[nlanes] = (jax.jit(lifted), consts)
+                jitted, consts = by_size[nlanes]
                 return jitted(consts, state, cam, cap,
                               jax.numpy.int32(k))
 

@@ -179,3 +179,37 @@ def test_engine_adaptive_mesh_matches_single_device():
     np.testing.assert_array_equal(c1, c8)
     np.testing.assert_array_equal(s1, s8)
     assert s1.min() >= 2 and s1.max() <= 12 and s1.min() < s1.max()
+
+
+def test_engine_adaptive_bucket_halving_regression():
+    """The compaction ladder actually HALVES (num_pixels > 2x the
+    engine's min_bucket=4096): the k-step runner must re-lift its
+    jaxpr per lane count — replaying the full-size lifted jaxpr on a
+    halved state was an MLIR verifier error (found on TPU
+    2026-08-20; earlier CPU tests never crossed the 4096 floor)."""
+    from opencl_path_tracer_tpu.config import RenderConfig
+    from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+    from opencl_path_tracer_tpu.scene import library as _lib
+
+    import jax.numpy as jnp
+
+    w, h = 64, 32
+    scene = _lib.cornell_box(with_spheres=False)
+    cfg = RenderConfig(width=w, height=h, iterations=2, mode="fast",
+                       model="wavefront", accel="bruteforce")
+    eng = RenderEngine(scene, cfg)
+    run = eng._wf_step(2, variance=(0.25, 2))
+    cam = eng.controller.camera(w, h)
+    full = eng.state
+    st1 = run(full, cam, jnp.int32(8), 2)  # full-size trace
+    # Drive the SAME cached runner with a halved state — exactly what
+    # the compaction ladder does after parking the converged tail.
+    open_mask = np.zeros(w * h, bool)
+    open_mask[: w * h // 2] = True
+    half, _tail = wavefront.state_split(
+        wavefront.sort_open_first(st1, jnp.asarray(open_mask)),
+        w * h // 2,
+    )
+    st2 = run(half, cam, jnp.int32(8), 2)  # raised pre-fix
+    assert st2.samples.shape[0] == w * h // 2
+    assert np.isfinite(np.asarray(st2.colors[0])).all()
