@@ -953,8 +953,16 @@ class RenderEngine:
                     live, tail = self._steps[sk](live)
                 parked.append(tail)
                 bucket = target
-            k = min(chunk, max_steps - done,
-                    k_cap if self.mesh is None else chunk)
+            # Check cadence: start at `chunk` steps between
+            # convergence checks, but let the time-targeted k_cap
+            # GROW past it once steps get cheap (small buckets step
+            # in ~ms; holding the fixed 24-step cadence there spent
+            # ~33 s of a 55 s adaptive render on host round-trips —
+            # measured 2026-08-20, v5e through the tunnel). k_cap
+            # aims each dispatch at ~8 s, the same watchdog bound as
+            # _render_wavefront.
+            k = min(max_steps - done,
+                    max(chunk, k_cap) if self.mesh is None else chunk)
             if self.mesh is None:
                 live = run_k(live, cam, cap, k)
             else:

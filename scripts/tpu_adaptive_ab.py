@@ -29,9 +29,10 @@ from opencl_path_tracer_tpu.runtime.engine import RenderEngine
 from opencl_path_tracer_tpu.scene import library
 
 
-def make_engine():
+def make_engine(sphere_lamp: bool):
     scene = library.cornell_box(with_spheres=True,
-                                analytic_spheres=True)
+                                analytic_spheres=True,
+                                sphere_lamp=sphere_lamp)
     cfg = RenderConfig(
         width=1920, height=1080, iterations=5, mode="fast",
         model="wavefront", accel="auto",
@@ -43,28 +44,34 @@ def make_engine():
 
 def main():
     print(f"# device {jax.devices()[0].device_kind}", file=sys.stderr)
-    tol, max_spp, min_spp = 0.03, 1024, 32
-    eng = make_engine()
-    for rep in (1, 2):
-        eng.reset_accumulation()
-        t0 = time.time()
-        eng.render(spp=max_spp, progress=False)
-        t_fixed = time.time() - t0
-        print(f"RESULT fixed[{rep}]: {max_spp} spp in {t_fixed:.1f}s "
-              f"({max_spp/t_fixed:.1f} spp/s)", flush=True)
+    for name, sphere_lamp, tol, max_spp, min_spp in [
+        # Heterogeneous convergence (small bright lamp: lit pixels
+        # converge fast, dim GI pixels grind) — adaptivity's case.
+        ("sphere-lamp", True, 0.05, 1024, 32),
+        # Near-uniform variance (big quad lamp) — the hard case.
+        ("quad-lamp", False, 0.03, 1024, 32),
+    ]:
+        eng = make_engine(sphere_lamp)
+        for rep in (1, 2):
+            eng.reset_accumulation()
+            t0 = time.time()
+            eng.render(spp=max_spp, progress=False)
+            t_fixed = time.time() - t0
+            print(f"RESULT {name}/fixed[{rep}]: {max_spp} spp in "
+                  f"{t_fixed:.1f}s ({max_spp/t_fixed:.1f} spp/s)",
+                  flush=True)
 
-        eng.reset_accumulation()
-        t0 = time.time()
-        eng.render_adaptive(tol, max_spp, min_spp=min_spp,
-                            progress=False)
-        t_ad = time.time() - t0
-        from opencl_path_tracer_tpu.models import wavefront
-        samples = np.asarray(eng.state.samples, np.float64) \
-            if hasattr(eng.state, "samples") else None
-        mean_spp = float(samples.mean()) if samples is not None else -1
-        print(f"RESULT adaptive[{rep}]: tol={tol} max={max_spp} "
-              f"min={min_spp}: {t_ad:.1f}s (mean spp {mean_spp:.0f}, "
-              f"speedup x{t_fixed/t_ad:.2f})", flush=True)
+            eng.reset_accumulation()
+            t0 = time.time()
+            eng.render_adaptive(tol, max_spp, min_spp=min_spp,
+                                progress=False)
+            t_ad = time.time() - t0
+            samples = np.asarray(eng.state.samples, np.float64)
+            mean_spp = float(samples.mean())
+            print(f"RESULT {name}/adaptive[{rep}]: tol={tol} "
+                  f"max={max_spp} min={min_spp}: {t_ad:.1f}s "
+                  f"(mean spp {mean_spp:.0f}, "
+                  f"speedup x{t_fixed/t_ad:.2f})", flush=True)
 
 
 if __name__ == "__main__":
