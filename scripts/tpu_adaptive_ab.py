@@ -29,13 +29,13 @@ from opencl_path_tracer_tpu.runtime.engine import RenderEngine
 from opencl_path_tracer_tpu.scene import library
 
 
-def make_engine(sphere_lamp: bool):
+def make_engine(sphere_lamp: bool, nee: bool = False):
     scene = library.cornell_box(with_spheres=True,
                                 analytic_spheres=True,
                                 sphere_lamp=sphere_lamp)
     cfg = RenderConfig(
         width=1920, height=1080, iterations=5, mode="fast",
-        model="wavefront", accel="auto",
+        model="wavefront", accel="auto", nee=nee,
         camera=CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
                             shift=(0.0, 0.0, 0.0)),
     )
@@ -44,14 +44,18 @@ def make_engine(sphere_lamp: bool):
 
 def main():
     print(f"# device {jax.devices()[0].device_kind}", file=sys.stderr)
-    for name, sphere_lamp, tol, max_spp, min_spp in [
-        # Heterogeneous convergence (small bright lamp: lit pixels
-        # converge fast, dim GI pixels grind) — adaptivity's case.
-        ("sphere-lamp", True, 0.05, 1024, 32),
+    for name, sphere_lamp, nee, tol, max_spp, min_spp in [
+        # NEE + small lamp: direct-lit pixels converge almost
+        # immediately, dim GI pixels grind — maximum heterogeneity.
+        ("sphere-lamp-nee", True, True, 0.05, 1024, 32),
+        # Heterogeneous convergence without NEE.
+        ("sphere-lamp", True, False, 0.05, 1024, 32),
         # Near-uniform variance (big quad lamp) — the hard case.
-        ("quad-lamp", False, 0.03, 1024, 32),
+        ("quad-lamp", False, False, 0.03, 1024, 32),
     ]:
-        eng = make_engine(sphere_lamp)
+        if len(sys.argv) > 1 and name not in sys.argv[1:]:
+            continue
+        eng = make_engine(sphere_lamp, nee)
         for rep in (1, 2):
             eng.reset_accumulation()
             t0 = time.time()
