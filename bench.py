@@ -72,8 +72,9 @@ def _alarm(seconds: int):
         signal.signal(signal.SIGALRM, prev)
 
 
-def make_isect(scene, accel: str, on_cpu: bool):
-    tri_fn = _make_tri_isect(scene, accel, on_cpu)
+def make_isect(scene, accel: str, on_cpu: bool, cam=None,
+               iters: int = 5):
+    tri_fn = _make_tri_isect(scene, accel, on_cpu, cam, iters)
     if getattr(scene, "spheres", None) is None:
         return tri_fn
     from opencl_path_tracer_tpu.ops import intersect
@@ -88,17 +89,27 @@ def make_isect(scene, accel: str, on_cpu: bool):
     return merged
 
 
-def _make_tri_isect(scene, accel: str, on_cpu: bool):
+def _make_tri_isect(scene, accel: str, on_cpu: bool, cam=None,
+                    iters: int = 5):
     if accel == "auto":
-        # Small scenes: exact min+argmin kernel + one-hot attribute
-        # fetch (measured 23.8 vs 30.6 ms/2M-ray batch for the
-        # attribute-extracting kernel). Large scenes: the pair
-        # intersector at the TPU-swept winner config (pair v6 thin:
-        # MXU pairs round + 14-DOP culling + sort-carried escalations
-        # + (t, tri-id) payloads — 5.32 vs v4's 3.24 Mrays/s official
-        # on this exact workload, 0 hit flips;
+        # Small scenes: the workload-sampling predictor picks between
+        # the dense min+argmin kernel and the tile-culling grouped
+        # kernel (tilecull_kernel.auto_small_accel — measured round 4:
+        # tilecull +98% on ref-workload and +90% on iterations=1
+        # previews, -12% on the enclosed deep-bounce cornell, which
+        # the predictor keeps on minarg). Large scenes: the pair
+        # intersector at the TPU-swept winner config (pair v6 thin —
+        # 5.32 Mrays/s official, 0 hit flips;
         # sorted_intersect.PAIR_TPU_WINNER).
-        accel = "minarg" if scene.num_triangles <= 4096 else "pairwin"
+        if scene.num_triangles > 4096:
+            accel = "pairwin"
+        elif cam is not None:
+            from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel \
+                import auto_small_accel
+            accel = auto_small_accel(scene.tris, cam,
+                                     iterations=iters)
+        else:
+            accel = "minarg"
         print(f"# accel auto -> {accel}", file=sys.stderr)
     if accel == "minarg":
         from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
@@ -453,7 +464,7 @@ def bench_scene(scene_name: str, args) -> dict:
         return {"scene": scene_name, "w": w, "h": h,
                 "mrays": round(mrays, 2),
                 "spp_per_sec": round(spp / dt, 2)}
-    isect = make_isect(scene, args.accel, on_cpu)
+    isect = make_isect(scene, args.accel, on_cpu, cam, args.iters)
     if args.model == "wavefront":
         kw = {}
         if scene_name == "cornell-analytic-rrnee":

@@ -334,8 +334,8 @@ def main(argv=None) -> int:
         p.add_argument("--accel", default="auto",
                        choices=["auto", "bvh", "median", "bruteforce",
                                 "pallas", "cluster", "group", "pair",
-                                "pairmx", "pairwin", "minarg", "march",
-                                "flat"])
+                                "pairmx", "pairwin", "minarg",
+                                "tilecull", "march", "flat"])
         p.add_argument("--accel-force", action="store_true",
                        help="override the TPU backend gate (run "
                             "measured-dominated or device-unsafe "

@@ -153,8 +153,8 @@ class RenderConfig:
             raise ValueError(f"unknown tonemap {self.tonemap!r}")
         if self.accel not in ("auto", "bruteforce", "bvh", "median",
                               "pallas", "cluster", "group", "pair",
-                              "pairmx", "pairwin", "minarg", "march",
-                              "flat"):
+                              "pairmx", "pairwin", "minarg",
+                              "tilecull", "march", "flat"):
             raise ValueError(f"unknown accel {self.accel!r}")
         if self.model not in ("megakernel", "wavefront"):
             raise ValueError(f"unknown model {self.model!r}")

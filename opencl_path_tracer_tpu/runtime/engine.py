@@ -41,11 +41,12 @@ from opencl_path_tracer_tpu.runtime.meter import PerfMeter
 from opencl_path_tracer_tpu.scene.builder import Scene
 
 
-SMOOTH_ACCELS = ("bruteforce", "minarg", "pairwin")
+SMOOTH_ACCELS = ("bruteforce", "minarg", "tilecull", "pairwin")
 
 
 def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
-                      smooth: bool = False, textured: bool = False):
+                      smooth: bool = False, textured: bool = False,
+                      cam=None, iterations: int = 5):
     """Build the intersector for `accel`, min-merging the analytic
     sphere stream when the scene carries one (scene.spheres).
 
@@ -63,6 +64,19 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
     lane-wise (models.megakernel.fetch_material). Same ids-accel
     requirement as smooth; composes with smooth=True. Sphere-stream
     winners get a multiplier of 1 (quadrics carry no UVs)."""
+    if (accel == "auto" and cam is not None
+            and jax.default_backend() != "cpu"
+            and scene.num_triangles <= 4096):
+        # Workload-sampling predictor (round 4): choose the
+        # tile-culling grouped kernel when the camera's actual ray
+        # mix would skip enough groups (+98% on ref-workload, +90%
+        # on iterations=1 previews), the dense minarg kernel
+        # otherwise (enclosed deep-bounce scenes like cornell).
+        from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel import (
+            auto_small_accel,
+        )
+        accel = auto_small_accel(scene.tris, cam,
+                                 iterations=iterations)
     if textured:
         return _make_textured_fn(scene, accel, force=force,
                                  smooth=smooth)
@@ -190,6 +204,13 @@ def _make_ids_tri_fn(scene: Scene, accel: str, *, force: bool,
         ids_fn = make_minarg_intersect(
             scene.tris, with_ids=True, interpret=not on_tpu
         )
+    elif accel == "tilecull":
+        from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel import (
+            make_tilecull_intersect,
+        )
+        ids_fn = make_tilecull_intersect(
+            scene.tris, with_ids=True, interpret=not on_tpu
+        )
     elif accel == "pairwin":
         from opencl_path_tracer_tpu.ops.pallas.sorted_intersect import (
             PAIR_TPU_WINNER, make_pair_intersect,
@@ -270,6 +291,23 @@ def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
         return make_smooth_minarg_intersect(
             scene.tris, scene.attribs, interpret=not on_tpu
         )
+    if accel == "tilecull":
+        from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel import (
+            make_tilecull_intersect,
+        )
+        from opencl_path_tracer_tpu.ops.shading import (
+            smooth_hit_normals,
+        )
+        ids_fn = make_tilecull_intersect(
+            scene.tris, with_ids=True, interpret=not on_tpu
+        )
+        attribs = scene.attribs
+
+        def smooth_fn(rays):
+            hits, ids = ids_fn(rays)
+            return smooth_hit_normals(hits, ids, attribs)
+
+        return smooth_fn
     if accel == "pairwin":
         # Large scenes: the pair intersector's with_ids surface + the
         # XLA interpolation. smooth_hit_normals gathers one (R, 17)
@@ -359,6 +397,13 @@ def _make_tri_intersect_fn(scene: Scene, accel: str, *,
         return make_minarg_intersect(
             scene.tris, interpret=jax.default_backend() == "cpu"
         )
+    if accel == "tilecull":
+        from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel import (
+            make_tilecull_intersect,
+        )
+        return make_tilecull_intersect(
+            scene.tris, interpret=jax.default_backend() == "cpu"
+        )
     if accel == "march":
         from opencl_path_tracer_tpu.ops.pallas.march_kernel import (
             make_march_intersect,
@@ -444,6 +489,8 @@ class RenderEngine:
         self.intersect_fn = intersect_fn or make_intersect_fn(
             scene, config.accel, force=config.accel_force,
             smooth=config.smooth, textured=config.textured,
+            cam=self.controller.camera(config.width, config.height),
+            iterations=config.iterations,
         )
         self.num_pixels = config.width * config.height
         self._key = jax.random.key(config.seed)

@@ -223,3 +223,30 @@ def test_wavefront_nee_bitidentical_anyhit_with_spheres():
     for k in range(3):
         np.testing.assert_array_equal(np.asarray(a.colors[k]),
                                       np.asarray(b.colors[k]))
+
+
+def test_engine_accel_tilecull_smooth_render():
+    """accel='tilecull' through the engine surface (SMOOTH_ACCELS
+    member): smooth-shaded render is finite and matches the minarg
+    engine bit-for-bit (same winners, same one-ids fetch contract)."""
+    from opencl_path_tracer_tpu.config import CameraConfig, RenderConfig
+    from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+    from opencl_path_tracer_tpu.scene import library
+
+    scene = library.cornell_box(with_spheres=True, smooth_spheres=True)
+
+    def render(accel):
+        cfg = RenderConfig(
+            width=24, height=24, iterations=3, mode="parity",
+            accel=accel, smooth=True,
+            camera=CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
+                                shift=(0.0, 0.0, 0.0)),
+        )
+        eng = RenderEngine(scene, cfg)
+        eng.render(spp=2, progress=False)
+        return eng.image()
+
+    a = render("minarg")
+    b = render("tilecull")
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
