@@ -1081,6 +1081,45 @@ class RenderEngine:
         return self._rays_per_sample * samples
 
     # --- output / persistence --------------------------------------------
+    def display_u8(self) -> np.ndarray:
+        """(H, W, 3) uint8 display frame: tonemap + quantize ON
+        DEVICE, one small host fetch — the viewer's hot path. The
+        f32 image() path moves ~3 full-precision copies of the frame
+        across the host link per display (download, re-upload for the
+        tonemap, download again; ~33 MB at 720p) — measured round 4,
+        it capped the tunneled viewer at ~1 fps. This path fetches
+        4x less in ONE transfer. Mesh-sharded states fall back to
+        image() (the gather path owns their layout)."""
+        if self.mesh is not None:
+            from opencl_path_tracer_tpu.io.image import to_uint8
+            return to_uint8(self.image())
+        ck = ("disp_u8", self.cfg.model)
+        if ck not in self._steps:
+            kind = self.cfg.tonemap
+            h, w = self.cfg.height, self.cfg.width
+            if self.cfg.model == "wavefront":
+                from opencl_path_tracer_tpu.models import wavefront
+
+                n_px = self.num_pixels
+
+                @jax.jit
+                def to_u8(state):
+                    colors = wavefront.colors_by_pixel(state, n_px)
+                    img = colors.reshape(h, w, 3)
+                    img = tonemap_ops.apply(img, kind)
+                    return jnp.clip(img * 255.0 + 0.5, 0.0,
+                                    255.0).astype(jnp.uint8)
+            else:
+                @jax.jit
+                def to_u8(state):
+                    img = jnp.stack(state.colors, -1).reshape(h, w, 3)
+                    img = tonemap_ops.apply(img, kind)
+                    return jnp.clip(img * 255.0 + 0.5, 0.0,
+                                    255.0).astype(jnp.uint8)
+
+            self._steps[ck] = to_u8
+        return np.asarray(self._steps[ck](self.state))[::-1]
+
     def image(self, apply_tonemap: bool | str = True) -> np.ndarray:
         """(H, W, 3) display image, y flipped to top-down raster order
         (the reference framebuffer is GL bottom-up)."""

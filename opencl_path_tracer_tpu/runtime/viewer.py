@@ -136,6 +136,7 @@ class ViewerServer:
 
     def _render_loop_inner(self) -> None:
         last = time.time()
+        first = True
         while not self._stop.is_set():
             if self.engine.controller.state.quit_requested:
                 self.shutdown()  # ESC (main.cpp:1055-1058)
@@ -143,13 +144,17 @@ class ViewerServer:
             now = time.time()
             with self._lock:
                 self.engine.frame(dt=now - last)
-                img = (self.engine.denoised_image() if self.denoise
-                       else self.engine.image())
+                # display_u8 tonemaps + quantizes on device and
+                # fetches ONE uint8 frame (4x less transfer than the
+                # f32 image() path — the viewer's hot loop).
+                u8 = (to_uint8(self.engine.denoised_image())
+                      if self.denoise else self.engine.display_u8())
             dt = max(now - last, 1e-6)
-            self.viewer_fps = (0.9 * self.viewer_fps + 0.1 / dt
-                               if self.viewer_fps else 1.0 / dt)
+            if not first:  # first dt is loop-entry epsilon, not a frame
+                self.viewer_fps = (0.8 * self.viewer_fps + 0.2 / dt
+                                   if self.viewer_fps else 1.0 / dt)
+            first = False
             last = now
-            u8 = to_uint8(img)
             jpg = b""
             if self._have_pil:
                 from PIL import Image

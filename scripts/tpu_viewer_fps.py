@@ -31,7 +31,7 @@ def main():
     scene = library.cornell_box(with_spheres=True)
     cfg = RenderConfig(
         width=1280, height=720, iterations=3, mode="fast",
-        model="wavefront", accel="auto",
+        model="megakernel", accel="auto",
         camera=CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
                             shift=(0.0, 0.0, 0.0)),
     )
