@@ -250,3 +250,38 @@ def test_engine_accel_tilecull_smooth_render():
     b = render("tilecull")
     assert np.isfinite(b).all()
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_predictor_separates_anchor_scenes():
+    """The workload-sampling predictor must keep reproducing the
+    measured round-4 anchors: enclosed deep-bounce cornell -> minarg,
+    the reference's spread scene and the iterations=1 preview ->
+    tilecull (docs/BENCHMARKS.md round 4)."""
+    import os
+
+    from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel import (
+        auto_small_accel, estimate_tile_need_fraction,
+    )
+    from opencl_path_tracer_tpu.scene import library
+
+    cam = library.cornell_camera(1920, 1080)
+    cornell = library.cornell_box(with_spheres=True)
+    assert auto_small_accel(cornell.tris, cam, iterations=5) \
+        == "minarg"
+    assert auto_small_accel(cornell.tris, cam, iterations=1) \
+        == "tilecull"
+
+    models = os.path.join(os.path.dirname(__file__), "assets",
+                          "models")
+    ref = library.reference_scene(models)
+    cam_ref = library.cornell_camera(1536, 864)
+    assert auto_small_accel(ref.tris, cam_ref, iterations=5) \
+        == "tilecull"
+    # The deep-bounce box sits clearly above both tilecull cases.
+    f_box = estimate_tile_need_fraction(cornell.tris, cam,
+                                        iterations=5)
+    f_ref = estimate_tile_need_fraction(ref.tris, cam_ref,
+                                        iterations=5)
+    f_prev = estimate_tile_need_fraction(cornell.tris, cam,
+                                         iterations=1)
+    assert max(f_ref, f_prev) < 0.5 < f_box
