@@ -101,13 +101,16 @@ def _make_tri_isect(scene, accel: str, on_cpu: bool, cam=None,
         # intersector at the TPU-swept winner config (pair v6 thin —
         # 5.32 Mrays/s official, 0 hit flips;
         # sorted_intersect.PAIR_TPU_WINNER).
-        if scene.num_triangles > 4096:
-            accel = "pairwin"
-        elif cam is not None:
+        if cam is not None and scene.num_triangles <= 8192:
             from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel \
                 import auto_small_accel
-            accel = auto_small_accel(scene.tris, cam,
-                                     iterations=iters)
+            accel = auto_small_accel(
+                scene.tris, cam, iterations=iters,
+                fallback=("minarg" if scene.num_triangles <= 4096
+                          else "pairwin"),
+            )
+        elif scene.num_triangles > 4096:
+            accel = "pairwin"
         else:
             accel = "minarg"
         print(f"# accel auto -> {accel}", file=sys.stderr)

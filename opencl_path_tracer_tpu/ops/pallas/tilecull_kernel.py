@@ -564,13 +564,17 @@ def estimate_tile_need_fraction(tris: TrianglesSoA, cam, *,
 
 
 def auto_small_accel(tris: TrianglesSoA, cam, *, iterations: int = 5,
-                     gs: int = 128, threshold: float = 0.7) -> str:
-    """'tilecull' or 'minarg' for a small scene (T <= gs*MAX_GROUPS),
-    by the measured-anchored predictor: cornell i5 estimates ~1 (stay
-    minarg, measured 61.5 vs 70.1), ref-workload i5 and cornell i1
-    estimate low (tilecull, measured +98% / +90% — round 4)."""
+                     gs: int = 128, threshold: float = 0.7,
+                     fallback: str = "minarg") -> str:
+    """'tilecull' or `fallback` for a scene up to gs*MAX_GROUPS tris,
+    by the measured-anchored predictor: cornell i5 estimates 0.80
+    (stay minarg, measured 61.5 vs 70.1), ref-workload i5 / cornell
+    i1 / the open 5.9k-tri field estimate 0.30/0.35/0.38 (tilecull,
+    measured +98% / +90% / +85% over the prior auto choice —
+    round 4). Callers pass fallback='pairwin' above the minarg sweet
+    spot (4096 < T <= 8192, where pairwin was the old auto)."""
     if tris.count <= gs or tris.count > gs * MAX_GROUPS:
-        return "minarg"
+        return fallback
     frac = estimate_tile_need_fraction(tris, cam, gs=gs,
                                        iterations=iterations)
-    return "tilecull" if frac < threshold else "minarg"
+    return "tilecull" if frac < threshold else fallback

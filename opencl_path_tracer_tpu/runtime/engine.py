@@ -66,17 +66,22 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
     winners get a multiplier of 1 (quadrics carry no UVs)."""
     if (accel == "auto" and cam is not None
             and jax.default_backend() != "cpu"
-            and scene.num_triangles <= 4096):
+            and scene.num_triangles <= 8192):
         # Workload-sampling predictor (round 4): choose the
         # tile-culling grouped kernel when the camera's actual ray
         # mix would skip enough groups (+98% on ref-workload, +90%
-        # on iterations=1 previews), the dense minarg kernel
-        # otherwise (enclosed deep-bounce scenes like cornell).
+        # on iterations=1 previews, +85% on an open 5.9k-tri field
+        # over pairwin), else the prior auto choice (minarg up to
+        # 4096 — enclosed deep-bounce scenes like cornell — and
+        # pairwin above it).
         from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel import (
             auto_small_accel,
         )
-        accel = auto_small_accel(scene.tris, cam,
-                                 iterations=iterations)
+        accel = auto_small_accel(
+            scene.tris, cam, iterations=iterations,
+            fallback=("minarg" if scene.num_triangles <= 4096
+                      else "pairwin"),
+        )
     if textured:
         return _make_textured_fn(scene, accel, force=force,
                                  smooth=smooth)
