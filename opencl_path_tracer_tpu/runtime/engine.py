@@ -1102,25 +1102,49 @@ class RenderEngine:
         if ck not in self._steps:
             kind = self.cfg.tonemap
             h, w = self.cfg.height, self.cfg.width
-            if self.cfg.model == "wavefront":
-                from opencl_path_tracer_tpu.models import wavefront
+            def quantize(img):
+                # Mirror io.image.to_uint8 bit-for-bit: NaNs (the
+                # reference's 0/0 tonemap quirk) clamp to 0, +inf
+                # to 255.
+                img = jnp.nan_to_num(img, nan=0.0, posinf=1.0,
+                                     neginf=0.0)
+                return (jnp.clip(img, 0.0, 1.0) * 255.0
+                        + 0.5).astype(jnp.uint8)
 
+            if self.cfg.model == "wavefront":
                 n_px = self.num_pixels
 
                 @jax.jit
                 def to_u8(state):
-                    colors = wavefront.colors_by_pixel(state, n_px)
-                    img = colors.reshape(h, w, 3)
-                    img = tonemap_ops.apply(img, kind)
-                    return jnp.clip(img * 255.0 + 0.5, 0.0,
-                                    255.0).astype(jnp.uint8)
+                    # Jittable twin of wavefront.colors_by_pixel.
+                    # Engine states bind lanes to pixels 1:1 (a
+                    # permutation), so the unsort is a set-scatter —
+                    # bit-exact to the host fast path; the weighted
+                    # multi-lane form is the lanes > pixels case.
+                    if state.samples.shape[0] == n_px:
+                        chans = [
+                            jnp.zeros((n_px,), jnp.float32).at[
+                                state.pixel].set(state.colors[k])
+                            for k in range(3)
+                        ]
+                    else:
+                        wgt = state.samples.astype(jnp.float32)
+                        den = jnp.zeros((n_px,), jnp.float32).at[
+                            state.pixel].add(wgt)
+                        chans = [
+                            jnp.zeros((n_px,), jnp.float32).at[
+                                state.pixel].add(wgt
+                                                 * state.colors[k])
+                            / jnp.maximum(den, 1.0)
+                            for k in range(3)
+                        ]
+                    img = jnp.stack(chans, -1).reshape(h, w, 3)
+                    return quantize(tonemap_ops.apply(img, kind))
             else:
                 @jax.jit
                 def to_u8(state):
                     img = jnp.stack(state.colors, -1).reshape(h, w, 3)
-                    img = tonemap_ops.apply(img, kind)
-                    return jnp.clip(img * 255.0 + 0.5, 0.0,
-                                    255.0).astype(jnp.uint8)
+                    return quantize(tonemap_ops.apply(img, kind))
 
             self._steps[ck] = to_u8
         return np.asarray(self._steps[ck](self.state))[::-1]

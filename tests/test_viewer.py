@@ -148,3 +148,28 @@ def test_viewer_surfaces_render_error_and_esc_quits():
     finally:
         viewer2._stop.set()
         httpd2.shutdown()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["megakernel", "wavefront"])
+def test_display_u8_matches_image_path(model):
+    """display_u8 (device tonemap + one uint8 fetch, the viewer's
+    hot path) must equal to_uint8(image()) bit-for-bit for both
+    models — same tonemap, same NaN clamp, same rounding."""
+    import numpy as np
+
+    from opencl_path_tracer_tpu.io.image import to_uint8
+    from opencl_path_tracer_tpu.scene import library
+
+    scene = library.cornell_box(with_spheres=True)
+    cfg = RenderConfig(
+        width=24, height=16, iterations=2, mode="fast", model=model,
+        accel="bruteforce",
+        camera=CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
+                            shift=(0.0, 0.0, 0.0)),
+    )
+    eng = RenderEngine(scene, cfg)
+    eng.render(spp=3, progress=False)
+    np.testing.assert_array_equal(
+        eng.display_u8(), to_uint8(eng.image())
+    )
