@@ -44,7 +44,18 @@ import jax.numpy as jnp
 
 PER_CHIP_TARGET_MRAYS = 125.0  # 1 Grays/s / 8 chips (BASELINE.md)
 
+# Aggregate projection factor for the v5e-8 estimate: tile sharding is
+# chip-local (zero per-step collectives; test_parallel proves
+# bit-equality) and the virtual 8-device mesh measured <=4.2%
+# partition overhead (docs/BENCHMARKS.md "Aggregate-throughput
+# estimate"). The ICI hop itself has never been timed on real
+# multi-chip hardware (one chip here) — 0.96 is an ASSUMPTION and is
+# published as its own field so the projection explains itself.
+ICI_EFFICIENCY_ASSUMED = 0.96
+
 _T_START = time.time()
+_WARMUP_S = {}  # scene name -> first-dispatch warmup+compile seconds
+_PROVENANCE = {}  # jax/libtpu versions + cache state (filled in main)
 
 
 class LegTimeout(Exception):
@@ -253,7 +264,9 @@ def run_wavefront(scene, cam, n, isect, *, iters, steps, chunk,
             print(f"# warmup attempt {attempt + 1} failed, retrying",
                   file=sys.stderr)
             time.sleep(10)
-    print(f"# warmup+compile {time.time()-t0:.1f}s", file=sys.stderr)
+    warm_s = time.time() - t0
+    _WARMUP_S.setdefault("_first", round(warm_s, 1))
+    print(f"# warmup+compile {warm_s:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     done = 0
@@ -559,6 +572,29 @@ def main() -> int:
     except Exception as exc:  # cache is an optimization, never fatal
         print(f"# compilation cache disabled: {exc}", file=sys.stderr)
 
+    # Provenance (VERDICT r4 #5): a libtpu/jax bump silently cold-
+    # starts the committed cache and the headline lands minutes later
+    # — record enough in the artifact that a cold run explains itself.
+    try:
+        n_entries = len([f for f in os.listdir(cache_dir)
+                         if not f.startswith(".")])
+    except OSError:
+        n_entries = 0
+    _PROVENANCE["jax_version"] = jax.__version__
+    try:
+        import importlib.metadata as _md
+        for pkg in ("libtpu", "libtpu-nightly"):
+            try:
+                _PROVENANCE["libtpu_version"] = _md.version(pkg)
+                break
+            except _md.PackageNotFoundError:
+                continue
+    except Exception:
+        pass
+    _PROVENANCE["cache_state"] = (
+        f"{n_entries} committed entries"
+        if n_entries else "cold (no committed cache entries)")
+
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind} ({dev.platform})",
           file=sys.stderr)
@@ -669,7 +705,23 @@ def _emit(results, args) -> None:
     # measured <=4.2% partition overhead on the virtual 8-device mesh
     # (docs/BENCHMARKS.md "Aggregate-throughput estimate").
     extra["aggregate_grays_v5e8_projected"] = round(
-        head["mrays"] * 8 * 0.96 / 1000.0, 3)
+        head["mrays"] * 8 * ICI_EFFICIENCY_ASSUMED / 1000.0, 3)
+    extra["ici_efficiency_assumed"] = ICI_EFFICIENCY_ASSUMED
+    # Parity-geometry bookkeeping (VERDICT r4 #2): the headline rides
+    # the analytic-sphere representation, which the reference does not
+    # have (its spheres are tessellated OBJ meshes,
+    # main.cpp:1002,1009). Publish the reference-parity TESSELLATED
+    # cornell ratio alongside, so the artifact carries both stories.
+    parity = next((r["mrays"] for r in results
+                   if r["scene"] == "cornell"), None)
+    if parity is not None:
+        extra["vs_baseline_parity"] = round(
+            parity / PER_CHIP_TARGET_MRAYS, 4)
+        extra["aggregate_grays_v5e8_projected_parity"] = round(
+            parity * 8 * ICI_EFFICIENCY_ASSUMED / 1000.0, 3)
+    extra.update(_PROVENANCE)
+    if "_first" in _WARMUP_S:
+        extra["headline_warmup_s"] = _WARMUP_S["_first"]
     extra.update(head.get("rider", {}))
     extra["elapsed_s"] = round(time.time() - _T_START, 1)
     print(json.dumps({

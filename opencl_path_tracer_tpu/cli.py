@@ -125,15 +125,29 @@ def cmd_render(args) -> int:
         if cfg.model != "wavefront":
             raise SystemExit("--adaptive needs --model wavefront "
                              "(per-pixel sample counts)")
-        eng.render_adaptive(args.adaptive, max_spp=cfg.spp,
-                            min_spp=args.min_spp)
+        if args.adaptive == "auto":
+            tol = args.adaptive_tol
+            decision, speedup, zero_var = eng.render_adaptive_auto(
+                max_spp=cfg.spp, tol=tol, min_spp=args.min_spp)
+            print(f"\nadaptive auto -> {decision} (predicted "
+                  f"speedup x{speedup:.2f}, zero-variance frac "
+                  f"{zero_var:.2f}, tol {tol})", file=sys.stderr)
+        else:
+            try:
+                tol = float(args.adaptive)
+            except ValueError:
+                raise SystemExit(
+                    f"--adaptive takes a tolerance or 'auto', got "
+                    f"{args.adaptive!r}")
+            eng.render_adaptive(tol, max_spp=cfg.spp,
+                                min_spp=args.min_spp)
         import numpy as _np
         import jax as _jax
         smp = _np.asarray(_jax.device_get(eng.state.samples))
         dt = time.time() - t0
         print(f"\nadaptive: spp min {int(smp.min())} / mean "
               f"{smp.mean():.1f} / max {int(smp.max())} "
-              f"(cap {cfg.spp}, tol {args.adaptive}) in {dt:.2f}s",
+              f"(cap {cfg.spp}, tol {tol}) in {dt:.2f}s",
               file=sys.stderr)
     else:
         eng.render(cfg.spp, autosave_every=args.autosave_every,
@@ -435,14 +449,24 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="render.png")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
-    p.add_argument("--adaptive", type=float, default=None,
-                   metavar="TOL",
+    p.add_argument("--adaptive", default=None, metavar="TOL|auto",
                    help="adaptive sampling (needs --model wavefront): "
                         "stop each pixel once its relative luminance "
                         "standard error is within TOL (e.g. 0.02); "
                         "--spp becomes the per-pixel cap. Converged "
                         "lanes are compacted away, so flat regions "
-                        "stop costing rays")
+                        "stop costing rays. 'auto' probes --min-spp "
+                        "samples and enables adaptivity only in its "
+                        "measured win regime — heterogeneous "
+                        "convergence with trustworthy variance "
+                        "estimates (typically --nee + small "
+                        "emitters, x3.04 measured); uniform or "
+                        "spiky-variance scenes run the faster fixed "
+                        "path (see --adaptive-tol)")
+    p.add_argument("--adaptive-tol", type=float, default=0.05,
+                   metavar="TOL",
+                   help="tolerance used by --adaptive auto "
+                        "(default 0.05, the measured-win setting)")
     p.add_argument("--min-spp", type=int, default=8,
                    help="adaptive floor: samples every pixel must "
                         "take before it may stop")

@@ -77,6 +77,11 @@ def build_groups(tris: TrianglesSoA, gs: int = 128):
     r2 = np.asarray(tris.r2, np.float64)
     r3 = np.asarray(tris.r3, np.float64)
     t_count = r1.shape[0]
+    if t_count == 0:
+        raise ValueError(
+            "build_groups needs at least one triangle (sphere-only "
+            "scenes take the analytic path; see make_scene_occluded)"
+        )
     cen = (r1 + r2 + r3) / 3.0
     lo = np.minimum(np.minimum(r1.min(0), r2.min(0)), r3.min(0))
     hi = np.maximum(np.maximum(r1.max(0), r2.max(0)), r3.max(0))
@@ -250,7 +255,15 @@ def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
 
     with_ids=True additionally returns ORIGINAL-order triangle ids
     (the first_intersect_ids contract — the Morton permutation is
-    folded back via one gather)."""
+    folded back via one gather).
+
+    Tie caveat: on EXACTLY-equal best t (coplanar / duplicate
+    triangles) both this kernel and minarg keep the first winner in
+    their scan order, but this kernel scans in Morton order while
+    minarg scans original order — so the returned mati/normal/id may
+    differ between the two on degenerate geometry even though t is
+    identical. No library scene has such ties; callers that need
+    strict winner parity on degenerate input should use minarg."""
     from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
         _run_refine1,
     )
@@ -430,9 +443,26 @@ def make_scene_occluded(scene, *, gs: int = 128, tr: int = 1024,
     fallback)."""
     if scene.tris.count > gs * MAX_GROUPS:
         return None
+    spheres = getattr(scene, "spheres", None)
+    if scene.tris.count == 0:
+        # Sphere-only scene (builder scenes with quadrics and no
+        # mesh): there is no triangle table to cull — answer with the
+        # analytic nearest hit alone, or defer to the caller's
+        # nearest-hit fallback when there are no spheres either.
+        if spheres is None:
+            return None
+        from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (
+            make_sphere_intersect,
+        )
+        sph_only = make_sphere_intersect(spheres, interpret=interpret)
+
+        def occluded_spheres(rays: Rays, rmax) -> jnp.ndarray:
+            h = sph_only(rays)
+            return h.valid & (h.t < rmax)
+
+        return occluded_spheres
     tri_occ = make_anyhit_occluded(scene.tris, gs=gs, tr=tr,
                                    chunk=chunk, interpret=interpret)
-    spheres = getattr(scene, "spheres", None)
     if spheres is None:
         return tri_occ
     from opencl_path_tracer_tpu.ops.pallas.sphere_kernel import (

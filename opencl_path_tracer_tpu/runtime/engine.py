@@ -43,6 +43,23 @@ from opencl_path_tracer_tpu.scene.builder import Scene
 
 SMOOTH_ACCELS = ("bruteforce", "minarg", "tilecull", "pairwin")
 
+# render_adaptive_auto's decision bars (calibrated on the measured
+# anchor scenes, tests/test_engine.py::test_adaptive_auto_separates):
+#  * SPEEDUP: predicted fixed/adaptive cost ratio from the min_spp
+#    probe's per-pixel SEMs (the x3.04-measured sphere-lamp + NEE win
+#    predicts 3.5; the bar keeps marginal cases on the simpler fixed
+#    path). 1.15 models the checks/compaction overhead (x0.91-0.93
+#    measured on scenes with nothing to harvest).
+#  * ZERO_VAR: fraction of pixels whose probe variance is exactly
+#    zero. Without NEE, emitter hits are rare discrete spikes — a
+#    pixel that has not sampled one yet looks converged but is lying
+#    (measured 0.64-0.65 liar fraction on the no-NEE cornell/lamp
+#    anchors vs 0.000 with NEE), so adaptive would stop it early and
+#    keep the noise. SEMs are only trusted when this is small.
+ADAPTIVE_MIN_PREDICTED_SPEEDUP = 1.2
+ADAPTIVE_MAX_ZERO_VAR_FRAC = 0.25
+ADAPTIVE_OVERHEAD_FACTOR = 1.15
+
 
 def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
                       smooth: bool = False, textured: bool = False,
@@ -497,6 +514,22 @@ class RenderEngine:
             cam=self.controller.camera(config.width, config.height),
             iterations=config.iterations,
         )
+        # Dynamic accel re-selection context (VERDICT r4 #4): the
+        # workload-sampling predictor's choice depends on bounce depth
+        # (iterations==1 previews measured +90% on tilecull; deep
+        # bounces are scene-dependent), and the reference changes
+        # iterations LIVE ('+'/'-', main.cpp:1043-1054) — so when the
+        # controller's depth changes, auto re-picks before building
+        # the new step. Only for auto on a non-CPU backend within the
+        # predictor's scene range; a caller-injected intersect_fn is
+        # never replaced.
+        self._accel_auto = (
+            intersect_fn is None and config.accel == "auto"
+            and jax.default_backend() != "cpu"
+            and scene.num_triangles <= 8192
+        )
+        self._accel_iters = config.iterations
+        self._accel_by_iters = {config.iterations: self.intersect_fn}
         self.num_pixels = config.width * config.height
         self._key = jax.random.key(config.seed)
         # Optional environment light (the dormant prog.cl:367-376 sky
@@ -596,8 +629,29 @@ class RenderEngine:
             return shard_wavefront_state(state, self.mesh)
         return shard_state(state, self.mesh)
 
+    def _maybe_repick_accel(self, iterations: int) -> None:
+        """Re-run the auto accel choice when the live bounce depth
+        changes (the reference's '+'/'-' keys, main.cpp:1043-1054).
+        Decisions are cached per depth; steps already built at other
+        depths keep the intersector they were built with."""
+        if not self._accel_auto or iterations == self._accel_iters:
+            return
+        fn = self._accel_by_iters.get(iterations)
+        if fn is None:
+            fn = make_intersect_fn(
+                self.scene, "auto", force=self.cfg.accel_force,
+                smooth=self.cfg.smooth, textured=self.cfg.textured,
+                cam=self.controller.camera(self.cfg.width,
+                                           self.cfg.height),
+                iterations=iterations,
+            )
+            self._accel_by_iters[iterations] = fn
+        self.intersect_fn = fn
+        self._accel_iters = iterations
+
     # --- jitted steps ---------------------------------------------------
     def _step(self, iterations: int):
+        self._maybe_repick_accel(iterations)
         if iterations not in self._steps:
             mode = self.cfg.mode
             key = self._key
@@ -639,6 +693,7 @@ class RenderEngine:
         calls never recompile and each macro-step is ONE dispatch.
         variance: optional (tol, min_samples) enabling the adaptive
         stop rule inside the step (render_adaptive)."""
+        self._maybe_repick_accel(iterations)
         ck = ("wf", iterations, variance)
         if ck not in self._steps:
             from opencl_path_tracer_tpu.models import wavefront
@@ -736,7 +791,7 @@ class RenderEngine:
         return self._steps[ck]
 
     # --- frame API (the onIdle loop) -------------------------------------
-    def frame(self, dt: float = 0.0) -> None:
+    def frame(self, dt: float = 0.0, sync: bool = True) -> None:
         """One interactive frame: integrate input, maybe reset
         accumulation, trace one sample."""
         if self.cfg.model == "wavefront":
@@ -760,9 +815,11 @@ class RenderEngine:
         self.state = step(self.state, cam)
         self._sample_host += 1
         sample = self._sample_host
-        if st.real_time or sample % 3 == 0:
+        if sync and (st.real_time or sample % 3 == 0):
             # realtime blocks per frame; offline syncs every 3rd sample
-            # (main.cpp:670-681).
+            # (main.cpp:670-681). sync=False callers (the viewer's
+            # double-buffered loop) provide their own backpressure —
+            # the previous frame's pixel download.
             jax.block_until_ready(self.state.colors[0])
         self.meter.tick(
             sample, iterations=st.iterations, real_time=st.real_time,
@@ -1006,15 +1063,19 @@ class RenderEngine:
                 parked.append(tail)
                 bucket = target
             # Check cadence: start at `chunk` steps between
-            # convergence checks, but let the time-targeted k_cap
-            # GROW past it once steps get cheap (small buckets step
-            # in ~ms; holding the fixed 24-step cadence there spent
+            # convergence checks; once a dispatch has been timed,
+            # the time-targeted k_cap OWNS the cadence — it can grow
+            # past chunk when steps are cheap (small buckets step in
+            # ~ms; holding the fixed 24-step cadence there spent
             # ~33 s of a 55 s adaptive render on host round-trips —
-            # measured 2026-08-20, v5e through the tunnel). k_cap
-            # aims each dispatch at ~8 s, the same watchdog bound as
-            # _render_wavefront.
+            # measured 2026-08-20, v5e through the tunnel) AND shrink
+            # below it when steps are expensive, keeping each
+            # dispatch ~8 s under the ~40 s remote-runtime watchdog
+            # (same bound as _render_wavefront; flooring at chunk
+            # here would let expensive-step scenes blow through it).
             k = min(max_steps - done,
-                    max(chunk, k_cap) if self.mesh is None else chunk)
+                    (k_cap if k_prev else chunk)
+                    if self.mesh is None else chunk)
             if self.mesh is None:
                 live = run_k(live, cam, cap, k)
             else:
@@ -1030,6 +1091,67 @@ class RenderEngine:
         self._sample_host = int(
             jax.device_get(jnp.min(self.state.samples)))
         jax.block_until_ready(self.state.colors)
+
+    def adaptive_prediction(self, tol: float, max_spp: int,
+                            min_spp: int = 8) -> tuple[float, float]:
+        """(predicted_speedup, zero_var_frac) of adaptive-vs-fixed on
+        the CURRENT state's per-pixel SEMs. Meaningful after a
+        variance-tracked probe (render_adaptive to the min_spp
+        floor). predicted_speedup = fixed cost (max_spp everywhere) /
+        modeled adaptive cost (each pixel runs to tol or the cap,
+        x1.15 check/compaction overhead). zero_var_frac = pixels
+        whose probe variance is exactly zero — without NEE these are
+        unsampled-spike liars, not converged pixels, and make the
+        prediction untrustworthy (see the module constants)."""
+        st = self.state
+        n = np.asarray(jax.device_get(st.samples), np.float64)
+        lum = (0.2126 * np.asarray(jax.device_get(st.colors[0]),
+                                   np.float64)
+               + 0.7152 * np.asarray(jax.device_get(st.colors[1]),
+                                     np.float64)
+               + 0.0722 * np.asarray(jax.device_get(st.colors[2]),
+                                     np.float64))
+        m2 = np.asarray(jax.device_get(st.lum_m2), np.float64)
+        sem = np.sqrt(np.maximum(m2, 0.0)
+                      / np.maximum(n * (n - 1.0), 1.0))
+        rel = sem / (lum + 0.05)  # converged_mask's black floor
+        zero_var_frac = float(np.mean(m2 <= 1e-12))
+        # sem^2 ~ 1/n: samples needed to bring rel SEM to tol.
+        need = np.clip(n * (rel / tol) ** 2, float(min_spp),
+                       float(max_spp))
+        speedup = float(max_spp
+                        / (ADAPTIVE_OVERHEAD_FACTOR * need.mean()))
+        return speedup, zero_var_frac
+
+    def render_adaptive_auto(self, max_spp: int, tol: float = 0.05,
+                             min_spp: int = 8, progress: bool = True,
+                             ) -> tuple[str, float, float]:
+        """Adaptive sampling only where it measurably pays (VERDICT
+        r4 #8): render the min_spp floor with variance tracking,
+        predict the adaptive win from the probe's SEMs, then continue
+        adaptively when the prediction clears the calibrated bars and
+        with the fixed-budget renderer otherwise. Returns (decision,
+        predicted_speedup, zero_var_frac); decision is 'adaptive' or
+        'fixed'.
+
+        The reference spends samples uniformly (progressive average,
+        prog.cl:379); spending them where variance lives is this
+        rebuild's advantage — but ONLY where the probe's SEMs are
+        trustworthy AND heterogeneous (the x3.04-measured win case is
+        NEE + a small emitter): on uniform scenes the checks and
+        compaction cost x0.91-0.93 of fixed throughput, and without
+        NEE the spiky emitter-hit variance makes early SEMs lie."""
+        self.render_adaptive(tol, max_spp=min_spp, min_spp=min_spp,
+                             progress=progress)
+        speedup, zero_var = self.adaptive_prediction(
+            tol, max_spp, min_spp)
+        if (speedup >= ADAPTIVE_MIN_PREDICTED_SPEEDUP
+                and zero_var <= ADAPTIVE_MAX_ZERO_VAR_FRAC):
+            self.render_adaptive(tol, max_spp=max_spp,
+                                 min_spp=min_spp, progress=progress)
+            return "adaptive", speedup, zero_var
+        self.render(max_spp - min_spp, progress=progress)
+        return "fixed", speedup, zero_var
 
     def reset_accumulation(self) -> None:
         """current_sample = 0 (main.cpp:1100-1148): restart averaging,
@@ -1095,9 +1217,24 @@ class RenderEngine:
         it capped the tunneled viewer at ~1 fps. This path fetches
         4x less in ONE transfer. Mesh-sharded states fall back to
         image() (the gather path owns their layout)."""
-        if self.mesh is not None:
+        dev = self.display_u8_device()
+        if dev is None:
             from opencl_path_tracer_tpu.io.image import to_uint8
             return to_uint8(self.image())
+        return np.asarray(dev)[::-1]
+
+    def display_u8_device(self) -> "jax.Array | None":
+        """Enqueue the device-side tonemap+quantize for the CURRENT
+        state and return the bottom-up (H, W, 3) uint8 DEVICE array
+        without fetching. The viewer's double-buffered loop starts the
+        host copy asynchronously (copy_to_host_async) and only blocks
+        on it one frame later, overlapping frame N's compute with
+        frame N-1's download — through a tunneled backend that turns
+        2 RTTs/frame into 1 (VERDICT r4 #7). np.asarray(dev)[::-1]
+        yields exactly display_u8()'s frame. Returns None for
+        mesh-sharded states (the gather path owns their layout)."""
+        if self.mesh is not None:
+            return None
         ck = ("disp_u8", self.cfg.model)
         if ck not in self._steps:
             kind = self.cfg.tonemap
@@ -1113,15 +1250,28 @@ class RenderEngine:
 
             if self.cfg.model == "wavefront":
                 n_px = self.num_pixels
+                # The lanes == n_px fast path scatters with .set,
+                # which is underspecified under duplicate pixel ids —
+                # verify ONCE here (cache-build time) that the
+                # current state's binding really is a permutation;
+                # engine-built states always are, but a caller-
+                # injected state might not be.
+                one_to_one = (
+                    self.state.samples.shape[0] == n_px
+                    and int(np.unique(
+                        np.asarray(self.state.pixel)).size) == n_px
+                )
 
                 @jax.jit
                 def to_u8(state):
                     # Jittable twin of wavefront.colors_by_pixel.
                     # Engine states bind lanes to pixels 1:1 (a
-                    # permutation), so the unsort is a set-scatter —
-                    # bit-exact to the host fast path; the weighted
-                    # multi-lane form is the lanes > pixels case.
-                    if state.samples.shape[0] == n_px:
+                    # permutation, verified above), so the unsort is
+                    # a set-scatter — bit-exact to the host fast
+                    # path. The weighted multi-lane form accumulates
+                    # in f32 (display-precision; the host path's f64
+                    # matters only for file output, not u8 frames).
+                    if one_to_one and state.samples.shape[0] == n_px:
                         chans = [
                             jnp.zeros((n_px,), jnp.float32).at[
                                 state.pixel].set(state.colors[k])
@@ -1147,7 +1297,7 @@ class RenderEngine:
                     return quantize(tonemap_ops.apply(img, kind))
 
             self._steps[ck] = to_u8
-        return np.asarray(self._steps[ck](self.state))[::-1]
+        return self._steps[ck](self.state)
 
     def image(self, apply_tonemap: bool | str = True) -> np.ndarray:
         """(H, W, 3) display image, y flipped to top-down raster order

@@ -137,24 +137,49 @@ class ViewerServer:
     def _render_loop_inner(self) -> None:
         last = time.time()
         first = True
+        # Double-buffered fetch (VERDICT r4 #7): each iteration
+        # ENQUEUES frame N's compute + device tonemap and starts its
+        # host copy asynchronously, then publishes frame N-1 — whose
+        # download overlapped frame N's device work. Through a
+        # tunneled backend this halves the per-frame RTT cost (the
+        # synchronous loop paid compute-RTT then transfer-RTT back to
+        # back); cost is one frame of display latency, invisible next
+        # to progressive accumulation.
+        pending = None  # device u8 array for the not-yet-shown frame
         while not self._stop.is_set():
             if self.engine.controller.state.quit_requested:
                 self.shutdown()  # ESC (main.cpp:1055-1058)
                 return
             now = time.time()
             with self._lock:
-                self.engine.frame(dt=now - last)
-                # display_u8 tonemaps + quantizes on device and
-                # fetches ONE uint8 frame (4x less transfer than the
-                # f32 image() path — the viewer's hot loop).
-                u8 = (to_uint8(self.engine.denoised_image())
-                      if self.denoise else self.engine.display_u8())
+                if self.denoise:
+                    # Denoised display runs the synchronous path (the
+                    # à-trous pass returns a host image); flush any
+                    # in-flight frame first so order is preserved.
+                    pending = None
+                    self.engine.frame(dt=now - last)
+                    u8 = to_uint8(self.engine.denoised_image())
+                else:
+                    self.engine.frame(dt=now - last, sync=False)
+                    dev = self.engine.display_u8_device()
+                    if dev is None:  # mesh-sharded fallback
+                        u8 = self.engine.display_u8()
+                    else:
+                        try:
+                            dev.copy_to_host_async()
+                        except AttributeError:
+                            pass  # backend without async D2H: asarray
+                        u8 = (np.asarray(pending)[::-1]
+                              if pending is not None else None)
+                        pending = dev
             dt = max(now - last, 1e-6)
             if not first:  # first dt is loop-entry epsilon, not a frame
                 self.viewer_fps = (0.8 * self.viewer_fps + 0.2 / dt
                                    if self.viewer_fps else 1.0 / dt)
             first = False
             last = now
+            if u8 is None:
+                continue  # first double-buffered frame: nothing to show yet
             jpg = b""
             if self._have_pil:
                 from PIL import Image

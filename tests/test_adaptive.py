@@ -213,3 +213,81 @@ def test_engine_adaptive_bucket_halving_regression():
     st2 = run(half, cam, jnp.int32(8), 2)  # raised pre-fix
     assert st2.samples.shape[0] == w * h // 2
     assert np.isfinite(np.asarray(st2.colors[0])).all()
+
+
+# --- adaptive auto policy (VERDICT r4 #8) ----------------------------
+
+
+def _auto_probe_engine(scene, nee, w=48, h=48, min_spp=8):
+    from opencl_path_tracer_tpu.config import CameraConfig, RenderConfig
+    from opencl_path_tracer_tpu.runtime.engine import RenderEngine
+    cfg = RenderConfig(
+        width=w, height=h, iterations=5, mode="fast",
+        model="wavefront", nee=nee, spp=min_spp,
+        camera=CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
+                            shift=(0.0, 0.0, 0.0)),
+    )
+    eng = RenderEngine(scene, cfg)
+    eng.render_adaptive(0.05, max_spp=min_spp, min_spp=min_spp,
+                        progress=False)
+    return eng
+
+
+@pytest.mark.slow
+def test_adaptive_auto_separates_anchor_scenes():
+    """The auto policy's probe must clear the bars exactly on the
+    measured anchors: sphere-lamp + NEE (the x3.04 win,
+    docs/BENCHMARKS.md session 10) predicts adaptive; the no-NEE
+    cornell (spiky emitter-hit variance — early SEMs lie) is kept on
+    the fixed path by the zero-variance-liar guard."""
+    from opencl_path_tracer_tpu.runtime.engine import (
+        ADAPTIVE_MAX_ZERO_VAR_FRAC, ADAPTIVE_MIN_PREDICTED_SPEEDUP,
+    )
+    win = _auto_probe_engine(
+        library.cornell_box(with_spheres=True, analytic_spheres=True,
+                            sphere_lamp=True), nee=True)
+    sp, zv = win.adaptive_prediction(0.05, 256, 8)
+    assert sp >= ADAPTIVE_MIN_PREDICTED_SPEEDUP
+    assert zv <= ADAPTIVE_MAX_ZERO_VAR_FRAC
+
+    lose = _auto_probe_engine(
+        library.cornell_box(with_spheres=True, analytic_spheres=True),
+        nee=False)
+    _sp, zv = lose.adaptive_prediction(0.05, 256, 8)
+    assert zv > ADAPTIVE_MAX_ZERO_VAR_FRAC
+
+
+@pytest.mark.slow
+def test_engine_adaptive_auto_end_to_end(tmp_path, monkeypatch,
+                                         capsys):
+    """--adaptive auto runs the probe, prints the decision, and
+    produces a render either way."""
+    import sys
+
+    from opencl_path_tracer_tpu import cli
+    png = str(tmp_path / "auto.png")
+    monkeypatch.setattr(sys, "argv", [
+        "ptx", "render", "--scene", "cornell-sphere-lamp",
+        "--size", "24x16", "--spp", "12", "--iters", "3",
+        "--model", "wavefront", "--nee", "--adaptive", "auto",
+        "--adaptive-tol", "0.2", "--min-spp", "2", "--out", png,
+    ])
+    assert cli.main() == 0
+    import os
+    assert os.path.exists(png)
+    err = capsys.readouterr().err
+    assert "adaptive auto ->" in err
+    assert "adaptive: spp min" in err
+
+
+def test_cli_adaptive_rejects_garbage(tmp_path, monkeypatch):
+    import sys
+
+    from opencl_path_tracer_tpu import cli
+    monkeypatch.setattr(sys, "argv", [
+        "ptx", "render", "--scene", "cornell-empty", "--size", "8x8",
+        "--spp", "4", "--model", "wavefront", "--adaptive", "soon",
+        "--out", str(tmp_path / "x.png"),
+    ])
+    with pytest.raises(SystemExit, match="auto"):
+        cli.main()

@@ -114,7 +114,7 @@ def test_viewer_surfaces_render_error_and_esc_quits():
     )
     viewer = ViewerServer(RenderEngine(scene, cfg), port=8698)
 
-    def boom(dt=0.0):
+    def boom(dt=0.0, sync=True):
         raise RuntimeError("synthetic kernel failure")
 
     viewer.engine.frame = boom
