@@ -115,12 +115,9 @@ def _make_tri_isect(scene, accel: str, on_cpu: bool, cam=None,
         if cam is not None and scene.num_triangles <= 8192:
             from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel \
                 import auto_small_accel
-            accel = auto_small_accel(
-                scene.tris, cam, iterations=iters,
-                fallback=("minarg" if scene.num_triangles <= 4096
-                          else "pairwin"),
-            )
-        elif scene.num_triangles > 4096:
+            accel = auto_small_accel(scene.tris, cam,
+                                     iterations=iters)
+        elif scene.num_triangles > 8192:
             accel = "pairwin"
         else:
             accel = "minarg"

@@ -243,9 +243,64 @@ def _build_tabt(tri_pack):
     return tabt
 
 
+def _presort_perm(rays: Rays, r: int, rpad: int, mode: str,
+                  scene_lo, scene_inv):
+    """Lane permutation (rpad,) grouping coherent rays into
+    contiguous tiles, pad lanes last. The wavefront's full-state
+    sort_state costs ~42 ms/step at 2M lanes (13 payload chunks x
+    2-key sorts) — far more than tile culling saves on enclosed
+    scenes (docs/BENCHMARKS.md round 4). This computes the SAME
+    (direction octant, origin Morton) order over a THIN key instead:
+    one (key, iota) sort + per-row gathers, so the state never moves.
+
+    mode='octant': direction octant only (3-bit key) via a
+    counting sort (one (rpad, 9) cumsum — no lax.sort at all).
+    mode='morton': octant<<27 | origin-Morton>>3, one 2-array
+    lax.sort (~12 ms at 2M lanes, measured as the (flag, slot)
+    compaction sort in sorted_intersect.py)."""
+    iota = jnp.arange(rpad, dtype=jnp.int32)
+    if mode == "octant":
+        octr = ((rays.d[0] >= 0).astype(jnp.int32) * 4
+                + (rays.d[1] >= 0).astype(jnp.int32) * 2
+                + (rays.d[2] >= 0).astype(jnp.int32))
+        oct_p = jnp.full((rpad,), 8, jnp.int32)
+        oct_p = jax.lax.dynamic_update_slice(oct_p, octr, (0,))
+        onehot = (oct_p[:, None]
+                  == jnp.arange(9, dtype=jnp.int32)[None, :])
+        ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
+        counts = ranks[-1]
+        base = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+        )
+        within = jnp.take_along_axis(
+            ranks, oct_p[:, None], axis=1)[:, 0] - 1
+        pos = base[oct_p] + within
+        return jnp.zeros((rpad,), jnp.int32).at[pos].set(iota)
+    # morton: thin twin of models.wavefront.sort_state's key.
+    from opencl_path_tracer_tpu.models.wavefront import (
+        morton3_components,
+    )
+    q = tuple(
+        jnp.clip((rays.p[k] - scene_lo[k]) * scene_inv[k], 0.0, 1.0)
+        for k in range(3)
+    )
+    cell = morton3_components(q)
+    octant = (
+        (rays.d[0] >= 0).astype(jnp.uint32) * jnp.uint32(4)
+        + (rays.d[1] >= 0).astype(jnp.uint32) * jnp.uint32(2)
+        + (rays.d[2] >= 0).astype(jnp.uint32)
+    )
+    key = (octant << jnp.uint32(27)) | (cell >> jnp.uint32(3))
+    key_p = jnp.full((rpad,), jnp.uint32(0xFFFFFFFF))
+    key_p = jax.lax.dynamic_update_slice(key_p, key, (0,))
+    _, perm = jax.lax.sort([key_p, iota], num_keys=1)
+    return perm
+
+
 def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
                             tr: int = 1024, chunk: int = 128,
                             with_ids: bool = False,
+                            presort: str = "none",
                             interpret: bool = False):
     """Exact grouped minarg intersect: Morton groups + per-tile AABB
     culling + bit-exact one-hot attribute fetch. Drop-in for
@@ -263,11 +318,20 @@ def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
     minarg scans original order — so the returned mati/normal/id may
     differ between the two on degenerate geometry even though t is
     identical. No library scene has such ties; callers that need
-    strict winner parity on degenerate input should use minarg."""
+    strict winner parity on degenerate input should use minarg.
+
+    presort ('none' | 'octant' | 'morton'): internally permute the
+    rays into coherent tiles before the kernel and unpermute the
+    results after (_presort_perm) — the caller-invisible alternative
+    to wavefront sort_every for incoherent bounce-ray populations.
+    Results are bit-identical for any presort (per-lane math is
+    order-independent; winner selection happens per lane)."""
     from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
         _run_refine1,
     )
 
+    if presort not in ("none", "octant", "morton"):
+        raise ValueError(f"unknown presort {presort!r}")
     tris2, perm, boxes = build_groups(tris, gs)
     if len(boxes) > MAX_GROUPS:
         raise ValueError(
@@ -279,15 +343,41 @@ def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
     tabt = _build_tabt(tri_pack)
     boxes_t = tuple(boxes)
     perm_j = jnp.asarray(perm)
+    if presort == "morton":
+        blo = np.min(np.asarray(boxes, np.float64)[:, 0, :], axis=0)
+        bhi = np.max(np.asarray(boxes, np.float64)[:, 1, :], axis=0)
+        scene_lo = tuple(float(v) for v in blo)
+        scene_inv = tuple(
+            float(v) for v in 1.0 / np.maximum(bhi - blo, 1e-12))
+    else:
+        scene_lo = scene_inv = (0.0, 0.0, 0.0)
 
     def intersect(rays: Rays):
         r = rays.p[0].shape[0]
         rpad = _round_up(r, tr)
-        rays8 = pack_rays(rays.p, rays.d, rpad)
+        if presort != "none":
+            lane_perm = _presort_perm(rays, r, rpad, presort,
+                                      scene_lo, scene_inv)
+            comps = [
+                jax.lax.dynamic_update_slice(
+                    jnp.zeros((rpad,), jnp.float32), c, (0,)
+                )[lane_perm]
+                for c in (*rays.p, *rays.d)
+            ]
+            rays8 = pack_rays(tuple(comps[:3]), tuple(comps[3:]),
+                              rpad)
+        else:
+            rays8 = pack_rays(rays.p, rays.d, rpad)
         t1, g1 = _run_tilecull(rays8, tri_pack, boxes_t, gs, chunk,
                                tr, interpret)
         t_, nx, ny, nz, m = _run_refine1(rays8, t1, g1, tabt, tr,
                                          interpret)
+        if presort != "none":
+            # Unpermute via one inverse gather per output row.
+            inv = jnp.zeros((rpad,), jnp.int32).at[lane_perm].set(
+                jnp.arange(rpad, dtype=jnp.int32))
+            t_, nx, ny, nz, m, g1 = (
+                x[:, inv] for x in (t_, nx, ny, nz, m, g1))
         best_t = t_[0, :r]
         any_hit = best_t > 0.0
         z = jnp.zeros_like(best_t)
@@ -594,15 +684,27 @@ def estimate_tile_need_fraction(tris: TrianglesSoA, cam, *,
 
 
 def auto_small_accel(tris: TrianglesSoA, cam, *, iterations: int = 5,
-                     gs: int = 128, threshold: float = 0.7,
+                     gs: int = 128, threshold: float = 0.55,
                      fallback: str = "minarg") -> str:
     """'tilecull' or `fallback` for a scene up to gs*MAX_GROUPS tris,
-    by the measured-anchored predictor: cornell i5 estimates 0.80
-    (stay minarg, measured 61.5 vs 70.1), ref-workload i5 / cornell
-    i1 / the open 5.9k-tri field estimate 0.30/0.35/0.38 (tilecull,
-    measured +98% / +90% / +85% over the prior auto choice —
-    round 4). Callers pass fallback='pairwin' above the minarg sweet
-    spot (4096 < T <= 8192, where pairwin was the old auto)."""
+    by the measured-anchored predictor.
+
+    Measured i5 anchors (Mrays/s, v5e; round 4 + round 5):
+
+        scene            frac   minarg  tilecull  pairwin  winner
+        cornell 804      0.80    70.3     61.5      —      minarg
+        dense-cornell 5k 0.69    12.5     10.5     8.2     minarg
+        open field 5.9k  0.38    10.5     12.4     6.7     tilecull
+        ref-workload     0.30    ~31      60.5      —      tilecull
+        cornell i1       0.35    ~70     133        —      tilecull
+
+    threshold=0.55 separates them; round 4's 0.7 misclassified the
+    enclosed 4k-8k region (the dense-cornell anchor, round 5 — its
+    deep-bounce rays are isotropic enough that the one-bounce
+    estimate 0.69 already under-counts the real union). The fallback
+    is minarg across the whole range: it beats pairwin at every
+    measured anchor up to 8192 tris (pairwin's escalations only pay
+    beyond the VMEM-resident table sizes)."""
     if tris.count <= gs or tris.count > gs * MAX_GROUPS:
         return fallback
     frac = estimate_tile_need_fraction(tris, cam, gs=gs,

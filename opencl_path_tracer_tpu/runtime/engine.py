@@ -84,21 +84,19 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
     if (accel == "auto" and cam is not None
             and jax.default_backend() != "cpu"
             and scene.num_triangles <= 8192):
-        # Workload-sampling predictor (round 4): choose the
+        # Workload-sampling predictor (round 4, recalibrated round 5
+        # on the enclosed dense-cornell anchor): choose the
         # tile-culling grouped kernel when the camera's actual ray
         # mix would skip enough groups (+98% on ref-workload, +90%
         # on iterations=1 previews, +85% on an open 5.9k-tri field
-        # over pairwin), else the prior auto choice (minarg up to
-        # 4096 — enclosed deep-bounce scenes like cornell — and
-        # pairwin above it).
+        # over pairwin), else minarg — which beats pairwin at every
+        # measured anchor in the whole <= 8192 range
+        # (tilecull_kernel.auto_small_accel's anchor table).
         from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel import (
             auto_small_accel,
         )
-        accel = auto_small_accel(
-            scene.tris, cam, iterations=iterations,
-            fallback=("minarg" if scene.num_triangles <= 4096
-                      else "pairwin"),
-        )
+        accel = auto_small_accel(scene.tris, cam,
+                                 iterations=iterations)
     if textured:
         return _make_textured_fn(scene, accel, force=force,
                                  smooth=smooth)
@@ -378,8 +376,12 @@ def _make_tri_intersect_fn(scene: Scene, accel: str, *,
         if not on_tpu:
             accel = "bvh" if scene.num_triangles > 4096 else "bruteforce"
         else:
+            # minarg up to the tilecull range bound: it beats pairwin
+            # at every measured anchor <= 8192 tris (dense-cornell 5k:
+            # 12.5 vs 8.2 Mrays/s, round 5; the camera-aware predictor
+            # in make_intersect_fn may still upgrade to tilecull).
             accel = (
-                "minarg" if scene.num_triangles <= 4096 else "pairwin"
+                "minarg" if scene.num_triangles <= 8192 else "pairwin"
             )
             if accel == "pairwin":
                 print(

@@ -41,7 +41,8 @@ def cornell_box(*, with_spheres: bool = True,
                 light_scale: float = 1.0,
                 analytic_spheres: bool = False,
                 smooth_spheres: bool = False,
-                sphere_lamp: bool = False) -> Scene:
+                sphere_lamp: bool = False,
+                sphere_res: tuple = (12, 18)) -> Scene:
     """Cornell-style box in reference coordinates (the commented scene at
     main.cpp:793-816: box spanning x in [-100, 1100], y in [0, 1000],
     red left / green right / white elsewhere, lamp quad at y=999.9).
@@ -54,7 +55,11 @@ def cornell_box(*, with_spheres: bool = True,
     sphere_lamp=True swaps the ceiling lamp quad for an emissive
     ANALYTIC SPHERE hanging below the ceiling (same LAMP material) —
     the library's sphere-emitter scene, exercising NEE's solid-angle
-    cone sampler (ops/nee.py)."""
+    cone sampler (ops/nee.py).
+    sphere_res=(lat, lon) controls the tessellation density of the
+    two spheres (default (12, 18) = the 792-tri reference-parity
+    build; (26, 50) yields the ~5k-tri ENCLOSED mid-size anchor the
+    auto-accel predictor is validated on — VERDICT r4 #4)."""
     if analytic_spheres and smooth_spheres:
         raise ValueError(
             "analytic_spheres and smooth_spheres are mutually "
@@ -107,10 +112,12 @@ def cornell_box(*, with_spheres: bool = True,
         b.add_analytic_sphere((250.0, 180.0, 500.0), 180.0, CHROMIUM)
         b.add_analytic_sphere((720.0, 160.0, 350.0), 160.0, GLASS)
     elif with_spheres:
+        lat, lon = sphere_res
         add_sphere(b, center=(250.0, 180.0, 500.0), radius=180.0,
-                   mat=CHROMIUM, lat=12, lon=18, smooth=smooth_spheres)
+                   mat=CHROMIUM, lat=lat, lon=lon,
+                   smooth=smooth_spheres)
         add_sphere(b, center=(720.0, 160.0, 350.0), radius=160.0,
-                   mat=GLASS, lat=12, lon=18, smooth=smooth_spheres)
+                   mat=GLASS, lat=lat, lon=lon, smooth=smooth_spheres)
         b.end_obj()
     return b.build()
 

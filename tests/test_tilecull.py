@@ -277,11 +277,49 @@ def test_auto_predictor_separates_anchor_scenes():
     cam_ref = library.cornell_camera(1536, 864)
     assert auto_small_accel(ref.tris, cam_ref, iterations=5) \
         == "tilecull"
-    # The deep-bounce box sits clearly above both tilecull cases.
+
+    # Round-5 anchor in the formerly blind enclosed 4k-8k region:
+    # dense-tessellated cornell, 5012 tris, measured minarg 12.49 >
+    # tilecull 10.52 > pairwin 8.17 Mrays/s — must fall back to
+    # minarg (round 4's threshold 0.7 misclassified it at frac 0.69).
+    dense = library.cornell_box(with_spheres=True,
+                                sphere_res=(26, 50))
+    assert auto_small_accel(dense.tris, cam, iterations=5) == "minarg"
+
+    # The enclosed deep-bounce boxes sit clearly above the tilecull
+    # winners' estimates.
     f_box = estimate_tile_need_fraction(cornell.tris, cam,
                                         iterations=5)
+    f_dense = estimate_tile_need_fraction(dense.tris, cam,
+                                          iterations=5)
     f_ref = estimate_tile_need_fraction(ref.tris, cam_ref,
                                         iterations=5)
     f_prev = estimate_tile_need_fraction(cornell.tris, cam,
                                          iterations=1)
-    assert max(f_ref, f_prev) < 0.5 < f_box
+    assert max(f_ref, f_prev) < 0.55 < min(f_box, f_dense)
+
+
+@pytest.mark.parametrize("presort", ["octant", "morton"])
+def test_tilecull_presort_bitexact(presort):
+    """Internal coherence presort (thin-key permute + inverse
+    unpermute) must be invisible: bit-identical t/mati/n/p and ids to
+    presort='none' — per-lane math is lane-order independent, and the
+    per-tile pl.when skips only drop groups no lane in the tile
+    needs."""
+    tris = _rand_scene(300, seed=3)
+    rays = _rand_rays(700, seed=4)
+    base, ids0 = make_tilecull_intersect(
+        tris, gs=64, with_ids=True, interpret=True)(rays)
+    hits, ids1 = make_tilecull_intersect(
+        tris, gs=64, with_ids=True, presort=presort,
+        interpret=True)(rays)
+    np.testing.assert_array_equal(np.asarray(hits.t),
+                                  np.asarray(base.t))
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids0))
+    np.testing.assert_array_equal(np.asarray(hits.mati),
+                                  np.asarray(base.mati))
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(hits.n[k]),
+                                      np.asarray(base.n[k]))
+        np.testing.assert_array_equal(np.asarray(hits.p[k]),
+                                      np.asarray(base.p[k]))
