@@ -65,14 +65,24 @@ from opencl_path_tracer_tpu.ops.pallas.intersect_kernel import (
 MAX_GROUPS = 64
 
 
-def build_groups(tris: TrianglesSoA, gs: int = 128):
+def build_groups(tris: TrianglesSoA, gs: int = 128, origin=None):
     """Morton-order the triangles and cut into contiguous groups of
     `gs`, one padded AABB each.
 
-    Returns (tris_reordered, perm, boxes): perm[i] = original index of
-    reordered row i (int32 np array, for with_ids callers); boxes =
-    list of ((lox, loy, loz), (hix, hiy, hiz)) python floats — baked
-    into the kernel as constants."""
+    Returns (tris_reordered, perm, boxes, spans): perm[i] = original
+    index of reordered row i (int32 np array, for with_ids callers);
+    boxes = list of ((lox, loy, loz), (hix, hiy, hiz)) python floats —
+    baked into the kernel as constants; spans = list of (base, end)
+    row ranges, one per box, likewise baked.
+
+    origin (optional 3-vector): additionally order the GROUPS
+    front-to-back by AABB-center distance from this point (the camera
+    eye). Group scan order feeds the kernel's `tn < best_t` need
+    test: with near groups first, a tile whose lanes all found a near
+    hit skips every farther group outright — free early-out for the
+    primary-heavy ray mix. Winner bits are unchanged (min over all
+    groups; scan order matters only on exact-t ties, see the
+    make_tilecull_intersect caveat)."""
     r1 = np.asarray(tris.r1, np.float64)
     r2 = np.asarray(tris.r2, np.float64)
     r3 = np.asarray(tris.r3, np.float64)
@@ -101,20 +111,40 @@ def build_groups(tris: TrianglesSoA, gs: int = 128):
     code = (_spread(cells[:, 0]) << np.uint64(2)) \
         | (_spread(cells[:, 1]) << np.uint64(1)) | _spread(cells[:, 2])
     perm = np.argsort(code, kind="stable").astype(np.int32)
-    tris2 = tris.take(jnp.asarray(perm))
 
     pad = 1e-4 * float(extent.max()) + 1e-7
+    group_rows = [perm[g0:min(g0 + gs, t_count)]
+                  for g0 in range(0, t_count, gs)]
+    if origin is not None:
+        o = np.asarray(origin, np.float64)
+
+        def gdist(rows):
+            c = 0.5 * (
+                np.minimum(np.minimum(r1[rows].min(0),
+                                      r2[rows].min(0)),
+                           r3[rows].min(0))
+                + np.maximum(np.maximum(r1[rows].max(0),
+                                        r2[rows].max(0)),
+                             r3[rows].max(0)))
+            return float(np.linalg.norm(c - o))
+
+        group_rows.sort(key=gdist)
+        perm = np.concatenate(group_rows).astype(np.int32)
+    tris2 = tris.take(jnp.asarray(perm))
+
     boxes = []
-    for g0 in range(0, t_count, gs):
-        g1 = min(g0 + gs, t_count)
-        rows = perm[g0:g1]
+    spans = []
+    base = 0
+    for rows in group_rows:
         blo = np.minimum(np.minimum(r1[rows].min(0), r2[rows].min(0)),
                          r3[rows].min(0)) - pad
         bhi = np.maximum(np.maximum(r1[rows].max(0), r2[rows].max(0)),
                          r3[rows].max(0)) + pad
         boxes.append((tuple(float(v) for v in blo),
                       tuple(float(v) for v in bhi)))
-    return tris2, perm, boxes
+        spans.append((base, base + len(rows)))
+        base += len(rows)
+    return tris2, perm, boxes, spans
 
 
 def _safe_inv(d):
@@ -146,9 +176,8 @@ def _slab(px, py, pz, idx, idy, idz, lo, hi):
     return tn, tf
 
 
-def _tilecull_kernel(ray_ref, tri_ref, t_ref, i_ref, *, boxes, gs: int,
+def _tilecull_kernel(ray_ref, tri_ref, t_ref, i_ref, *, boxes, spans,
                      chunk: int):
-    tpad = tri_ref.shape[0]
     rays = ray_ref[:]
     px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
@@ -156,15 +185,13 @@ def _tilecull_kernel(ray_ref, tri_ref, t_ref, i_ref, *, boxes, gs: int,
     tr = px.shape[1]
     t_ref[0, :] = jnp.full((tr,), BIG, jnp.float32)
     i_ref[0, :] = jnp.zeros((tr,), jnp.float32)
-    for g, (lo, hi) in enumerate(boxes):
+    for (lo, hi), (base, end) in zip(boxes, spans):
         tn, tf = _slab(px, py, pz, idx, idy, idz, lo, hi)
         need = (tf >= tn) & (tf >= 0.0) & (tn < t_ref[0:1, :])
         any_need = jnp.max(jnp.where(need, 1.0, 0.0))
 
         @pl.when(any_need > 0.0)
-        def _(g=g):
-            base = g * gs
-            end = min(base + gs, tpad)
+        def _(base=base, end=end):
             for c0 in range(base, end, chunk):
                 cc = min(chunk, end - c0)
                 tri = tri_ref[c0:c0 + cc, :]
@@ -199,13 +226,13 @@ def _tilecull_kernel(ray_ref, tri_ref, t_ref, i_ref, *, boxes, gs: int,
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _run_tilecull(rays8, tri_pack, boxes, gs: int, chunk: int,
+def _run_tilecull(rays8, tri_pack, boxes, spans, chunk: int,
                   tr: int, interpret: bool):
     rpad = rays8.shape[1]
     tpad = tri_pack.shape[0]
     tr = min(tr, rpad)
     outs = pl.pallas_call(
-        functools.partial(_tilecull_kernel, boxes=boxes, gs=gs,
+        functools.partial(_tilecull_kernel, boxes=boxes, spans=spans,
                           chunk=chunk),
         grid=(rpad // tr,),
         in_specs=[
@@ -301,6 +328,7 @@ def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
                             tr: int = 1024, chunk: int = 128,
                             with_ids: bool = False,
                             presort: str = "none",
+                            origin=None,
                             interpret: bool = False):
     """Exact grouped minarg intersect: Morton groups + per-tile AABB
     culling + bit-exact one-hot attribute fetch. Drop-in for
@@ -332,7 +360,7 @@ def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
 
     if presort not in ("none", "octant", "morton"):
         raise ValueError(f"unknown presort {presort!r}")
-    tris2, perm, boxes = build_groups(tris, gs)
+    tris2, perm, boxes, spans = build_groups(tris, gs, origin=origin)
     if len(boxes) > MAX_GROUPS:
         raise ValueError(
             f"{tris.count} tris -> {len(boxes)} groups exceeds "
@@ -342,6 +370,7 @@ def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
     tri_pack = build_tri_pack(tris2, tt=1 << 30)
     tabt = _build_tabt(tri_pack)
     boxes_t = tuple(boxes)
+    spans_t = tuple(spans)
     perm_j = jnp.asarray(perm)
     if presort == "morton":
         blo = np.min(np.asarray(boxes, np.float64)[:, 0, :], axis=0)
@@ -368,8 +397,8 @@ def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
                               rpad)
         else:
             rays8 = pack_rays(rays.p, rays.d, rpad)
-        t1, g1 = _run_tilecull(rays8, tri_pack, boxes_t, gs, chunk,
-                               tr, interpret)
+        t1, g1 = _run_tilecull(rays8, tri_pack, boxes_t, spans_t,
+                               chunk, tr, interpret)
         t_, nx, ny, nz, m = _run_refine1(rays8, t1, g1, tabt, tr,
                                          interpret)
         if presort != "none":
@@ -410,8 +439,7 @@ def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
 
 
 def _anyhit_kernel(ray_ref, rmax_ref, tri_ref, occ_ref, *, boxes,
-                   gs: int, chunk: int):
-    tpad = tri_ref.shape[0]
+                   spans, chunk: int):
     rays = ray_ref[:]
     px, py, pz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
@@ -419,16 +447,14 @@ def _anyhit_kernel(ray_ref, rmax_ref, tri_ref, occ_ref, *, boxes,
     idx, idy, idz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     tr = px.shape[1]
     occ_ref[0, :] = jnp.zeros((tr,), jnp.float32)
-    for g, (lo, hi) in enumerate(boxes):
+    for (lo, hi), (base, end) in zip(boxes, spans):
         tn, tf = _slab(px, py, pz, idx, idy, idz, lo, hi)
         need = ((tf >= tn) & (tf >= 0.0) & (tn <= rmax)
                 & (occ_ref[0:1, :] == 0.0))
         any_need = jnp.max(jnp.where(need, 1.0, 0.0))
 
         @pl.when(any_need > 0.0)
-        def _(g=g):
-            base = g * gs
-            end = min(base + gs, tpad)
+        def _(base=base, end=end):
             hit_any = jnp.zeros((1, tr), jnp.float32)
             for c0 in range(base, end, chunk):
                 cc = min(chunk, end - c0)
@@ -463,13 +489,13 @@ def _anyhit_kernel(ray_ref, rmax_ref, tri_ref, occ_ref, *, boxes,
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _run_anyhit(rays8, rmax_row, tri_pack, boxes, gs: int, tr: int,
+def _run_anyhit(rays8, rmax_row, tri_pack, boxes, spans, tr: int,
                 interpret: bool, chunk: int = 128):
     rpad = rays8.shape[1]
     tpad = tri_pack.shape[0]
     tr = min(tr, rpad)
     out = pl.pallas_call(
-        functools.partial(_anyhit_kernel, boxes=boxes, gs=gs,
+        functools.partial(_anyhit_kernel, boxes=boxes, spans=spans,
                           chunk=chunk),
         grid=(rpad // tr,),
         in_specs=[
@@ -496,7 +522,7 @@ def make_anyhit_occluded(tris: TrianglesSoA, *, gs: int = 128,
     (0, rmax). `visible = ~occluded(Rays(origin, d), dist*(1-1e-3))`
     reproduces ops.nee.direct_light's nearest-hit visibility decision
     bit-identically — min(t) < rmax iff any t < rmax."""
-    tris2, _perm, boxes = build_groups(tris, gs)
+    tris2, _perm, boxes, spans = build_groups(tris, gs)
     if len(boxes) > MAX_GROUPS:
         raise ValueError(
             f"{tris.count} tris -> {len(boxes)} groups exceeds "
@@ -504,6 +530,7 @@ def make_anyhit_occluded(tris: TrianglesSoA, *, gs: int = 128,
         )
     tri_pack = build_tri_pack(tris2, tt=1 << 30)
     boxes_t = tuple(boxes)
+    spans_t = tuple(spans)
 
     def occluded(rays: Rays, rmax) -> jnp.ndarray:
         r = rays.p[0].shape[0]
@@ -513,7 +540,7 @@ def make_anyhit_occluded(tris: TrianglesSoA, *, gs: int = 128,
         row = jax.lax.dynamic_update_slice(
             row, jnp.reshape(rmax.astype(jnp.float32), (1, r)), (0, 0)
         )
-        occ = _run_anyhit(rays8, row, tri_pack, boxes_t, gs, tr,
+        occ = _run_anyhit(rays8, row, tri_pack, boxes_t, spans_t, tr,
                           interpret, chunk)
         return occ[0, :r] > 0.0
 
@@ -616,7 +643,7 @@ def estimate_tile_need_fraction(tris: TrianglesSoA, cam, *,
     iterations==1 weighs primaries only (the preview workload);
     otherwise primary:bounce = 0.3:0.7 (~steady wavefront mix)."""
     rs = np.random.default_rng(seed)
-    _t2, _perm, boxes = build_groups(tris, gs)
+    _t2, _perm, boxes, _spans = build_groups(tris, gs)
     eye = np.asarray(cam.eye, np.float64)
     lookat = np.asarray(cam.lookat, np.float64)
     upv = np.asarray(cam.up, np.float64)

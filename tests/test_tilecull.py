@@ -323,3 +323,21 @@ def test_tilecull_presort_bitexact(presort):
                                       np.asarray(base.n[k]))
         np.testing.assert_array_equal(np.asarray(hits.p[k]),
                                       np.asarray(base.p[k]))
+
+
+def test_tilecull_front_to_back_order_bitexact():
+    """origin= group ordering (front-to-back early-out) must not
+    change any winner: min over all groups is order-independent off
+    ties, and ids fold back through the reordered perm."""
+    tris = _rand_scene(500, seed=7)
+    rays = _rand_rays(600, seed=8)
+    base, ids0 = make_tilecull_intersect(
+        tris, gs=64, with_ids=True, interpret=True)(rays)
+    hits, ids1 = make_tilecull_intersect(
+        tris, gs=64, with_ids=True, origin=(0.0, 0.0, -30.0),
+        interpret=True)(rays)
+    np.testing.assert_array_equal(np.asarray(hits.t),
+                                  np.asarray(base.t))
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids0))
+    np.testing.assert_array_equal(np.asarray(hits.mati),
+                                  np.asarray(base.mati))
