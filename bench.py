@@ -131,7 +131,10 @@ def _make_tri_isect(scene, accel: str, on_cpu: bool, cam=None,
         from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel import (
             make_tilecull_intersect,
         )
-        return make_tilecull_intersect(scene.tris, interpret=on_cpu)
+        origin = (tuple(float(v) for v in cam.eye)
+                  if cam is not None else None)
+        return make_tilecull_intersect(scene.tris, origin=origin,
+                                       interpret=on_cpu)
     if accel == "march":
         from opencl_path_tracer_tpu.ops.pallas.march_kernel import (
             make_march_intersect,

@@ -325,7 +325,7 @@ def _presort_perm(rays: Rays, r: int, rpad: int, mode: str,
 
 
 def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
-                            tr: int = 1024, chunk: int = 128,
+                            tr: int = 1024, chunk: int = 64,
                             with_ids: bool = False,
                             presort: str = "none",
                             origin=None,
@@ -353,7 +353,15 @@ def make_tilecull_intersect(tris: TrianglesSoA, *, gs: int = 128,
     results after (_presort_perm) — the caller-invisible alternative
     to wavefront sort_every for incoherent bounce-ray populations.
     Results are bit-identical for any presort (per-lane math is
-    order-independent; winner selection happens per lane)."""
+    order-independent; winner selection happens per lane). Measured
+    round 5: ~10x WORSE than presort='none' at 2M lanes (1-D random
+    gathers serialize on TPU) — kept as a documented-negative option.
+
+    chunk=64 default (round-5 sweep): ref-workload 58.5 -> 60.7,
+    cornell preview 134 -> 137 vs the round-4 chunk=128.
+    origin=camera eye adds front-to-back group ordering — free
+    early-out on coherent near hits (+2.5% on the preview, neutral
+    on spread scenes)."""
     from opencl_path_tracer_tpu.ops.pallas.plucker_kernel import (
         _run_refine1,
     )

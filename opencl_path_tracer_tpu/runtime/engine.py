@@ -97,6 +97,8 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
         )
         accel = auto_small_accel(scene.tris, cam,
                                  iterations=iterations)
+    origin = (tuple(float(v) for v in cam.eye)
+              if cam is not None else None)
     if textured:
         return _make_textured_fn(scene, accel, force=force,
                                  smooth=smooth)
@@ -113,7 +115,8 @@ def make_intersect_fn(scene: Scene, accel: str, *, force: bool = False,
             )
         tri_fn = _make_smooth_tri_fn(scene, accel, force=force)
     else:
-        tri_fn = _make_tri_intersect_fn(scene, accel, force=force)
+        tri_fn = _make_tri_intersect_fn(scene, accel, force=force,
+                                        origin=origin)
     sphere_fn = _make_sphere_fn(scene)
     if sphere_fn is None:
         return tri_fn
@@ -360,7 +363,7 @@ def _make_smooth_tri_fn(scene: Scene, accel: str, *, force: bool):
 
 
 def _make_tri_intersect_fn(scene: Scene, accel: str, *,
-                           force: bool = False):
+                           force: bool = False, origin=None):
     """Build the triangle intersector for `accel`.
 
     Footgun gating (measured, docs/BENCHMARKS.md): on TPU some backends
@@ -426,7 +429,8 @@ def _make_tri_intersect_fn(scene: Scene, accel: str, *,
             make_tilecull_intersect,
         )
         return make_tilecull_intersect(
-            scene.tris, interpret=jax.default_backend() == "cpu"
+            scene.tris, origin=origin,
+            interpret=jax.default_backend() == "cpu"
         )
     if accel == "march":
         from opencl_path_tracer_tpu.ops.pallas.march_kernel import (

@@ -16,7 +16,10 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# Probe cache (round 5): keep the COMMITTED .jax_cache official-
+# pathway-only; probe entries staged by a later `git add -A` were the
+# round-4 pack-bloat mechanism.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_probe_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
