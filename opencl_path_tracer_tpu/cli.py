@@ -46,6 +46,13 @@ def _build_scene(name: str, models_dir: str | None,
         return library.cornell_box(with_spheres=True,
                                    analytic_spheres=True,
                                    sphere_lamp=True)
+    if name == "many-lights" or name.startswith("many-lights-"):
+        # 'many-lights' or 'many-lights-N': cornell walls + N small
+        # emissive analytic spheres (default 64) — the demo scene for
+        # --nee --nee-select distance (beyond-reference capability).
+        count = (int(name[len("many-lights-"):])
+                 if name != "many-lights" else 64)
+        return library.many_light_scene(count)
     if name == "reference":
         return library.reference_scene(models_dir, smooth=smooth)
     if name == "reference-analytic":
@@ -68,7 +75,8 @@ def _build_scene(name: str, models_dir: str | None,
 
 def _camera_preset(scene_name: str, w: int, h: int, args):
     from opencl_path_tracer_tpu.config import CameraConfig, RenderConfig
-    if scene_name.startswith("cornell") or scene_name == "stress":
+    if (scene_name.startswith("cornell") or scene_name == "stress"
+            or scene_name.startswith("many-lights")):
         cam = CameraConfig(fov=60.0, yaw=0.0, pitch=0.0,
                            shift=(0.0, 0.0, 0.0))
     else:
@@ -99,6 +107,7 @@ def cmd_render(args) -> int:
             smooth=args.smooth, textured=args.textured,
             model=args.model, devices=args.devices,
             nee=args.nee, rr_start=args.rr, qmc=args.qmc,
+            nee_select=args.nee_select,
             nee_anyhit=not args.no_nee_anyhit,
             dof_aperture=(args.dof[0] if args.dof else 0.0),
             dof_focus=(args.dof[1] if args.dof else 0.0),
@@ -209,7 +218,7 @@ def cmd_view(args) -> int:
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
-        nee=args.nee, qmc=args.qmc,
+        nee=args.nee, qmc=args.qmc, nee_select=args.nee_select,
         nee_anyhit=not args.no_nee_anyhit,
         dof_aperture=(args.dof[0] if args.dof else 0.0),
         dof_focus=(args.dof[1] if args.dof else 0.0),
@@ -243,7 +252,7 @@ def cmd_serve(args) -> int:
         width=w, height=h, iterations=args.iters, mode=args.mode,
         accel=args.accel, accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
-        nee=args.nee, qmc=args.qmc,
+        nee=args.nee, qmc=args.qmc, nee_select=args.nee_select,
         nee_anyhit=not args.no_nee_anyhit,
         dof_aperture=(args.dof[0] if args.dof else 0.0),
         dof_focus=(args.dof[1] if args.dof else 0.0),
@@ -288,7 +297,7 @@ def cmd_anim(args) -> int:
         seed=args.seed, accel=args.accel,
         accel_force=args.accel_force,
         smooth=args.smooth, textured=args.textured,
-        nee=args.nee, qmc=args.qmc,
+        nee=args.nee, qmc=args.qmc, nee_select=args.nee_select,
         nee_anyhit=not args.no_nee_anyhit,
         dof_aperture=(args.dof[0] if args.dof else 0.0),
         dof_focus=(args.dof[1] if args.dof else 0.0),
@@ -387,6 +396,16 @@ def main(argv=None) -> int:
                             "rays (ops/nee.py; same converged image, "
                             "far less noise at small emitters, ~2x "
                             "intersect cost per bounce)")
+        p.add_argument("--nee-select", default="power",
+                       choices=["power", "distance"],
+                       help="emitter selection for --nee: 'power' = "
+                            "global power-proportional; 'distance' = "
+                            "per-lane distance-aware weights (the "
+                            "many-light mode — analytic-sphere "
+                            "emitters only, e.g. --scene many-lights; "
+                            "both converge to the same image, "
+                            "distance puts the shadow rays where the "
+                            "contribution is)")
         p.add_argument("--no-nee-anyhit", action="store_true",
                        help="route NEE/env shadow rays through the "
                             "full nearest-hit intersect instead of "

@@ -125,6 +125,11 @@ class RenderConfig:
     # tracer at far lower variance; ~2x intersect cost per bounce.
     # False = reference estimator.
     nee: bool = False
+    # Emitter SELECTION strategy for nee gathers (ops/nee.py):
+    # 'power' = global power-proportional (default); 'distance' =
+    # per-lane distance-aware weights — the many-light mode, analytic-
+    # sphere emitters only (library.many_light_scene is the demo).
+    nee_select: str = "power"
     # Shadow rays through the any-hit kernel instead of the full
     # nearest-hit intersect (tilecull_kernel.make_scene_occluded) —
     # visibility bits identical (test_tilecull), measured +39% NEE
@@ -158,6 +163,11 @@ class RenderConfig:
             raise ValueError(f"unknown accel {self.accel!r}")
         if self.model not in ("megakernel", "wavefront"):
             raise ValueError(f"unknown model {self.model!r}")
+        if self.nee_select not in ("power", "distance"):
+            raise ValueError(
+                f"unknown nee_select {self.nee_select!r} "
+                "('power' or 'distance')"
+            )
         if self.devices < 0:
             raise ValueError("devices must be >= 0 (0 = all)")
         if len(self.env_sky) != 3 or len(self.env_deep) != 3:

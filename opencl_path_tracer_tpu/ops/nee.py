@@ -77,6 +77,7 @@ weights, for BOTH emitter kinds:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -92,15 +93,16 @@ _INV_PI = np.float32(1.0 / np.pi)
 _LUM = (0.2126, 0.7152, 0.0722)  # Reinhard's weights (prog.cl:249)
 
 
-def _register(cls):
-    fields = [f.name for f in dataclasses.fields(cls)]
+def _register(cls, meta_fields=()):
+    fields = [f.name for f in dataclasses.fields(cls)
+              if f.name not in meta_fields]
     jax.tree_util.register_dataclass(
-        cls, data_fields=fields, meta_fields=[]
+        cls, data_fields=fields, meta_fields=list(meta_fields)
     )
     return cls
 
 
-@_register
+@functools.partial(_register, meta_fields=("select",))
 @dataclasses.dataclass(frozen=True)
 class EmitterTable:
     """SoA of the scene's emissive triangles (E entries, E small).
@@ -148,6 +150,16 @@ class EmitterTable:
     s_sel: jnp.ndarray
     s_mati: jnp.ndarray
     s_packed: jnp.ndarray
+    # Selection strategy (STATIC pytree metadata — a mode change
+    # retraces, exactly like an accel swap):
+    #   'power'    — global power-proportional CDF (the default; the
+    #                strategy every term above describes).
+    #   'distance' — per-lane weights w_j = P_j / max(d^2, r_j^2)
+    #                from the shading point: nearby lights get the
+    #                samples (the MANY-LIGHT mode; sphere emitters
+    #                only — their pickup identity is exact, see
+    #                build_emitter_table).
+    select: str = "power"
 
     @property
     def count(self) -> int:
@@ -164,7 +176,8 @@ class EmitterTable:
 
 
 def build_emitter_table(tris, mats: MaterialsSoA,
-                        spheres=None) -> EmitterTable:
+                        spheres=None,
+                        select: str = "power") -> EmitterTable:
     """Collect the emissive triangles AND analytic spheres (host-side,
     once per scene).
 
@@ -172,7 +185,25 @@ def build_emitter_table(tris, mats: MaterialsSoA,
     material id is used by BOTH a triangle and an analytic sphere —
     the pickup MIS weight identifies the emitter KIND by hit.mati
     (exact, unlike any position-epsilon test), so emissive materials
-    must be kind-unique. Non-emissive materials may be shared freely."""
+    must be kind-unique. Non-emissive materials may be shared freely.
+
+    select='distance' switches the emitter SELECTION to per-lane
+    distance-aware weights w_j = P_j / max(|x - c_j|^2, r_j^2) — the
+    MANY-LIGHT mode (beyond the reference's scope entirely; the
+    reference has no light sampling at all, prog.cl:292-381). With
+    hundreds of lamps, power-proportional selection wastes almost
+    every shadow ray on far-away lights; distance weighting puts them
+    where the contribution is. Restricted to analytic-SPHERE emitters
+    (no emissive triangles): the pickup MIS side must recompute the
+    gather's selection probability for the emitter actually hit, and
+    only spheres carry an exact per-lane identity there
+    (pickup_mis_weight's nearest-surface match). Both strategies
+    converge to the same image — MIS weights stay a partition of
+    unity because gather and pickup evaluate the SAME weight function
+    from the same vertex (to the one EPS-offset approximation the
+    sphere cone pdf already makes)."""
+    if select not in ("power", "distance"):
+        raise ValueError(f"unknown emitter select mode {select!r}")
     mati = np.asarray(tris.mati)
     em = np.stack([np.asarray(c)[mati] for c in mats.emission], axis=-1)
     is_em = np.any(em != 0.0, axis=-1)
@@ -228,6 +259,14 @@ def build_emitter_table(tris, mats: MaterialsSoA,
             "NEE needs at least one emitter (emissive triangle or "
             "analytic sphere)"
         )
+    if select == "distance" and power.size:
+        raise ValueError(
+            "select='distance' needs analytic-SPHERE emitters only "
+            f"(found {power.size} emissive triangles): the pickup "
+            "MIS side can only identify sphere emitters exactly. "
+            "Model the lamps as add_analytic_sphere(..) or use "
+            "select='power'."
+        )
     w_total = float(power.sum()) + float(s_power.sum())
     cum = np.cumsum(
         np.concatenate([power, s_power]) / w_total
@@ -260,6 +299,7 @@ def build_emitter_table(tris, mats: MaterialsSoA,
         s_sel=jnp.asarray(s_sel),
         s_mati=jnp.asarray(s_mati, dtype=jnp.int32),
         s_packed=jnp.asarray(s_packed),
+        select=select,
     )
 
 
@@ -299,7 +339,45 @@ def _sample_tri(table: EmitterTable, idx, u2, u3):
     return y, col3(9), col3(12), cols[15]
 
 
-def _sample_sphere(table: EmitterTable, idx, origin: V3, u2, u3):
+def _distance_select(table: EmitterTable, origin: V3, u1):
+    """Per-lane distance-aware emitter pick over the sphere set:
+    weights w_j = P_j / max(|x - c_j|^2, r_j^2) (the r^2 clamp keeps
+    a light containing/touching the shading point finite and makes
+    every weight strictly positive — unbiasedness needs full
+    support). Returns (idx, sel): the chosen sphere index and its
+    per-lane selection PROBABILITY w_idx / sum_j w_j.
+
+    Streaming three-pass python loop over the Es spheres (~10 VPU ops
+    per sphere per pass) — no (Es, N) array is ever materialized, the
+    materials-fetch where-chain economics (docs/BENCHMARKS.md gather
+    ledger). P_j rides s_sel (the power FRACTION — only relative
+    weights matter)."""
+
+    def weight(j):
+        c = (table.s_c[0][j], table.s_c[1][j], table.s_c[2][j])
+        dv = vsub(c, origin)
+        d2 = vdot(dv, dv)
+        r2 = table.s_rad[j] * table.s_rad[j]
+        return table.s_sel[j] / jnp.maximum(d2, r2)
+
+    es = table.sphere_count
+    total = weight(0)
+    for j in range(1, es):
+        total = total + weight(j)
+    target = u1 * total
+    acc = jnp.zeros_like(u1)
+    idx = jnp.zeros(u1.shape, jnp.int32)
+    for j in range(es - 1):
+        acc = acc + weight(j)
+        idx = idx + (acc < target).astype(jnp.int32)
+    sel = weight(0)
+    for j in range(1, es):
+        sel = jnp.where(idx == j, weight(j), sel)
+    return idx, sel / jnp.maximum(total, 1e-30)
+
+
+def _sample_sphere(table: EmitterTable, idx, origin: V3, u2, u3,
+                   sel=None):
     """Cone-sample emissive sphere idx as seen from `origin`.
 
     Uniform direction in the subtended cone (uniform 4-pi sphere when
@@ -312,7 +390,9 @@ def _sample_sphere(table: EmitterTable, idx, origin: V3, u2, u3):
     correct 0/q_sa limit)."""
     cols = _fetch_rows(table.s_packed, idx, 8)
     c = (cols[0], cols[1], cols[2])
-    rad, emission, sel = cols[3], (cols[4], cols[5], cols[6]), cols[7]
+    rad, emission = cols[3], (cols[4], cols[5], cols[6])
+    if sel is None:  # power mode: the static power fraction
+        sel = cols[7]
 
     dcv = vsub(c, origin)
     dc2 = vdot(dcv, dcv)
@@ -363,7 +443,19 @@ def sample_emitters(table: EmitterTable, u1, u2, u3, origin: V3 = None):
     The CDF inversion is a branchless compare-count
     (jnp.searchsorted's scan lowering measured 88.9 ms at 1.33M lanes
     x 288 emitters on v5e — 2x a full minarg intersect — vs ~1 ms for
-    the fused broadcast-compare reduce)."""
+    the fused broadcast-compare reduce).
+
+    table.select == 'distance' (many-light mode, sphere emitters
+    only): u1 instead picks through the per-lane distance-aware
+    weights (_distance_select); p_area carries the per-lane selection
+    probability."""
+    if table.select == "distance":
+        if origin is None:
+            raise ValueError(
+                "sample_emitters needs `origin` for select='distance'"
+            )
+        idx, sel = _distance_select(table, origin, u1)
+        return _sample_sphere(table, idx, origin, u2, u3, sel=sel)
     idx = jnp.sum(
         (table.cum[None, :] < u1[:, None]).astype(jnp.int32), axis=1
     )
@@ -510,6 +602,25 @@ def pickup_mis_weight(table: EmitterTable, prev_pdf, emit_cos, t,
         srad = np.asarray(table.s_rad)
         ssel = np.asarray(table.s_sel)
         smati = np.asarray(table.s_mati)
+
+        if table.select == "distance":
+            # Recompute the gather's per-lane selection weights from
+            # the previous vertex (ray_p stands in for the gather
+            # origin, same EPS-level approximation as the cone
+            # cosmax recompute below) so both MIS sides use the SAME
+            # weight function — the balance weights stay a partition
+            # of unity.
+            def w_of(j):
+                cj = tuple(jnp.float32(sc[j, k]) for k in range(3))
+                dv = vsub(cj, ray_p)
+                d2 = vdot(dv, dv)
+                r2j = jnp.float32(srad[j] * srad[j])
+                return jnp.float32(ssel[j]) / jnp.maximum(d2, r2j)
+
+            total_w = w_of(0)
+            for j in range(1, es):
+                total_w = total_w + w_of(j)
+
         best = jnp.full(t.shape, jnp.float32(np.inf))
         for j in range(es):
             cj = tuple(jnp.float32(sc[j, k]) for k in range(3))
@@ -525,7 +636,11 @@ def pickup_mis_weight(table: EmitterTable, prev_pdf, emit_cos, t,
                     0.0, 1.0 - r2j / jnp.maximum(dc2, 1e-12))),
                 jnp.float32(-1.0),
             )
-            q_sa = jnp.float32(ssel[j]) / (
+            if table.select == "distance":
+                sel_j = w_of(j) / jnp.maximum(total_w, 1e-30)
+            else:
+                sel_j = jnp.float32(ssel[j])
+            q_sa = sel_j / (
                 jnp.float32(2.0 * np.pi) * (1.0 - cosmax)
             )
             p_j = q_sa * emit_cos / jnp.maximum(t * t, 1e-12)

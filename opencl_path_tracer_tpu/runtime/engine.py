@@ -563,7 +563,8 @@ class RenderEngine:
                 build_emitter_table,
             )
             self.nee = build_emitter_table(
-                scene.tris, scene.mats, scene.spheres
+                scene.tris, scene.mats, scene.spheres,
+                select=config.nee_select,
             )
         else:
             self.nee = None

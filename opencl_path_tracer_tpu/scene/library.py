@@ -81,6 +81,26 @@ def cornell_box(*, with_spheres: bool = True,
         b.add_triangle((700.0, 999.9, 700.0), (300.0, 999.9, 300.0),
                        (700.0, 999.9, 300.0), LAMP)
 
+    _add_cornell_walls(b)
+    b.end_obj()
+
+    if with_spheres and analytic_spheres:
+        b.add_analytic_sphere((250.0, 180.0, 500.0), 180.0, CHROMIUM)
+        b.add_analytic_sphere((720.0, 160.0, 350.0), 160.0, GLASS)
+    elif with_spheres:
+        lat, lon = sphere_res
+        add_sphere(b, center=(250.0, 180.0, 500.0), radius=180.0,
+                   mat=CHROMIUM, lat=lat, lon=lon,
+                   smooth=smooth_spheres)
+        add_sphere(b, center=(720.0, 160.0, 350.0), radius=160.0,
+                   mat=GLASS, lat=lat, lon=lon, smooth=smooth_spheres)
+        b.end_obj()
+    return b.build()
+
+
+def _add_cornell_walls(b: SceneBuilder) -> None:
+    """The cornell box's five wall quads (no lamp): the commented
+    scene at main.cpp:794-815."""
     # Front (behind the scene, +z) (main.cpp:794-795).
     b.add_triangle((-100.0, 0.0, 1000.0), (-100.0, 1000.0, 1000.0),
                    (1100.0, 1000.0, 1000.0), WHITE_DIFFUSE)
@@ -106,19 +126,42 @@ def cornell_box(*, with_spheres: bool = True,
                    (10000.0, 0.0, 10000.0), WHITE_DIFFUSE)
     b.add_triangle((10000.0, 0.0, 10000.0), (10000.0, 0.0, -10000.0),
                    (-10000.0, 0.0, -10000.0), WHITE_DIFFUSE)
-    b.end_obj()
 
-    if with_spheres and analytic_spheres:
-        b.add_analytic_sphere((250.0, 180.0, 500.0), 180.0, CHROMIUM)
-        b.add_analytic_sphere((720.0, 160.0, 350.0), 160.0, GLASS)
-    elif with_spheres:
-        lat, lon = sphere_res
-        add_sphere(b, center=(250.0, 180.0, 500.0), radius=180.0,
-                   mat=CHROMIUM, lat=lat, lon=lon,
-                   smooth=smooth_spheres)
-        add_sphere(b, center=(720.0, 160.0, 350.0), radius=160.0,
-                   mat=GLASS, lat=lat, lon=lon, smooth=smooth_spheres)
-        b.end_obj()
+
+def many_light_scene(count: int = 64, seed: int = 0) -> Scene:
+    """Many-light benchmark scene (BEYOND the reference's scope — the
+    reference samples no lights at all, its paths just stumble into
+    the lamp, prog.cl:367-376): the cornell walls, two receiver
+    spheres, and `count` small emissive ANALYTIC spheres scattered
+    through the box volume with varied emission colors/intensities.
+
+    Built for ops.nee's select='distance' mode: with this many lamps,
+    power-proportional selection spends almost every shadow ray on a
+    far-away light; distance-aware weights put them where the
+    contribution is. All lamps share a handful of lamp materials —
+    the pickup side disambiguates spheres by position, exactly."""
+    rs = np.random.default_rng(seed)
+    b = SceneBuilder()
+    _add_archetypes(b)
+    # A few lamp material variants (distinct colors, one shared id
+    # class per color; material TYPE 3 = emitter).
+    lamp_mats = []
+    tints = [(120.0, 100.0, 80.0), (40.0, 80.0, 140.0),
+             (140.0, 50.0, 40.0), (70.0, 130.0, 60.0)]
+    for em in tints:
+        lamp_mats.append(b.add_material(
+            (0.0, 0.0, 0.0), (0.0, 0.0, 0.0), em,
+            (0.0, 0.0, 0.0), (0.0, 0.0, 0.0), 0, 3))
+    _add_cornell_walls(b)
+    b.end_obj()
+    b.add_analytic_sphere((250.0, 180.0, 500.0), 180.0, CHROMIUM)
+    b.add_analytic_sphere((720.0, 160.0, 350.0), 160.0, GLASS)
+    for i in range(count):
+        c = (float(rs.uniform(-40.0, 1040.0)),
+             float(rs.uniform(120.0, 960.0)),
+             float(rs.uniform(-600.0, 940.0)))
+        rad = float(rs.uniform(10.0, 22.0))
+        b.add_analytic_sphere(c, rad, lamp_mats[i % len(lamp_mats)])
     return b.build()
 
 
