@@ -523,7 +523,7 @@ def _run_anyhit(rays8, rmax_row, tri_pack, boxes, spans, tr: int,
 
 
 def make_anyhit_occluded(tris: TrianglesSoA, *, gs: int = 128,
-                         tr: int = 1024, chunk: int = 128,
+                         tr: int = 1024, chunk: int = 64,
                          interpret: bool = False):
     """Returns occluded(rays, rmax) -> bool (R,): True iff some
     triangle's EXACT f32 hit (the production test, op for op) lands in
@@ -557,7 +557,7 @@ def make_anyhit_occluded(tris: TrianglesSoA, *, gs: int = 128,
 
 
 def make_scene_occluded(scene, *, gs: int = 128, tr: int = 1024,
-                        chunk: int = 128, interpret: bool = False):
+                        chunk: int = 64, interpret: bool = False):
     """Whole-scene occlusion test for NEE/env shadow rays: the
     triangle any-hit kernel, plus the analytic-sphere nearest hit
     where the scene carries quadrics (cornell-analytic /

@@ -114,3 +114,12 @@ def test_example_10_nee_and_adaptive(tmp_path):
                "--out", png)
     assert os.path.exists(png)
     assert "NEE+adaptive" in out
+
+
+@pytest.mark.slow
+def test_example_11_many_lights(tmp_path):
+    png = str(tmp_path / "e11.png")
+    out = _run("11_many_lights.py", "--size", "32x24", "--lights",
+               "6", "--spp", "3", "--out", png)
+    assert os.path.exists(png)
+    assert "right: distance" in out
