@@ -120,6 +120,8 @@ def cmd_render(args) -> int:
     if args.median and args.denoise:
         raise SystemExit("--median and --denoise are exclusive "
                          "filters; pick one")
+    if args.dispersion is not None:
+        return _render_dispersive(args, cfg, scene)
     eng = RenderEngine(scene, cfg)
     if args.resume:
         eng.load(args.resume)
@@ -194,6 +196,84 @@ def cmd_render(args) -> int:
     if args.checkpoint:
         eng.save(args.checkpoint)
         print(f"wrote {args.checkpoint}", file=sys.stderr)
+    return 0
+
+
+def _render_dispersive(args, cfg, scene) -> int:
+    """`ptx render --dispersion V_D [--bands B]`: the spectral
+    dispersion path (models/spectral.py) — per-band wavefront renders
+    with Abbe-model glass, combined to RGB. Composes with
+    --nee/--rr/--qmc/--dof/--smooth/--textured; the engine-level
+    extras (--adaptive/--median/--denoise/--env*/checkpointing) are
+    single-image machinery and do not apply."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from opencl_path_tracer_tpu.io.image import write_pfm, write_png
+    from opencl_path_tracer_tpu.models import spectral
+    from opencl_path_tracer_tpu.ops import tonemap as tonemap_ops
+    from opencl_path_tracer_tpu.runtime.controller import (
+        CameraController,
+    )
+    from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+
+    if cfg.model != "wavefront":
+        raise SystemExit("--dispersion needs --model wavefront")
+    for bad, flag in ((args.adaptive is not None, "--adaptive"),
+                      (args.median, "--median"),
+                      (args.denoise, "--denoise"),
+                      (args.env, "--env"),
+                      (args.envmap is not None, "--envmap"),
+                      (args.resume is not None, "--resume"),
+                      (args.checkpoint is not None, "--checkpoint")):
+        if bad:
+            raise SystemExit(
+                f"--dispersion does not compose with {flag}")
+    if args.bands < 1:
+        raise SystemExit("--bands must be >= 1")
+    cam = CameraController(cfg).camera(cfg.width, cfg.height)
+    isect = make_intersect_fn(
+        scene, cfg.accel, force=cfg.accel_force, smooth=cfg.smooth,
+        textured=cfg.textured, cam=cam, iterations=cfg.iterations,
+    )
+    nee_tab = occ = None
+    if cfg.nee:
+        from opencl_path_tracer_tpu.ops.nee import build_emitter_table
+        nee_tab = build_emitter_table(
+            scene.tris, scene.mats, scene.spheres,
+            select=cfg.nee_select,
+        )
+        if cfg.nee_anyhit:
+            from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel \
+                import make_scene_occluded
+            occ = make_scene_occluded(
+                scene, interpret=jax.default_backend() == "cpu")
+    t0 = time.time()
+    img = spectral.render_dispersive(
+        cam, scene.mats, intersect_fn=isect,
+        num_pixels=cfg.width * cfg.height,
+        iterations=cfg.iterations, min_spp=cfg.spp,
+        bands=args.bands, v_d=args.dispersion, mode=cfg.mode,
+        seed=cfg.seed, qmc=cfg.qmc, nee=nee_tab, occluded_fn=occ,
+        rr=((cfg.rr_start, cfg.rr_pmin)
+            if cfg.rr_start is not None else None),
+        dof=((cfg.dof_aperture, cfg.dof_focus)
+             if cfg.dof_aperture > 0.0 else None),
+    )
+    dt = time.time() - t0
+    print(f"\n{args.bands}-band dispersive render "
+          f"(V_d={args.dispersion:g}) at {cfg.spp} spp in {dt:.2f}s",
+          file=sys.stderr)
+    img3 = img.reshape(cfg.height, cfg.width, 3)[::-1]
+    if args.out.endswith(".npy"):
+        np.save(args.out, img3)
+    elif args.out.endswith(".pfm"):
+        write_pfm(args.out, img3)
+    else:
+        write_png(args.out, np.asarray(
+            tonemap_ops.apply(jnp.asarray(img3), cfg.tonemap)))
+    print(f"wrote {args.out}", file=sys.stderr)
     return 0
 
 
@@ -497,6 +577,18 @@ def main(argv=None) -> int:
                         "compensate 1/p — same converged image, dim "
                         "paths die early and lanes regenerate fresh "
                         "samples immediately")
+    p.add_argument("--dispersion", type=float, default=None,
+                   metavar="V_D",
+                   help="spectral dispersion: render --bands "
+                        "wavelength bands whose glass IOR follows "
+                        "the Abbe/Cauchy model at this Abbe number "
+                        "(crown ~60, flint ~30; lower = stronger "
+                        "rainbows) and combine to RGB "
+                        "(models/spectral.py; wavefront model only)")
+    p.add_argument("--bands", type=int, default=3,
+                   help="band count for --dispersion (3 = sRGB "
+                        "primaries; more bands = smoother spectra at "
+                        "proportional cost)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("view", help="headless interactive loop")

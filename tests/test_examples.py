@@ -123,3 +123,12 @@ def test_example_11_many_lights(tmp_path):
                "6", "--spp", "3", "--out", png)
     assert os.path.exists(png)
     assert "right: distance" in out
+
+
+@pytest.mark.slow
+def test_example_12_spectral_dispersion(tmp_path):
+    png = str(tmp_path / "e12.png")
+    out = _run("12_spectral_dispersion.py", "--size", "32x24",
+               "--spp", "3", "--out", png)
+    assert os.path.exists(png)
+    assert "channel split" in out
