@@ -159,13 +159,20 @@ def render_dispersive(cam, mats: MaterialsSoA, *, intersect_fn,
     cap = min_spp if exact_spp else None
 
     @jax.jit
-    def step(band_mats, st):
-        return wavefront.wavefront_step(
-            cam, band_mats, st, intersect_fn=intersect_fn,
-            iterations=iterations, mode=mode, key=key,
-            max_samples=cap, ids=ids, nee=nee, rr=rr, qmc=qmc,
-            dof=dof, occluded_fn=occluded_fn,
-        )
+    def run(band_mats, st, k):
+        # k steps per device program: one dispatch (and one host
+        # round-trip) per convergence check instead of per step — the
+        # same chunking every other render loop here uses, and the
+        # difference between usable and tunnel-RTT-bound on a remote
+        # TPU.
+        def body(_, s):
+            return wavefront.wavefront_step(
+                cam, band_mats, s, intersect_fn=intersect_fn,
+                iterations=iterations, mode=mode, key=key,
+                max_samples=cap, ids=ids, nee=nee, rr=rr, qmc=qmc,
+                dof=dof, occluded_fn=occluded_fn,
+            )
+        return jax.lax.fori_loop(0, k, body, st)
 
     chunk = max(iterations * 2, 8)
     out = np.zeros((num_pixels, 3), np.float64)
@@ -176,8 +183,7 @@ def render_dispersive(cam, mats: MaterialsSoA, *, intersect_fn,
             qmc=qmc, dof=dof,
         )
         for _ in range(max_extra_steps):
-            for _ in range(chunk):
-                state = step(band_mats, state)
+            state = run(band_mats, state, chunk)
             if int(jax.device_get(jnp.min(state.samples))) >= min_spp:
                 break
         img = wavefront.colors_by_pixel(state, num_pixels)
