@@ -237,18 +237,7 @@ def _render_dispersive(args, cfg, scene) -> int:
         scene, cfg.accel, force=cfg.accel_force, smooth=cfg.smooth,
         textured=cfg.textured, cam=cam, iterations=cfg.iterations,
     )
-    nee_tab = occ = None
-    if cfg.nee:
-        from opencl_path_tracer_tpu.ops.nee import build_emitter_table
-        nee_tab = build_emitter_table(
-            scene.tris, scene.mats, scene.spheres,
-            select=cfg.nee_select,
-        )
-        if cfg.nee_anyhit:
-            from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel \
-                import make_scene_occluded
-            occ = make_scene_occluded(
-                scene, interpret=jax.default_backend() == "cpu")
+    nee_tab, occ = _spectral_nee(cfg, scene)
     t0 = time.time()
     img = spectral.render_dispersive(
         cam, scene.mats, intersect_fn=isect,
@@ -274,6 +263,96 @@ def _render_dispersive(args, cfg, scene) -> int:
         write_png(args.out, np.asarray(
             tonemap_ops.apply(jnp.asarray(img3), cfg.tonemap)))
     print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def _spectral_nee(cfg, scene):
+    """(emitter table, any-hit occluder) for the dispersion paths —
+    the same construction the engine performs (both built on the
+    UNDISPERSED scene: emission does not disperse, only refraction)."""
+    import jax
+
+    nee_tab = occ = None
+    if cfg.nee:
+        from opencl_path_tracer_tpu.ops.nee import build_emitter_table
+        nee_tab = build_emitter_table(
+            scene.tris, scene.mats, scene.spheres,
+            select=cfg.nee_select,
+        )
+        if cfg.nee_anyhit:
+            from opencl_path_tracer_tpu.ops.pallas.tilecull_kernel \
+                import make_scene_occluded
+            occ = make_scene_occluded(
+                scene, interpret=jax.default_backend() == "cpu")
+    return nee_tab, occ
+
+
+def _anim_dispersive(args, cfg, scene, poses) -> int:
+    """`ptx anim --dispersion V_D`: dispersive turntable. The camera
+    is a runtime argument of the one jitted spectral program
+    (spectral.make_dispersive_renderer), so the whole orbit compiles
+    once — the same property the engine's turntable path has
+    (runtime/anim.py)."""
+    import os
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from opencl_path_tracer_tpu.io.image import to_uint8, write_png
+    from opencl_path_tracer_tpu.models import spectral
+    from opencl_path_tracer_tpu.ops import tonemap as tonemap_ops
+    from opencl_path_tracer_tpu.runtime.anim import write_gif
+    from opencl_path_tracer_tpu.runtime.controller import (
+        CameraController,
+    )
+    from opencl_path_tracer_tpu.runtime.engine import make_intersect_fn
+
+    for bad, flag in ((args.denoise, "--denoise"),
+                      (args.env, "--env"),
+                      (args.envmap is not None, "--envmap")):
+        if bad:
+            raise SystemExit(
+                f"--dispersion does not compose with {flag}")
+    if args.bands < 1:
+        raise SystemExit("--bands must be >= 1")
+    w, h = cfg.width, cfg.height
+    ctrl = CameraController(cfg)
+    isect = make_intersect_fn(
+        scene, cfg.accel, force=cfg.accel_force, smooth=cfg.smooth,
+        textured=cfg.textured, cam=ctrl.camera(w, h),
+        iterations=cfg.iterations,
+    )
+    nee_tab, occ = _spectral_nee(cfg, scene)
+    render = spectral.make_dispersive_renderer(
+        scene.mats, intersect_fn=isect, num_pixels=w * h,
+        iterations=cfg.iterations, min_spp=args.spp,
+        bands=args.bands, v_d=args.dispersion, mode=cfg.mode,
+        seed=cfg.seed, qmc=cfg.qmc, nee=nee_tab, occluded_fn=occ,
+        rr=((cfg.rr_start, cfg.rr_pmin)
+            if cfg.rr_start is not None else None),
+        dof=((cfg.dof_aperture, cfg.dof_focus)
+             if cfg.dof_aperture > 0.0 else None),
+    )
+    frames = []
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+    for i, (yaw, pitch, shift) in enumerate(poses):
+        st = ctrl.state
+        st.yaw = float(yaw)
+        st.pitch = float(pitch)
+        st.shift = np.asarray(shift, np.float64)
+        img = render(ctrl.camera(w, h)).reshape(h, w, 3)[::-1]
+        img = to_uint8(np.asarray(
+            tonemap_ops.apply(jnp.asarray(img), cfg.tonemap)))
+        frames.append(img)
+        if args.out_dir:
+            write_png(os.path.join(args.out_dir,
+                                   f"frame_{i:04d}.png"), img)
+        print(f"\rframe {i + 1}/{len(poses)} (yaw {yaw:.1f})",
+              end="", flush=True, file=sys.stderr)
+    print(file=sys.stderr)
+    if args.gif:
+        write_gif(args.gif, frames, fps=args.fps)
     return 0
 
 
@@ -387,7 +466,6 @@ def cmd_anim(args) -> int:
         env_nee=not args.no_env_nee,
         camera=_camera_preset(args.scene, w, h, args),
     )
-    eng = RenderEngine(scene, cfg)
     orbit_pitch = args.pitch if args.pitch is not None else 12.0
     poses = anim.turntable_poses(
         frames=args.frames, center=center, radius=radius,
@@ -396,6 +474,18 @@ def cmd_anim(args) -> int:
     print(f"turntable: {args.frames} poses around {center}, "
           f"radius {radius:.0f}, {args.spp} spp each",
           file=sys.stderr)
+    if getattr(args, "dispersion", None) is not None:
+        t0 = time.time()
+        _anim_dispersive(args, cfg, scene, poses)
+        dt = time.time() - t0
+        print(f"{args.frames} frames in {dt:.1f}s "
+              f"({args.frames / dt:.2f} fps offline)", file=sys.stderr)
+        if args.out_dir:
+            print(f"wrote {args.out_dir}/frame_*.png", file=sys.stderr)
+        if args.gif:
+            print(f"wrote {args.gif}", file=sys.stderr)
+        return 0
+    eng = RenderEngine(scene, cfg)
     t0 = time.time()
     anim.render_animation(
         eng, poses, spp=args.spp, out_dir=args.out_dir,
@@ -620,6 +710,14 @@ def main(argv=None) -> int:
                    help="write frame_%%04d.png here")
     p.add_argument("--gif", default="turntable.gif",
                    help="looping GIF path ('' to skip)")
+    p.add_argument("--dispersion", type=float, default=None,
+                   metavar="V_D",
+                   help="spectral-dispersion turntable: render every "
+                        "frame through the --bands-band Abbe-model "
+                        "glass path (one compiled program for the "
+                        "whole orbit; see ptx render --dispersion)")
+    p.add_argument("--bands", type=int, default=3,
+                   help="band count for --dispersion")
     p.set_defaults(fn=cmd_anim)
 
     p = sub.add_parser("serve", help="live browser viewer")

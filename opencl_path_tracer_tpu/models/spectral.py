@@ -130,26 +130,20 @@ def dispersive_materials(mats: MaterialsSoA, wavelength_nm: float,
     )
 
 
-def render_dispersive(cam, mats: MaterialsSoA, *, intersect_fn,
-                      num_pixels: int, iterations: int, min_spp: int,
-                      bands: int = 3, v_d: float | None = 55.0,
-                      mode: str = "fast", seed: int = 1, key=None,
-                      ids=None, nee=None, rr=None, qmc: bool = False,
-                      dof=None, occluded_fn=None,
-                      exact_spp: bool = True,
-                      max_extra_steps: int = 1_000_000) -> np.ndarray:
-    """(num_pixels, 3) linear-radiance image with spectral dispersion.
-
-    Runs one wavefront render per band (render_wavefront semantics:
-    steps until every pixel holds >= min_spp samples; exact_spp caps
-    at exactly min_spp so band images are sample-aligned) and
-    combines them with band_weights. All bands share one compiled
-    step — the dispersed MaterialsSoA is a runtime argument — and one
-    RNG configuration (common random numbers across bands).
-
-    nee/rr/qmc/dof compose exactly as in wavefront_step; the emitter
-    table (built on the undispersed scene) is shared by every band —
-    emission does not disperse in this model, only refraction."""
+def make_dispersive_renderer(mats: MaterialsSoA, *, intersect_fn,
+                             num_pixels: int, iterations: int,
+                             min_spp: int, bands: int = 3,
+                             v_d: float | None = 55.0,
+                             mode: str = "fast", seed: int = 1,
+                             key=None, ids=None, nee=None, rr=None,
+                             qmc: bool = False, dof=None,
+                             occluded_fn=None, exact_spp: bool = True,
+                             max_extra_steps: int = 1_000_000):
+    """render(cam) -> (num_pixels, 3) dispersive image, camera as a
+    RUNTIME argument of the one jitted program — a pose sequence
+    (`ptx anim --dispersion`) compiles once and pays pure render time
+    per frame, exactly like the engine's turntable path
+    (runtime/anim.py). Band tables are prebuilt in this factory."""
     from opencl_path_tracer_tpu.models import wavefront
 
     if mode == "fast" and key is None:
@@ -159,7 +153,7 @@ def render_dispersive(cam, mats: MaterialsSoA, *, intersect_fn,
     cap = min_spp if exact_spp else None
 
     @jax.jit
-    def run(band_mats, st, k):
+    def run(cam, band_mats, st, k):
         # k steps per device program: one dispatch (and one host
         # round-trip) per convergence check instead of per step — the
         # same chunking every other render loop here uses, and the
@@ -174,18 +168,53 @@ def render_dispersive(cam, mats: MaterialsSoA, *, intersect_fn,
             )
         return jax.lax.fori_loop(0, k, body, st)
 
+    tables = [dispersive_materials(mats, c, v_d) for c in centers]
     chunk = max(iterations * 2, 8)
-    out = np.zeros((num_pixels, 3), np.float64)
-    for b in range(bands):
-        band_mats = dispersive_materials(mats, centers[b], v_d)
-        state = wavefront.init_wavefront(
-            cam, num_pixels, seed=seed, mode=mode, key=key, ids=ids,
-            qmc=qmc, dof=dof,
-        )
-        for _ in range(max_extra_steps):
-            state = run(band_mats, state, chunk)
-            if int(jax.device_get(jnp.min(state.samples))) >= min_spp:
-                break
-        img = wavefront.colors_by_pixel(state, num_pixels)
-        out += weights[b][None, :].astype(np.float64) * img
-    return out.astype(np.float32)
+
+    def render(cam) -> np.ndarray:
+        out = np.zeros((num_pixels, 3), np.float64)
+        for b in range(bands):
+            state = wavefront.init_wavefront(
+                cam, num_pixels, seed=seed, mode=mode, key=key,
+                ids=ids, qmc=qmc, dof=dof,
+            )
+            for _ in range(max_extra_steps):
+                state = run(cam, tables[b], state, chunk)
+                done = int(jax.device_get(jnp.min(state.samples)))
+                if done >= min_spp:
+                    break
+            img = wavefront.colors_by_pixel(state, num_pixels)
+            out += weights[b][None, :].astype(np.float64) * img
+        return out.astype(np.float32)
+
+    return render
+
+
+def render_dispersive(cam, mats: MaterialsSoA, *, intersect_fn,
+                      num_pixels: int, iterations: int, min_spp: int,
+                      bands: int = 3, v_d: float | None = 55.0,
+                      mode: str = "fast", seed: int = 1, key=None,
+                      ids=None, nee=None, rr=None, qmc: bool = False,
+                      dof=None, occluded_fn=None,
+                      exact_spp: bool = True,
+                      max_extra_steps: int = 1_000_000) -> np.ndarray:
+    """(num_pixels, 3) linear-radiance image with spectral dispersion.
+
+    Runs one wavefront render per band (render_wavefront semantics:
+    steps until every pixel holds >= min_spp samples; exact_spp caps
+    at exactly min_spp so band images are sample-aligned) and
+    combines them with band_weights. All bands share one compiled
+    step — the dispersed MaterialsSoA and the camera are runtime
+    arguments — and one RNG configuration (common random numbers
+    across bands).
+
+    nee/rr/qmc/dof compose exactly as in wavefront_step; the emitter
+    table (built on the undispersed scene) is shared by every band —
+    emission does not disperse in this model, only refraction."""
+    return make_dispersive_renderer(
+        mats, intersect_fn=intersect_fn, num_pixels=num_pixels,
+        iterations=iterations, min_spp=min_spp, bands=bands, v_d=v_d,
+        mode=mode, seed=seed, key=key, ids=ids, nee=nee, rr=rr,
+        qmc=qmc, dof=dof, occluded_fn=occluded_fn,
+        exact_spp=exact_spp, max_extra_steps=max_extra_steps,
+    )(cam)

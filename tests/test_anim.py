@@ -151,3 +151,26 @@ def test_cli_wavefront_resume(tmp_path, monkeypatch, capsys):
                                              "--resume", ck])
     assert cli.main() == 0
     assert "resumed at sample 2" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_cli_anim_dispersion(tmp_path, monkeypatch):
+    """Dispersive turntable: the spectral path renders every pose
+    through one factory-built program (ptx anim --dispersion)."""
+    import sys
+    from opencl_path_tracer_tpu import cli
+    gif = str(tmp_path / "disp.gif")
+    monkeypatch.setattr(sys, "argv", [
+        "ptx", "anim", "--scene", "cornell-analytic",
+        "--size", "24x16", "--spp", "2", "--frames", "2",
+        "--iters", "3", "--dispersion", "20", "--gif", gif,
+        "--out-dir", str(tmp_path / "frames"),
+    ])
+    assert cli.main() == 0
+    assert (tmp_path / "frames" / "frame_0000.png").exists()
+    assert (tmp_path / "frames" / "frame_0001.png").exists()
+    # (no n_frames check: PIL collapses identical consecutive GIF
+    # frames, and a 2-pose orbit of the closed box can produce two
+    # equal near-black exterior views at this size)
+    import os
+    assert os.path.exists(gif)
